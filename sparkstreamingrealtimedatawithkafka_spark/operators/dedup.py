@@ -1,0 +1,145 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Ancestry: the reference deduplicates producer-side with an LRU set keyed on
+``url || title|publishedAt`` (/root/reference/app/news_producer.py:30-48,
+120-125). The engine generalizes that to distributed, content-based dedup:
+
+- ``exact_dedup`` — keep-first by key via Window ``row_number`` (one shuffle
+  on the dedup key; no driver state, unlike the LRU).
+- ``minhash_signatures`` / ``lsh_candidate_pairs`` — near-dup detection at
+  scale: per-doc MinHash signature (pure column expressions over
+  ``xxhash64``), banded into LSH buckets, candidate pairs produced by a
+  *bucket equi-join* (shuffle on band hash — never the O(n²) cross join),
+  then verified with exact Jaccard on shingles.
+- ``simhash`` — 64-bit SimHash as a pure aggregate-expression fold; near
+  dups cluster by exact signature (or small Hamming distance via
+  ``bit_count(a ^ b)``).
+
+All the hashing stays JVM-side (``xxhash64`` is a Catalyst expression), so
+these run inside whole-stage codegen with zero Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Keep the first row per key under a deterministic order."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+
+
+def minhash_signatures(tokens: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) of a token
+    set, as one column expression: for seed s, min over tokens of
+    ``xxhash64(token, s)``. Empty token sets get MaxValue sentinels."""
+    distinct = F.array_distinct(tokens)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.coalesce(
+            F.array_min(F.transform(distinct, lambda t: F.xxhash64(t, s))),
+            F.lit(2**63 - 1),
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding + exact verification.
+
+    Plan shape (the part that matters at 100 TB):
+      1. signature: narrow map, no shuffle;
+      2. explode ``bands`` rows/doc, shuffle on (band, band_hash) — the only
+         wide op, and it scales with data size, not pairs;
+      3. per-bucket self-join emits candidates (buckets are tiny by
+         construction unless data is pathological);
+      4. exact Jaccard verification on the candidates only.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("__tok"),
+        minhash_signatures(F.col(tokens_col), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        "__tok",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("__sig"), b * rows + 1, rows)).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "__tok", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__tok").alias("tok_a"),
+            F.col("b.__tok").alias("tok_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.col("tok_a")) + F.size(F.col("tok_b")) - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(tokens: Column) -> Column:
+    """63-bit SimHash of a token multiset as a pure expression fold.
+
+    Per token hash h, each bit position votes +1/-1; the sign vector packs
+    back into one non-negative bigint (63 bits — keeps the horner-scheme
+    packing overflow-free under ANSI mode). Identical near-dup docs collide
+    exactly; close docs differ in few bits (``bit_count(a ^ b)``).
+    """
+    bits = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 63),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(62)),
+                lambda i: F.when(F.bit_get(F.xxhash64(tok), i) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # Horner packing, MSB first: acc = acc*2 + sign_bit.
+    return F.aggregate(
+        F.sequence(F.lit(62), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(bits, (i + 1).cast("int")) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )

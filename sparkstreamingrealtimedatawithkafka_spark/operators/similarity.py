@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the engine's scale posture:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set, stream the candidate corpus through a BroadcastNestedLoopJoin, rank
+  per query with a Window. Exact → DuckDB-oracle-checkable. At 100 TB the
+  corpus side never shuffles; cost is O(|corpus| * |queries|) fused in
+  codegen.
+- ``ivf_topk`` — IVF-style approximate: assign every vector to its nearest
+  of K centroids (bucketing), probe only the query's closest ``n_probe``
+  buckets. Turns the scan into a bucket equi-join that prunes
+  (1 - n_probe/K) of the corpus; the idiomatic Spark stand-in for a real
+  ANN index. Approximate → rows-only check.
+
+Norms are precomputed per side before pairing so the per-pair work is one
+fused dot product (``functions/vector.py`` higher-order expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
+
+
+def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    return df.withColumn(out, norm(F.col(vec)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Returns (query_id, neighbor_id, rank, sim); ties broken by neighbor id.
+    """
+    c = _with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+        "cnorm",
+    )
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+        "qnorm",
+    )
+    pairs = c.crossJoin(F.broadcast(q)).withColumn(
+        "sim", dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine.
+
+    centroids: (centroid_id, cvec). Output: (id, vec, centroid_id).
+    """
+    v = _with_norm(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec", "vnorm"
+    )
+    c = _with_norm(centroids.select("centroid_id", "cvec"), "cvec", "cnorm")
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "csim", dot(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
+    )
+    w = W.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select("id", "vec", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: IVF bucketing with deterministic centroids
+    (the first ``n_centroids`` corpus vectors — a stand-in for k-means,
+    keeping results reproducible and driver-free)."""
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec_n"), "centroid_id"
+    )
+    probed = assign_buckets(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "centroid_id"
+    )
+    cand = bucketed.join(probed, "centroid_id").withColumn(
+        "sim",
+        dot(F.col("cvec_n"), F.col("qvec")) / (norm(F.col("cvec_n")) * norm(F.col("qvec"))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

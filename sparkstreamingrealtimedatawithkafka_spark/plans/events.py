@@ -1,0 +1,241 @@
+"""Event-table queries: JSON scalar access, event-time windows (tumbling /
+sliding / session), sessionization, first-per-key dedup.
+
+These are the batch twins of the streaming semantics in
+``streaming/pipeline.py`` (SURVEY.md §2.8 — the reference has *no* event-time
+processing at all; its timestamps stay ISO strings, spark_entity_counter.py
+never parses them — so this module is the engine's watermark-ready design).
+
+Determinism: all window boundaries are computed/emitted as epoch
+microseconds (longs) so results are independent of session timezone; the
+DuckDB oracle uses ``epoch_ns(ts)//1000`` which matches the loader's
+``ts div 1000`` truncation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, sql_cents, t
+from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
+
+US_PER_DAY = 86_400_000_000
+US_PER_12H = 43_200_000_000
+US_PER_30MIN = 1_800_000_000
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string scalar access (the batch analogue of the reference's
+    Kafka-value parse, spark_entity_counter.py:127-128)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_from_json_struct",
+    oracle="""
+SELECT event_type,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with an explicit schema (PERMISSIVE, as the reference
+    declares at spark_entity_counter.py:105-115,128) then struct access."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.max(F.col("p.k")).alias("max_k"),
+        F.min(F.col("p.k")).alias("min_k"),
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT (epoch_ns(ts)//1000)//{US_PER_DAY}*{US_PER_DAY} AS win_start_us,
+       event_type,
+       COUNT(*) AS n,
+       SUM({sql_cents('value')})/100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_daily", oracle=_TUMBLING_ORACLE)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native tumbling window (1 day) aggregation; boundaries as epoch-us.
+
+    Same ``window()`` expression works under ``readStream`` with a
+    watermark — see streaming twins.
+    """
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = f"""
+SELECT ((epoch_ns(ts)//1000)//{US_PER_12H} - k.k)*{US_PER_12H} AS win_start_us,
+       COUNT(*) AS n
+FROM events
+CROSS JOIN (VALUES (0), (1)) AS k(k)
+GROUP BY 1
+"""
+
+
+@register("events_sliding_24h_12h", oracle=_SLIDING_ORACLE)
+def events_sliding_24h_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (24 h window, 12 h slide): each event lands in two
+    epoch-aligned windows; oracle replays that with a 2-row offset join."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"), "n")
+    )
+
+
+_SESSION_NATIVE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS us,
+         CASE WHEN epoch_ns(ts)//1000
+                   - lag(epoch_ns(ts)//1000)
+                     OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000)
+                   >= {US_PER_30MIN}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {US_PER_30MIN} AS session_end_us,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_seq
+"""
+
+
+@register("events_session_window", oracle=_SESSION_NATIVE_ORACLE)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30 min gap) per user — the engine's
+    streaming-capable sessionization; oracle replays it as gaps-and-islands.
+    ``session_window.end`` is last-event + gap by definition."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_STATS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS us,
+         CASE WHEN epoch_ns(ts)//1000
+                   - lag(epoch_ns(ts)//1000)
+                     OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000)
+                   >= {US_PER_30MIN}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       COUNT(DISTINCT session_seq) AS n_sessions,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id
+"""
+
+
+@register("events_sessionization_stats", oracle=_SESSION_STATS_ORACLE)
+def events_sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via lag + cumulative-sum islands (the classic
+    gaps-and-islands rewrite of session windows)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts_us")
+    order_w = W.partitionBy("user_id").orderBy("ts_us")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(order_w) >= US_PER_30MIN, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(order_w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id").agg(
+        F.countDistinct("session_seq").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_dedup_first_per_key",
+    oracle="""
+SELECT user_id, event_type, event_id AS first_event_id, us AS first_ts_us
+FROM (
+  SELECT user_id, event_type, event_id, epoch_ns(ts)//1000 AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_ns(ts)//1000, event_id) AS rk
+  FROM events
+)
+WHERE rk = 1
+""",
+)
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) — the deterministic batch
+    form of streaming ``dropDuplicates`` (ancestor: the producer's LRUSet,
+    news_producer.py:30-48)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts_us").alias("first_ts_us"),
+        )
+    )

@@ -1,0 +1,505 @@
+"""Relational core: scans, filters, joins, aggregations, windows, set ops,
+sorts/limits, grouping sets, pivot, range join — all built-in DataFrame ops
+(SURVEY.md §2.3/§2.6/§2.9; the reference itself has none of these beyond a
+single streaming groupBy().count(), spark_entity_counter.py:139, so this
+module is the engine's generalization layer).
+
+Scale notes (100 TB posture):
+- Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  explicitly ``F.broadcast`` where joined to fact tables — no shuffle of the
+  big side.
+- Fact-fact joins (orders⋈lineitem) are left to Catalyst's sort-merge with
+  AQE; both sides shuffle on the join key once and aggregations reuse it.
+- Top-k per group uses Window + rank-filter: partial evaluation happens
+  map-side after the shuffle on the partition key; no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, sql_cents, t
+from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+  SUM({sql_cents('l_quantity')})/100.0 AS sum_qty,
+  SUM({sql_cents('l_extendedprice')})/100.0 AS sum_base_price,
+  SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0 AS sum_disc_price,
+  SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')})*(100+{sql_cents('l_tax')}))/1000000.0 AS sum_charge,
+  SUM({sql_cents('l_quantity')})/(100.0*COUNT(*)) AS avg_qty,
+  SUM({sql_cents('l_extendedprice')})/(100.0*COUNT(*)) AS avg_price,
+  SUM({sql_cents('l_discount')})/(100.0*COUNT(*)) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy(2) → 8 aggregates.
+
+    Single shuffle on the two grouping keys; partial aggregation map-side.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(price * (F.lit(100) - disc)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(price * (F.lit(100) - disc) * (F.lit(100) + tax)) / F.lit(1000000.0)).alias(
+                "sum_charge"
+            ),
+            (F.sum(qty) / (F.lit(100.0) * n)).alias("avg_qty"),
+            (F.sum(price) / (F.lit(100.0) * n)).alias("avg_price"),
+            (F.sum(disc) / (F.lit(100.0) * n)).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+  SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0 AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, filtered, grouped, global top-10.
+
+    customer is small relative to the facts → broadcast; orders⋈lineitem is
+    the one real shuffle. LIMIT has a unique-key tiebreaker.
+    """
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name,
+  SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q5_regional_revenue", oracle=_Q5_ORACLE)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join; every dimension broadcast."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_semi_orders_bigqty",
+    oracle="""
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48
+)
+""",
+)
+def join_semi_orders_bigqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having any high-quantity lineitem."""
+    orders = t(spark, sf_dir, "orders")
+    big = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "join_anti_customers_no_urgent",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent orders."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+)
+WHERE rk <= 3
+""",
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via Window + rank filter (no driver collect).
+
+    At scale: one shuffle on the partition key, then a streaming rank —
+    the canonical distributed top-k pattern.
+    """
+    part = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+  SUM({sql_cents('o_totalprice')})
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_total,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+""",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total (window aggregate, exact units)."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0)) / F.lit(100.0)).alias(
+            "running_total"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "setop_nation_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def setop_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) of customer vs supplier nations."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_urgent_customers",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def setop_except_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers with urgent orders minus the BUILDING
+    segment."""
+    a = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.subtract(b)
+
+
+@register(
+    "setop_union_priorities",
+    oracle="""
+SELECT o_orderpriority AS tag FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT c_mktsegment AS tag FROM customer
+""",
+)
+def setop_union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two heterogeneous tag sources."""
+    a = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderpriority").alias("tag"))
+    )
+    b = t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("tag"))
+    return a.union(b).distinct()
+
+
+@register(
+    "agg_rollup_flag_status",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  SUM({sql_cents('l_quantity')})/100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  SUM({sql_cents('l_extendedprice')})/100.0 AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase under the hood)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL estimate is algorithm-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for
+    cardinality; rows-only check (estimates differ from any SQL oracle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "order_limit_top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def order_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (TakeOrderedAndProject — no full sort at scale)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    ).limit(100)
+
+
+@register(
+    "date_functions_revenue",
+    oracle=f"""
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(quarter(l_shipdate) AS INT) AS ship_quarter,
+  SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0 AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def date_functions_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction + aggregation (year/quarter on timestamp_ntz)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.quarter("l_shipdate").cast("int").alias("ship_quarter"),
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "range_join_size_buckets",
+    oracle="""
+SELECT b.bucket, COUNT(*) AS n_parts, MIN(p_size) AS min_size, MAX(p_size) AS max_size
+FROM part p
+JOIN (VALUES ('small', 0, 9), ('medium', 10, 24), ('large', 25, 50))
+  AS b(bucket, lo, hi)
+  ON p.p_size BETWEEN b.lo AND b.hi
+GROUP BY b.bucket
+""",
+)
+def range_join_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast bucket dimension.
+
+    The non-equi side is broadcast → BroadcastNestedLoopJoin over 3 rows;
+    at 100 TB the fact side streams through without a shuffle.
+    """
+    part = t(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("small", 0, 9), ("medium", 10, 24), ("large", 25, 50)],
+        ["bucket", "lo", "hi"],
+    )
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part.p_size >= buckets.lo) & (part.p_size <= buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle=f"""
+SELECT l_returnflag,
+  SUM({sql_cents('l_quantity')}) FILTER (WHERE l_linestatus = 'O')/100.0 AS "O",
+  SUM({sql_cents('l_quantity')}) FILTER (WHERE l_linestatus = 'F')/100.0 AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(cents("l_quantity")) / F.lit(100.0))
+    )
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+SELECT p_type,
+       upper(substr(p_name, 1, 4)) AS name_prefix,
+       COUNT(*) AS n,
+       MAX(length(p_name)) AS max_name_len
+FROM part
+GROUP BY 1, 2
+""",
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (upper/substr/length) inside an aggregation."""
+    part = t(spark, sf_dir, "part")
+    return part.groupBy(
+        "p_type", F.upper(F.substring("p_name", 1, 4)).alias("name_prefix")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.length("p_name")).alias("max_name_len"),
+    )

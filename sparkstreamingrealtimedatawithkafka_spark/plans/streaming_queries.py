@@ -1,0 +1,137 @@
+"""Streaming catalog entries: each runs a real Structured Streaming query
+(file source → availableNow → memory sink) inside the batch correctness
+harness, so streaming semantics are oracle-checked against batch SQL —
+the prefix-consistency property of Structured Streaming (SIGMOD 2018;
+stream result over a bounded input == batch result over the same input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType, StringType, DoubleType
+
+from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
+from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import ENTITY_COUNT_ORACLE
+from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+    entity_counts,
+    file_stream,
+    run_to_memory,
+    windowed_event_counts,
+)
+
+US_PER_DAY = 86_400_000_000
+US_PER_HOUR = 3_600_000_000
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+# events.parquet carries TIMESTAMP(NANOS); the stream reads it as raw long
+# (legacy nanosAsLong) and converts, same as the batch loader.
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = file_stream(spark, f"{sf_dir}/events.parquet", _EVENTS_RAW_SCHEMA)
+    return raw.select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@register("streaming_entity_count", oracle=ENTITY_COUNT_ORACLE)
+def streaming_entity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end as a *streaming* query (complete
+    mode, as spark_entity_counter.py:149) over a bounded file source; must
+    equal the batch flagship bit-for-bit (stream == batch prefix test)."""
+    stream = file_stream(spark, f"{sf_dir}/documents.parquet", _DOCS_SCHEMA)
+    counts = entity_counts(stream.select("text"))
+    return run_to_memory(counts, output_mode="complete")
+
+
+_STREAM_WINDOW_ORACLE = f"""
+WITH e AS (SELECT epoch_ns(ts)//1000 AS us, event_type FROM events)
+SELECT us//{US_PER_DAY}*{US_PER_DAY} AS win_start_us,
+       event_type,
+       COUNT(*) AS n
+FROM e
+GROUP BY 1, 2
+HAVING us//{US_PER_DAY}*{US_PER_DAY} + {US_PER_DAY}
+       <= (SELECT MAX(us) FROM e) - {US_PER_HOUR}
+"""
+
+
+@register("streaming_windowed_counts", oracle=_STREAM_WINDOW_ORACLE)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts in APPEND mode: only windows whose
+    end is at or below the final watermark (max event time − 1 h) are
+    emitted — the oracle's HAVING clause replays exactly that closure rule.
+    This is the engine's bounded-state replacement for the reference's
+    complete-mode unbounded aggregation."""
+    stream = _events_stream(spark, sf_dir)
+    windowed = windowed_event_counts(stream, ts_col="ts", delay="1 hour", window_len="1 day")
+    return run_to_memory(windowed, output_mode="append")
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates`` (keyed state dedup — the distributed
+    descendant of the producer's LRUSet, news_producer.py:30-48). Emitting
+    keys only keeps the result deterministic under partition racing."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+    return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "streaming_static_join",
+    oracle="""
+SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+            WHEN event_type = 'error' THEN 'problem'
+            ELSE 'engagement' END AS category,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (enrichment dimension) feeding a
+    complete-mode aggregate."""
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("error", "problem"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+        ],
+        ["event_type", "category"],
+    )
+    stream = _events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(dim), "event_type")
+    counts = joined.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(counts, output_mode="complete")

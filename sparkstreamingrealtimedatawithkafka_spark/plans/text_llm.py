@@ -1,0 +1,381 @@
+"""Text-analysis / LLM-data-pipeline queries: the reference pipeline's batch
+twin (tokenize → extract → explode → count, spark_entity_counter.py:127-139)
+plus the north-star operators (BASELINE.json): exact + near-dup dedup,
+similarity search, multimodal columns, text quality/stats.
+
+Oracle-checkable entries use pure column expressions; the pandas-UDF plane
+(``pipeline_parity_udf``) is *also* oracle-checked because the default
+extractor is the deterministic dictionary (SURVEY.md §5.2). Hash-based ops
+(MinHash/SimHash, xxhash64 has no DuckDB twin) and approximate ANN are
+rows-only by contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
+from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import decode_binary_features
+from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    simhash,
+)
+from sparkstreamingrealtimedatawithkafka_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
+
+_TERMS_SQL = ", ".join(f"'{w}'" for w in TX.ENTITY_TERMS)
+_STOP_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+ENTITY_COUNT_ORACLE = f"""
+SELECT tok AS entity, COUNT(*) AS cnt
+FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+WHERE tok IN ({_TERMS_SQL})
+GROUP BY tok
+"""
+
+
+@register("flagship_entity_count", oracle=ENTITY_COUNT_ORACLE)
+def flagship_entity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference dataflow, batch, JVM-only: text → dictionary entity
+    extraction (column expression) → explode → groupBy().count()
+    (mirrors spark_entity_counter.py:130-139 with zero Python workers)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.extract_entities("text")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register("pipeline_parity_udf", oracle=ENTITY_COUNT_ORACLE)
+def pipeline_parity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result through the reference's actual execution plane: an
+    Arrow-vectorized pandas UDF with lazy per-worker extractor and
+    fail-soft-to-[] semantics (spark_entity_counter.py:45-87). Empty entity
+    arrays drop at explode, as in the reference (:136)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("entities", TX.extract_entities_udf(F.col("text")))
+        .select(F.explode("entities").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0) AS DOUBLE)
+    / len({_TOKS}) AS avg_token_len,
+  n_chars
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (pure expressions, no UDF)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (total_len.cast("double") / F.size(toks)).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_lang_source_stats",
+    oracle=f"""
+SELECT lang,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT source) AS n_sources,
+  SUM(n_chars) AS total_chars,
+  SUM(CAST(len({_TOKS}) AS BIGINT)) AS total_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language (counts/distincts/sums)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(TX.tokenize("text")).cast("long")).alias("total_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+  (least(len({_TOKS}), 50)/50.0
+   + (1.0 - CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+            / len({_TOKS})))/2.0 AS quality
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length saturation + stopword penalty),
+    expression-identical on both engines so doubles match bit-for-bit."""
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
+    quality = (
+        F.least(n, F.lit(50)) / F.lit(50.0)
+        + (F.lit(1.0) - stop.cast("double") / n)
+    ) / F.lit(2.0)
+    return docs.select("doc_id", quality.alias("quality"))
+
+
+@register(
+    "text_fingerprint_clusters",
+    oracle=f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+)
+def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint clustering: docs that are token-set
+    identical (reordering-proof near-dup seed)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register("text_langid")  # rows-only: heuristic UDF plane
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (vectorized pandas UDF, U1-pattern)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.lang_id_udf(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one surviving row per distinct text (hash
+    groupBy — the distributed form of the producer's LRU key check,
+    news_producer.py:118-125)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select(F.md5("text").alias("text_hash"), "keep_doc_id", "n_copies")
+
+
+_BIGRAMS = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS})-1, 0)), "
+    f"i -> {_TOKS}[i] || '_' || {_TOKS}[i+1]))"
+)
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_BIGRAMS} AS s
+  FROM documents WHERE doc_id < 200
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.08
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard over a bounded candidate block (same
+    language, doc_id < 200) — the verification kernel of near-dup dedup,
+    kept oracle-checkable. The unbounded scale path is ``dedup_minhash_lsh``."""
+    threshold = 0.08
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = docs.select(
+        "doc_id", "lang", F.array_distinct(TX.word_shingles("text", 2)).alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates over the full corpus, verified with
+    exact Jaccard on token shingles — the 100 TB dedup path (shuffles on
+    band hash, never O(n²))."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    return lsh_candidate_pairs(
+        toks, "doc_id", "sh", num_hashes=32, bands=8, jaccard_threshold=0.4
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures; exact-signature collision groups."""
+    docs = t(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", simhash(TX.tokenize("text")).alias("sig"))
+    return (
+        sig.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_EMB_DOUBLE = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+_SIM_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*q.qv[i]))
+      / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS sim
+  FROM e CROSS JOIN q
+)
+SELECT query_id, neighbor_id, "rank", ROUND(sim, 4) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
+  FROM pairs
+) WHERE "rank" <= 5
+"""
+
+
+@register("sim_topk_bruteforce", oracle=_SIM_TOPK_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 10 against the whole
+    corpus (broadcast queries; corpus never shuffles)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+_SIM_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.3
+"""
+
+
+@register("sim_threshold_pairs", oracle=_SIM_PAIRS_ORACLE)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.3 within a bounded block (vec_id < 100) —
+    the embedding-cosine near-dup kernel, oracle-checkable."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        norm(F.col("a.embedding")) * norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("rawsim"),
+        )
+        .filter(F.col("rawsim") >= 0.3)
+        .select("id_a", "id_b", F.round("rawsim", 4).alias("sim"))
+    )
+
+
+@register("sim_ivf_topk")  # rows-only: approximate by design
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (probe 3 of 16 buckets) — the ANN
+    scale path; recall is checked against brute force in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=3)
+
+
+@register(
+    "multimodal_binary_stub",
+    oracle="""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+FROM documents
+""",
+)
+def multimodal_binary_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text → binary column → Arrow-batched
+    ``mapInPandas`` 'decode' (deterministic stand-in for image/audio codecs
+    — see functions/multimodal.py). Schema, batching and partitioning are
+    the real thing; only the codec is faked."""
+    docs = t(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return decode_binary_features(blobs)
+
+
+@register(
+    "multimodal_struct_meta",
+    oracle="""
+SELECT doc_id, lang, source, label, CAST(len(embedding) AS INT) AS emb_dim
+FROM documents JOIN embeddings ON doc_id = vec_id
+""",
+)
+def multimodal_struct_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed multimodal row: struct metadata column + embedding payload
+    (struct build/extract round-trip, broadcast equi-join)."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).withColumn(
+        "meta", F.struct("lang", "source", "label")
+    )
+    return joined.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.label").alias("label"),
+        F.size("embedding").alias("emb_dim"),
+    )

@@ -1,0 +1,78 @@
+"""Simulate the driver's verify pass against __spark_entry__.py.
+
+Loads the entry module by path (as the driver does), smoke-runs
+``entry(spark)``, then executes every ``queries()`` entry at the given
+sf_dir and compares row-count / column names / order-insensitive values
+against ``oracle_sql()`` via DuckDB. Prints one status line per query and
+a final summary line.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", REPO / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from sparkstreamingrealtimedatawithkafka_spark.session import build_session
+    from oracle_harness import duck_connection, run_one
+
+    spark = build_session(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
+
+    t0 = time.time()
+    flagship = mod.entry(spark)
+    rows = flagship.collect()
+    print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s; head={rows[:3]}")
+    assert len(rows) > 0
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    print(f"catalog: {len(qs)} queries, {len(oracles)} with oracle")
+    con = duck_connection(sf_dir)
+
+    failed, inexact = [], []
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            res = run_one(spark, con, sf_dir, name, qs[name], oracles.get(name))
+        except Exception as e:  # noqa: BLE001
+            print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
+            failed.append(name)
+            continue
+        status = "ok" if res.ok else "MISMATCH"
+        extra = f" [{res.detail}]" if res.detail else ""
+        if res.inexact_float_cols:
+            inexact.append((name, res.inexact_float_cols))
+            extra += f" INEXACT-FLOATS={res.inexact_float_cols}"
+        print(f"  {status} {name} ({time.time()-t0:.1f}s){extra}")
+        if not res.ok:
+            failed.append(name)
+
+    print(
+        f"SUMMARY sf_dir={sf_dir} total={len(qs)} failed={len(failed)} "
+        f"inexact={len(inexact)} -> {'FAIL' if failed or inexact else 'PASS'}"
+    )
+    if failed:
+        print("failed:", failed)
+    if inexact:
+        print("inexact:", inexact)
+    spark.stop()
+    return 1 if (failed or inexact) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
