@@ -1,0 +1,86 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). A small warmup query absorbs JVM/codegen startup so the
+numbers measure the plans, not the JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # noqa: E402
+
+# Headline set: the reference-parity pipeline, the relational core, event-time
+# semantics, and the LLM-pipeline operators (SURVEY.md §2 / §2.10).
+BENCH_QUERIES = [
+    "flagship_entity_count",
+    "pipeline_parity_udf",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "topk_parts_per_brand",
+    "window_running_total",
+    "agg_rollup_flag_status",
+    "events_tumbling_daily",
+    "events_sessionization_stats",
+    "events_json_extract",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "streaming_windowed_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = build_session(app_name="ssk-bench", master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus))
+
+    # Warmup: boot codegen + parquet reader paths.
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

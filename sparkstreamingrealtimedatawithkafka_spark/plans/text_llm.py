@@ -19,7 +19,7 @@ from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
 from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import decode_binary_features
 from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
     lsh_candidate_pairs,
-    simhash,
+    simhash_table,
 )
 from sparkstreamingrealtimedatawithkafka_spark.operators.similarity import (
     brute_force_topk,
@@ -252,7 +252,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures; exact-signature collision groups."""
     docs = t(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", simhash(TX.tokenize("text")).alias("sig"))
+    sig = simhash_table(
+        docs.select("doc_id", TX.tokenize("text").alias("toks")), "doc_id", "toks"
+    ).withColumnRenamed("id", "doc_id")
     return (
         sig.groupBy("sig")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
