@@ -64,28 +64,22 @@ def simhash_table(
 def minhash_signature_table(
     df: DataFrame, id_col: str, tokens_col: str, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signatures as explode → groupBy MIN aggregates:
-    (id, tok (distinct array), sig array<bigint>).
+    """MinHash signatures as explode → groupBy MIN aggregates: (id, sig
+    array<bigint>).
 
     Same rationale as ``simhash_table``: k codegen'd MIN aggregates beat a
-    per-row nested transform at scale. Docs with empty token sets keep a
-    MaxValue sentinel signature via the left join.
+    per-row nested transform at scale. Docs with an empty token set produce
+    no exploded rows and so are absent from the output — they have no
+    shingle content to collide on.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(F.col(tokens_col)).alias("tok")
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(F.col(tokens_col))).alias("t")
     )
-    tok = base.select("id", F.explode("tok").alias("t"))
     mins = tok.groupBy("id").agg(
         *[F.min(F.xxhash64("t", F.lit(s))).alias(f"m{s}") for s in range(num_hashes)]
     )
-    sentinel = F.lit(2**63 - 1).cast("long")
-    joined = base.join(mins, "id", "left")
-    return joined.select(
-        "id",
-        "tok",
-        F.array(
-            *[F.coalesce(F.col(f"m{s}"), sentinel) for s in range(num_hashes)]
-        ).alias("sig"),
+    return mins.select(
+        "id", F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig")
     )
 
 
@@ -127,7 +121,6 @@ def lsh_candidate_pairs(
     sig = minhash_signature_table(df, id_col, tokens_col, num_hashes)
     banded = sig.select(
         "id",
-        "tok",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -137,24 +130,45 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "tok", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Pairs are generated *within* each (band, bhash) bucket from one
+    # collect_list aggregation — the signature pipeline runs once (a
+    # self-join would compute it twice) and only (band, bhash, id) ever
+    # shuffles, never token arrays. Buckets are tiny by construction, so
+    # the k²/2 in-bucket expansion is bounded.
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.tok").alias("tok_a"),
-            F.col("b.tok").alias("tok_b"),
-        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Exact-Jaccard verification: join the (small) candidate set back to the
+    # token table twice. AQE broadcasts the pair side, so at scale these are
+    # two broadcast probes over the corpus, not extra wide shuffles.
+    toks = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(F.col(tokens_col)).alias("tok")
+    )
+    cand = (
+        pairs.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
     union = F.size(F.col("tok_a")) + F.size(F.col("tok_b")) - inter

@@ -198,17 +198,39 @@ def file_stream(spark: SparkSession, path: str, schema: StructType) -> DataFrame
     return spark.readStream.schema(schema).parquet(path)
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str, name: str | None = None) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str,
+    name: str | None = None,
+    state_partitions: int = 8,
+) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into a
     memory sink; return the result table. Test/driver harness only —
-    memory sinks collect to the driver."""
+    memory sinks collect to the driver.
+
+    ``state_partitions`` pins the stateful-operator partition count for the
+    query (stateful queries freeze ``spark.sql.shuffle.partitions`` at first
+    start). Each state partition costs a state-store instance plus delta
+    files per micro-batch, so it should track state *size*, not CPU count —
+    8 is right for the test corpus; a 100 TB deployment sizes it to keep
+    per-partition state under the executor memory budget.
+    """
+    spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # Micro-batch planning happens async after start(), and that is
+        # where the conf is frozen into the query — restore only once the
+        # run is fully drained.
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
