@@ -483,6 +483,329 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: correlated EXISTS as a left-semi join with a non-equi
+    term (l_shipdate > o_orderdate), then a priority histogram. The date
+    filter prunes orders before the join, so the semi-join probe side is
+    small at any scale."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q6_ORACLE = f"""
+SELECT SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')})/10000.0 AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND {sql_cents('l_discount')} BETWEEN 2 AND 6
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-aggregate. Every predicate is a
+    parquet-pushable comparison; the plan is one WholeStageCodegen scan with
+    a map-side partial sum — the shape to beat at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & cents("l_discount").between(2, 6)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount")) / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT s_nationkey, c_nationkey,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0 AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE s_nationkey < 5 AND c_nationkey < 5 AND s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: cross-nation shipping volume by year. supplier and
+    customer broadcast; the only shuffle is orders⋈lineitem on the order
+    key, reused by the aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            "s_nationkey",
+            "c_nationkey",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns, top-20 customers.
+    Returnflag filter pushes to the lineitem scan; customer/nation
+    broadcast."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_lines,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_lines
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("q12_priority_lines", oracle=_Q12_ORACLE)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional counting (CASE aggregation) after a
+    fact-fact join."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_lines"),
+            F.count(F.when(~high, 1)).alias("low_lines"),
+        )
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN {sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')})
+                        ELSE 0 END)
+             / SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')})) AS promo_share,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share — ratio of two exact integer
+    sums divided once at the end (bit-stable across engines)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = t(spark, sf_dir, "part")
+    dp = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0)))
+                / F.sum(dp)
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, big.sum_qty
+FROM (
+  SELECT l_orderkey, SUM({sql_cents('l_quantity')})/100.0 AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM({sql_cents('l_quantity')}) > 20000
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: large-volume orders (HAVING over a grouped fact,
+    joined back to its dimensions, global top-100)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))
+        .filter(F.col("qty_c") > 20000)
+        .select("l_orderkey", (F.col("qty_c") / F.lit(100.0)).alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0 AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("q19_disjunctive_pred", oracle=_Q19_ORACLE)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunction of conjunctive predicates across both
+    join sides — Catalyst keeps the join equi (p_partkey) and evaluates the
+    OR as a post-join filter."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 50))
+        .agg(
+            (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q22_ORACLE = f"""
+WITH stats AS (
+  SELECT SUM({sql_cents('c_acctbal')}) AS total_c, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM customer, stats
+WHERE {sql_cents('c_acctbal')} * cnt > total_c
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+"""
+
+
+@register("q22_idle_rich_customers", oracle=_Q22_ORACLE)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average balance customers with no recent
+    orders. The average comparison is done in cross-multiplied integer
+    units (bal*n > total) so both engines decide every boundary row
+    identically — no float threshold."""
+    cust = t(spark, sf_dir, "customer")
+    stats = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents("c_acctbal")).alias("total_c"), F.count(F.lit(1)).alias("cnt"))
+    )
+    recent = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(cents("c_acctbal") * F.col("cnt") > F.col("total_c"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
 @register(
     "scalar_string_functions",
     oracle="""

@@ -19,6 +19,7 @@ from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
     run_to_memory,
     windowed_event_counts,
 )
+from sparkstreamingrealtimedatawithkafka_spark.streaming.stateful import user_running_stats
 
 US_PER_DAY = 86_400_000_000
 US_PER_HOUR = 3_600_000_000
@@ -105,6 +106,37 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     deduped = stream.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
     return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND("value"*100,0) AS BIGINT))/100.0 AS total_value,
+       MIN(epoch_ns(ts)//1000) AS first_us,
+       MAX(epoch_ns(ts)//1000) AS last_us
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running event count / exact value total / first+last event time, state
+    in the checkpointed store keyed by user_id. Over the bounded source this
+    single availableNow run emits each user's full-input totals, which is
+    what the SQL oracle replays; cross-batch state persistence is covered by
+    the multi-batch unit test (tests/test_stateful_streaming.py)."""
+    stream = _events_stream(spark, sf_dir)
+    stats = user_running_stats(stream.select("user_id", "value", "ts_us"))
+    out = run_to_memory(stats, output_mode="update")
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("value_cents") / F.lit(100.0)).alias("total_value"),
+        "first_us",
+        "last_us",
+    )
 
 
 @register(

@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator built on ``applyInPandasWithState``.
+
+The reference's only stateful operator is the built-in streaming
+``groupBy().count()`` (/root/reference/app/spark_entity_counter.py:139).
+This module is the engine's extension point for state machines that the
+built-in aggregates can't express: arbitrary per-key Python logic over
+Arrow batches, with durable state in Spark's state store (checkpointed,
+recovered on restart, partitioned by the grouping key).
+
+Scale posture: state is keyed by ``user_id`` and partitioned by the state
+store (one instance per shuffle partition); per-batch work is
+Arrow-vectorized pandas within each key group. The driver never holds
+state; a 1000-executor cluster shards the key space exactly like the
+built-in streaming aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+# (n_events, value_cents, first_us, last_us)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Merge this batch's rows for one user into durable state and emit the
+    running totals (update semantics: one row per user per batch).
+
+    Value accumulation happens in integer cents (exact, associative) so the
+    emitted totals are independent of row order within the batch — the same
+    determinism contract as the relational catalog (plans/_util.py).
+    """
+    if state.exists:
+        n, cents_total, first_us, last_us = state.get
+    else:
+        n, cents_total, first_us, last_us = 0, 0, None, None
+
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        cents_total += int(round(pdf["value"].mul(100).round(0).sum()))
+        lo = int(pdf["ts_us"].min())
+        hi = int(pdf["ts_us"].max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+
+    state.update((n, cents_total, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_cents": [cents_total],
+            "first_us": [first_us],
+            "last_us": [last_us],
+        }
+    )
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, value_cents, first_us, last_us) as a
+    custom stateful operator.
+
+    ``events`` must carry ``user_id``, ``value`` (double), ``ts_us`` (long).
+    Output mode is ``update``: each micro-batch emits the new running totals
+    for every user present in the batch; state persists across batches via
+    the checkpointed state store.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
