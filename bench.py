@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "topk_parts_per_brand",
     "window_running_total",
     "agg_rollup_flag_status",
@@ -40,7 +43,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_bruteforce",
+    "events_asof_last_purchase",
     "streaming_windowed_counts",
+    "streaming_stateful_user_stats",
 ]
 
 

@@ -1,0 +1,89 @@
+"""As-of (point-in-time) join — a custom operator Spark has no built-in for.
+
+Semantics: for each left row, attach the single most recent right row with
+``right_ts <= left_ts`` for the same key (backward as-of, left-outer: left
+rows with no prior right row keep nulls).
+
+Spark-first design — the *union + running-last* formulation, not a range
+join: tag both inputs, union them, and take ``last(right_payload,
+ignorenulls=True)`` over a per-key window ordered by time. Cost at scale is
+ONE shuffle on the key (the window sort), linear in |L|+|R|; a naive
+range-join formulation explodes to |L|×|R_key| pairs before picking the max,
+and Spark would plan it as a broadcast-nested-loop or a cartesian per key.
+
+The right payload rides in a single struct so the matched columns always
+come from the SAME right row (per-column ``last`` calls could mix rows when
+nulls differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join, left-outer.
+
+    ``tiebreak``: right-side column ordering concurrent right rows (equal
+    key + timestamp); the largest wins, making the pick deterministic.
+    Output: all left columns, then ``right_ts + suffix`` and each payload
+    column ``+ suffix`` (nulls when no right row precedes the left row).
+    """
+    l_cols = left.columns
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+
+    # Right rows must sort before left rows at the same timestamp so the
+    # match is inclusive (right_ts <= left_ts); among concurrent right rows
+    # the tiebreak orders them and `last` takes the largest.
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.struct(*[F.col(c).alias(c) for c in l_cols]).alias("__l"),
+        F.lit(None).cast(
+            right.select(payload).schema[0].dataType.simpleString()
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c).alias(c) for c in l_cols]).alias("s")
+            ).schema[0].dataType.simpleString()
+        ).alias("__l"),
+        payload.alias("__r"),
+    )
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in l_cols],
+        F.col(f"__match.{right_ts}").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in payload_cols],
+    )

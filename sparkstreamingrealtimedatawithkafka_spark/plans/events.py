@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from sparkstreamingrealtimedatawithkafka_spark.operators.asof import asof_join
+from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import exact_dedup
 from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, sql_cents, t
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 
@@ -207,6 +209,53 @@ def events_sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.groupBy("user_id").agg(
         F.countDistinct("session_seq").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts_us, event_id, value FROM (
+    SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)//1000
+                              ORDER BY event_id DESC) AS rk
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rk = 1
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       p.ts_us AS ts_us_r, p.event_id AS event_id_r, p.value AS value_r
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+@register("events_asof_last_purchase", oracle=_ASOF_ORACLE)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, operators/asof.py): each click gets the
+    user's most recent purchase at or before it — the point-in-time
+    enrichment Spark has no built-in for, planned as union + running-last
+    (one shuffle on user_id, linear at scale). Oracle uses DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = exact_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", "event_id", "value"
+        ),
+        keys=["user_id", "ts_us"],
+        order_by=[F.desc("event_id")],
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["event_id", "value"],
+        tiebreak="event_id",
     )
 
 
