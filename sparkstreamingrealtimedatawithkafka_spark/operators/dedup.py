@@ -33,28 +33,41 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataF
 
 
 def simhash_table(
-    df: DataFrame, id_col: str, tokens_col: str, bits: int = 63
+    df: DataFrame, id_col: str, tokens_col: str, bits: int = 63, lane_bits: int = 16
 ) -> DataFrame:
     """SimHash as an explode → groupBy aggregation: (id, sig bigint).
 
-    The expression-fold variant (``simhash``) is O(tokens × bits) inside a
-    single interpreted expression per row; this table form exposes the same
-    math to Tungsten as 63 codegen'd SUM aggregates over exploded tokens —
-    one shuffle on the doc id, linear scaling, and ~50× faster in practice.
+    Per-bit one-votes are packed into ``64 // lane_bits`` SIMD-style counter
+    lanes per long, so the aggregation is ~bits/lanes SUM aggregates instead
+    of one per bit (16 vs 63 at the default width — ~4× less aggregate
+    state and codegen). Bit i of the signature is set iff more than half the
+    token hashes have bit i set (ties → 0), identical to the ±1-vote
+    formulation. ``lane_bits=16`` caps documents at 65535 tokens; widen the
+    lane for pathological inputs. Docs with empty token sets are absent
+    from the output (nothing to collide on).
     """
+    lanes = 64 // lane_bits
+    mask = (1 << lane_bits) - 1
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens_col).alias("tok"))
     hashed = tok.withColumn("h", F.xxhash64("tok"))
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.bit_get("h", F.lit(i)) == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
-    )
+
+    packs = []
+    for g in range((bits + lanes - 1) // lanes):
+        lane_sum = None
+        for j in range(lanes):
+            i = g * lanes + j
+            if i >= bits:
+                break
+            term = F.shiftleft(F.shiftright("h", i).bitwiseAND(F.lit(1)), j * lane_bits)
+            lane_sum = term if lane_sum is None else lane_sum + term
+        packs.append(F.sum(lane_sum).alias(f"p{g}"))
+    votes = hashed.groupBy("id").agg(*packs, F.count(F.lit(1)).alias("n"))
+
     sig = None
     for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+        g, j = divmod(i, lanes)
+        ones = F.shiftright(F.col(f"p{g}"), j * lane_bits).bitwiseAND(F.lit(mask))
+        term = F.when(ones * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
