@@ -54,6 +54,25 @@ def flagship_entity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OUTPUT_JSON_ORACLE = f"""
+SELECT json_object('entity', entity, 'cnt', cnt)::VARCHAR AS value
+FROM ({ENTITY_COUNT_ORACLE})
+"""
+
+
+@register("output_json_messages", oracle=_OUTPUT_JSON_ORACLE)
+def output_json_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Kafka output message shape —
+    ``to_json(struct(entity, count))`` per entity
+    (spark_entity_counter.py:142-144) — minus the ``current_timestamp``
+    field, which is processing-time non-determinism the oracle contract
+    excludes (SURVEY.md §5.2)."""
+    counts = flagship_entity_count(spark, sf_dir)
+    return counts.select(
+        F.to_json(F.struct(F.col("entity"), F.col("cnt"))).alias("value")
+    )
+
+
 @register("pipeline_parity_udf", oracle=ENTITY_COUNT_ORACLE)
 def pipeline_parity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result through the reference's actual execution plane: an
