@@ -1,0 +1,68 @@
+"""Skew-mitigation operators: salted aggregation and salted broadcast-free
+join for hot keys.
+
+At 100 TB a handful of hot keys (a viral document, a default user_id, an
+empty-string token) can put one shuffle partition hours behind the rest.
+Two standing mitigations, both pure DataFrame:
+
+- ``salted_agg`` — two-phase aggregation: hash-partition on (key, salt)
+  first so the hot key's rows spread over ``n_salts`` partitions, partially
+  aggregate, then combine per key. Works for any algebraic aggregate
+  (sum/count/min/max — pass the merge expressions).
+- ``replicate_broadcast_join`` — for a big⋈medium join with skewed big-side
+  keys: salt the big side, replicate the medium side once per salt, and
+  join on (key, salt). Spark's AQE skew-join handles sort-merge skew
+  automatically (session.py enables it); this operator is the explicit
+  fallback for when the medium side is too big to broadcast whole but AQE
+  can't split (e.g. a single monster partition after an explode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts): hash of the whole row —
+    not rand(), so retried tasks salt identically (exactly-once safe)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``partial_aggs`` aggregate within (keys, salt); ``final_aggs`` merge the
+    partials per key (e.g. partial ``sum(x) as s`` then final
+    ``sum(s) as total``). Two narrow-ish shuffles replace one skewed one;
+    the second operates on at most ``n_salts`` rows per key.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def replicate_broadcast_join(
+    big: DataFrame,
+    medium: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the medium side replicated
+    ``n_salts``× (explode over the salt range), joining on key + salt.
+    Every big-side partition carries ~1/n_salts of each hot key."""
+    big_s = with_salt(big, n_salts)
+    medium_r = medium.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = big_s.join(medium_r, on + ["__salt"], how)
+    return out.drop("__salt")

@@ -109,6 +109,26 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the scalable streaming dedup:
+    per-key state is dropped once the watermark passes it, so state size
+    tracks the retention window instead of the full key universe. This is
+    the distributed form of the producer's bounded LRUSet
+    (news_producer.py:30-48, maxsize=1000 eviction ≈ retention window).
+    Over the bounded source every key appears once, matching DISTINCT."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+@register(
     "streaming_stateful_user_stats",
     oracle="""
 SELECT user_id,

@@ -1,0 +1,66 @@
+"""Property-based check (hypothesis) of the as-of join against a brute
+force per-row reference: for random event sets, every left row must get
+the right row with the max right_ts <= left_ts for its key (largest
+tiebreak id among equals), or nulls when none exists."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from sparkstreamingrealtimedatawithkafka_spark.operators.asof import asof_join
+
+KEYS = st.integers(min_value=0, max_value=3)
+TS = st.integers(min_value=0, max_value=20)
+
+
+@st.composite
+def tables(draw):
+    left = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12, unique=True)
+    )
+    right = draw(
+        st.lists(st.tuples(KEYS, TS, st.integers(0, 99)), min_size=0, max_size=12)
+    )
+    # unique (key, ts, id) on the right so the tiebreak is well-defined
+    right = list({(k, ts, i) for k, ts, i in right})
+    return left, right
+
+
+def brute_force(left, right):
+    out = {}
+    for lk, lts in left:
+        best = None
+        for rk, rts, rid in right:
+            if rk == lk and rts <= lts:
+                cand = (rts, rid)
+                if best is None or cand > best:
+                    best = cand
+        out[(lk, lts)] = best
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(tables())
+def test_asof_matches_brute_force(spark, tables_):
+    left, right = tables_
+    ldf = spark.createDataFrame(
+        [(k, ts) for k, ts in left] or [(None, None)], "k long, ts long"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in right] or [(None, None, None)],
+        "k long, rts long, rid long",
+    ).filter("k is not null")
+
+    got = {
+        (r["k"], r["ts"]): (r["rts_r"], r["rid_r"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            payload_cols=["rid"], tiebreak="rid",
+        ).collect()
+    }
+    expected = {
+        key: (best if best is not None else (None, None))
+        for key, best in brute_force(left, right).items()
+    }
+    got = {key: (v if v != (None, None) else (None, None)) for key, v in got.items()}
+    assert got == expected
