@@ -23,6 +23,7 @@ from sparkstreamingrealtimedatawithkafka_spark.streaming.stateful import user_ru
 
 US_PER_DAY = 86_400_000_000
 US_PER_HOUR = 3_600_000_000
+US_PER_30MIN = 1_800_000_000
 
 _DOCS_SCHEMA = StructType(
     [
@@ -106,6 +107,56 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     deduped = stream.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
     return run_to_memory(deduped, output_mode="append")
+
+
+_STREAM_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS us,
+         CASE WHEN epoch_ns(ts)//1000
+                   - lag(epoch_ns(ts)//1000)
+                     OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000)
+                   >= {US_PER_30MIN}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {US_PER_30MIN} AS session_end_us,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_seq
+HAVING MAX(us) + {US_PER_30MIN}
+       <= (SELECT MAX(epoch_ns(ts)//1000) FROM events) - {US_PER_HOUR}
+"""
+
+
+@register("streaming_session_window", oracle=_STREAM_SESSION_ORACLE)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked ``session_window`` (30 min gap) in APPEND mode — merging
+    session state lives in the state store and a session is emitted exactly
+    once, when the watermark (max event time − 1 h) passes its end. The
+    oracle replays sessionization as gaps-and-islands plus that closure
+    rule; sessions still open at the final watermark are (correctly) never
+    emitted."""
+    stream = _events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return run_to_memory(sessions, output_mode="append")
 
 
 @register(
