@@ -806,6 +806,51 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_ORACLE = f"""
+WITH u AS (
+  SELECT o_orderpriority,
+         {sql_cents('o_totalprice')} AS price_c,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS price_u
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(price_c)/(100.0*COUNT(*)) AS mean_price,
+       quantile_cont(price_c, 0.5)/100.0 AS p50,
+       quantile_cont(price_c, 0.9)/100.0 AS p90,
+       (CAST(SUM(price_u*price_u) AS DOUBLE)
+        - CAST(SUM(price_u) AS DOUBLE)*CAST(SUM(price_u) AS DOUBLE)/COUNT(*))
+       / COUNT(*) AS var_pop_units
+FROM u
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_stats_distribution", oracle=_STATS_ORACLE)
+def agg_stats_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics per priority: exact percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit on integer
+    units) and population variance computed from exact integer sums with
+    one identical double expression at the end — never a running float
+    moment, whose accumulation order would differ between engines."""
+    orders = t(spark, sf_dir, "orders")
+    u = orders.select(
+        "o_orderpriority",
+        cents("o_totalprice").alias("price_c"),
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("price_u"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("price_u").cast("double")
+    sxx = F.sum(F.col("price_u") * F.col("price_u")).cast("double")
+    return u.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        (F.sum("price_c") / (F.lit(100.0) * n)).alias("mean_price"),
+        (F.expr("percentile(price_c, 0.5)") / F.lit(100.0)).alias("p50"),
+        (F.expr("percentile(price_c, 0.9)") / F.lit(100.0)).alias("p90"),
+        ((sxx - sx * sx / n) / n).alias("var_pop_units"),
+    )
+
+
 @register(
     "scalar_string_functions",
     oracle="""

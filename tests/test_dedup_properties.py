@@ -1,0 +1,59 @@
+"""Structural guarantees of the near-dup dedup operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    simhash_table,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string").select(
+        "id", F.split("text", " ").alias("toks")
+    )
+
+
+def test_identical_docs_always_pair_with_jaccard_one(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),  # exact duplicate of 1 — identical shingle set
+            (3, "one two three four five six seven eight"),  # disjoint
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(
+            docs, "id", "toks", num_hashes=32, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    # identical token sets ⇒ identical signatures ⇒ collide in EVERY band:
+    # detection is guaranteed, not probabilistic
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "completely different words here"),
+        ],
+    )
+    sigs = {r["id"]: r["sig"] for r in simhash_table(docs, "id", "toks").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_empty_token_docs_never_pair(spark):
+    docs = spark.createDataFrame(
+        [(1, []), (2, []), (3, ["x", "y"])], "id long, toks array<string>"
+    )
+    out = lsh_candidate_pairs(docs, "id", "toks", num_hashes=32, bands=8).collect()
+    assert out == []
