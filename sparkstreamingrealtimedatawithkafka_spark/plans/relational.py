@@ -351,6 +351,35 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets_custom",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM({sql_cents('l_quantity')})/100.0 AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) + grouping_id —
+    one shuffle, the Expand operator fans each row into its 3 grouping
+    combinations map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               SUM({sql_cents('l_quantity')})/100.0 AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
     "agg_distinct_counts",
     oracle="""
 SELECT l_returnflag,

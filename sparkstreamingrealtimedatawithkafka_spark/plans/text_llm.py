@@ -360,6 +360,40 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vector_array_functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       list_max(embedding) AS max_val,
+       list_min(embedding) AS min_val,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       embedding[1] AS first_val,
+       embedding[33] AS mid_val,
+       list_reverse(list_sort(embedding))[3] AS third_largest
+FROM embeddings
+WHERE vec_id < 500
+""",
+)
+def vector_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column — size /
+    array_max / filter / element_at / sort — all JVM expressions inside one
+    codegen stage (element picks only, so float bit-exactness holds against
+    the DuckDB list functions)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.array_max(e).alias("max_val"),
+        F.array_min(e).alias("min_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.element_at(e, 1).alias("first_val"),
+        F.element_at(e, 33).alias("mid_val"),
+        F.element_at(F.reverse(F.array_sort(e)), 3).alias("third_largest"),
+    )
+
+
+@register(
     "multimodal_binary_stub",
     oracle="""
 SELECT doc_id,
