@@ -27,6 +27,7 @@ from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # n
 BENCH_QUERIES = [
     "flagship_entity_count",
     "pipeline_parity_udf",
+    "pipeline_corpus_clean",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",

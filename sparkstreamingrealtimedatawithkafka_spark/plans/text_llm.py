@@ -193,6 +193,58 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_CLEAN_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    (least(len({_TOKS}), 50)/50.0
+     + (1.0 - CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+              / len({_TOKS})))/2.0 AS quality,
+    len({_TOKS}) AS n_tokens,
+    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+  FROM documents
+  WHERE lang = 'en'
+),
+kept AS (
+  SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM scored
+  WHERE quality >= 0.7 AND n_tokens BETWEEN 10 AND 200
+)
+SELECT doc_id, quality, n_tokens FROM kept WHERE rk = 1
+"""
+
+
+@register("pipeline_corpus_clean", oracle=_CORPUS_CLEAN_ORACLE)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data cleaning pipeline as ONE composed plan: language
+    filter → quality score → token-count bounds → fingerprint keep-first
+    dedup. Everything is a column expression, so Catalyst fuses the filters
+    into the scan and the only shuffle is the dedup window on the
+    fingerprint — the shape this engine exists for at 100 TB."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = TX.tokenize("text")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
+    quality = (
+        F.least(n, F.lit(50)) / F.lit(50.0)
+        + (F.lit(1.0) - stop.cast("double") / n)
+    ) / F.lit(2.0)
+    scored = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        n.cast("long").alias("n_tokens"),
+        TX.fingerprint("text").alias("fp"),
+    ).filter((F.col("quality") >= 0.7) & F.col("n_tokens").between(10, 200))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "quality", "n_tokens")
+    )
+
+
 @register(
     "dedup_exact_docs",
     oracle="""

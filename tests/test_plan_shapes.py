@@ -1,0 +1,74 @@
+"""Plan-shape regression guards: the scale story asserted, not just
+narrated. If a refactor un-pushes a filter, drops a broadcast, or sneaks a
+Python eval into a JVM-only plan, these fail."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_the_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in scan and "l_quantity" in scan
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never fully sorts
+
+
+def test_q5_star_join_all_broadcast(spark):
+    plan = _plan(spark, "q5_regional_revenue")
+    # 5 joins; none may degenerate into a cartesian
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_is_jvm_only(spark):
+    plan = _plan(spark, "flagship_entity_count")
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_node not in plan
+    assert "Batched: true" in plan  # vectorized parquet read
+
+
+def test_udf_pipeline_is_arrow_not_row_pickling(spark):
+    plan = _plan(spark, "pipeline_parity_udf")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python is forbidden
+
+
+def test_lsh_shuffles_ids_not_token_arrays(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    # token arrays must be joined back AFTER pair generation: the hash
+    # aggregation over (band, bhash) sees only the id
+    agg_inputs = [
+        seg.split("\n")[0]
+        for seg in plan.split("HashAggregate")[1:]
+        if "bhash" in seg.split("\n")[0]
+    ]
+    assert agg_inputs, "expected a bucket aggregation on (band, bhash)"
+    assert all("tok" not in seg for seg in agg_inputs)
+
+
+def test_order_limit_uses_take_ordered(spark):
+    plan = _plan(spark, "order_limit_top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort for a limit
+
+
+@pytest.mark.parametrize("name", ["pipeline_corpus_clean"])
+def test_corpus_clean_single_shuffle(spark, name):
+    plan = _plan(spark, name)
+    # one Exchange for the dedup window; the filters must not add more
+    assert plan.count("Exchange hashpartitioning") == 1
