@@ -835,6 +835,100 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: two-level aggregation over a LEFT join (customers
+    with zero orders count as c_count=0 — count(col) skips the nulls the
+    outer join manufactures)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')})) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, r/10000.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the quarter's max revenue — the
+    scalar-subquery max compared in exact integer units (no float
+    tie-miss). The rev aggregate is computed once per branch; AQE reuses
+    the shuffle."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("r")
+    )
+    max_r = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.join(F.broadcast(max_r), rev.r == max_r.mr)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("r") / F.lit(10000.0)).alias("total_revenue"))
+    )
+
+
+_Q17_ORACLE = f"""
+WITH pa AS (
+  SELECT l_partkey AS pk, COUNT(*) AS cnt,
+         SUM({sql_cents('l_quantity')}) AS qty_c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_small,
+       SUM({sql_cents('l_extendedprice')})/100.0 AS small_revenue
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE {sql_cents('l_quantity')} * 2 * cnt < qty_c
+"""
+
+
+@register("q17_small_quantity", oracle=_Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: lineitems under half their part's average quantity.
+    The avg comparison is cross-multiplied into integers (qty*2*n < Σqty)
+    so both engines decide every boundary row identically."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(cents("l_quantity")).alias("qty_c")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .filter(cents("l_quantity") * 2 * F.col("cnt") < F.col("qty_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("small_revenue"),
+        )
+    )
+
+
 _STATS_ORACLE = f"""
 WITH u AS (
   SELECT o_orderpriority,
