@@ -975,6 +975,33 @@ def agg_stats_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_math_functions",
+    oracle=f"""
+SELECT o_orderpriority,
+       SUM(CAST(abs({sql_cents('o_totalprice')} - 25000000) AS BIGINT)) AS sum_abs_dev_c,
+       MAX(sqrt(CAST({sql_cents('o_totalprice')} AS DOUBLE))) AS max_sqrt_c,
+       SUM(CAST(floor(o_totalprice/100000) AS BIGINT)) AS sum_bucket,
+       COUNT(*) FILTER (WHERE {sql_cents('o_totalprice')} % 2 = 0) AS n_even_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (abs/sqrt/floor/mod) under aggregation —
+    restricted to IEEE-deterministic operations (sqrt is correctly-rounded
+    everywhere; ln/exp are libm-dependent and deliberately excluded from
+    the oracle contract)."""
+    orders = t(spark, sf_dir, "orders")
+    price_c = cents("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.abs(price_c - F.lit(25_000_000))).alias("sum_abs_dev_c"),
+        F.max(F.sqrt(price_c.cast("double"))).alias("max_sqrt_c"),
+        F.sum(F.floor(F.col("o_totalprice") / F.lit(100_000)).cast("long")).alias("sum_bucket"),
+        F.count(F.when(price_c % 2 == 0, 1)).alias("n_even_cents"),
+    )
+
+
+@register(
     "scalar_string_functions",
     oracle="""
 SELECT p_type,

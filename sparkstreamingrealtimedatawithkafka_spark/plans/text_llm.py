@@ -193,6 +193,27 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_posexplode_tokens",
+    oracle=f"""
+SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.tok
+FROM (
+  SELECT doc_id,
+         unnest(list_transform({_TOKS}, (x, i) -> struct_pack(tok := x, pos := i))) AS u
+  FROM documents
+  WHERE doc_id < 100
+)
+""",
+)
+def text_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional generator (``posexplode`` — ordinal-preserving lateral
+    view, the generator surface beyond plain ``explode``/G1)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.posexplode(TX.tokenize("text")).alias("pos", "tok")
+    )
+
+
 _CORPUS_CLEAN_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, lang,
