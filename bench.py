@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "events_json_extract",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_two_stage",
     "dedup_simhash",
     "sim_topk_bruteforce",
     "events_asof_last_purchase",

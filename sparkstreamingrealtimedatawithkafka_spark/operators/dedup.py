@@ -192,6 +192,43 @@ def lsh_candidate_pairs(
     )
 
 
+def two_stage_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    fingerprint_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-dedup-first LSH: collapse exact duplicates (keep the min-id
+    representative per fingerprint), then run MinHash-LSH over unique
+    contents only.
+
+    This is the production composition at scale: LSH's in-bucket pair
+    expansion is quadratic in duplicate-group size (a content duplicated g
+    times yields g²/2 pairs in EVERY band — measured 19× slowdown at 10×
+    data with 10× duplication), while exact dedup is one linear shuffle.
+    Collapsing first makes the LSH stage see each content once.
+
+    Returns (id_a, id_b, jaccard) among representatives.
+    """
+    w = W.partitionBy(fingerprint_col).orderBy(id_col)
+    reps = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, tokens_col)
+    )
+    return lsh_candidate_pairs(
+        reps,
+        id_col,
+        tokens_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+
+
 def simhash(tokens: Column) -> Column:
     """63-bit SimHash of a token multiset as a pure expression fold.
 
