@@ -411,6 +411,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile")  # no oracle: sketch estimates are algorithm-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style quantile sketch) — the mergeable-sketch
+    path for quantiles at 100 TB, where exact percentile's per-group sort
+    is the bottleneck; rows-only check, like the HLL entry."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(cents("l_extendedprice"), [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles_c"
+        )
+    )
+
+
 @register(
     "order_limit_top_orders",
     oracle="""
