@@ -159,6 +159,56 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sessions, output_mode="append")
 
 
+_SS_JOIN_ORACLE = f"""
+WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us
+           FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.us AS click_us, p.us AS purchase_us
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.us BETWEEN c.us - {US_PER_30MIN} AND c.us
+"""
+
+
+@register("streaming_stream_stream_join", oracle=_SS_JOIN_ORACLE)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    click joins purchases by the same user in the preceding 30 minutes.
+    Watermarks on BOTH sides plus the time bound let Spark expire join
+    state (without them stream-stream join state grows forever); over the
+    bounded source the emitted matches equal the batch join, which is what
+    the oracle replays."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            F.col("ts_us").alias("click_us"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("ts_us").alias("purchase_us"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+    ).select("click_id", "purchase_id", "user_id", "click_us", "purchase_us")
+    return run_to_memory(joined, output_mode="append")
+
+
 @register(
     "streaming_dedup_within_watermark",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
