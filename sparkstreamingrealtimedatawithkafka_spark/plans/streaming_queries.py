@@ -209,6 +209,43 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append")
 
 
+@register("streaming_stream_stream_left_join")  # rows-only: outer-null
+# emission depends on watermark closure timing, pinned exactly by
+# tests/test_stream_stream_outer.py on constructed data
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks keep a null purchase when no
+    purchase preceded them within 30 min. The null side is emitted only
+    when the watermark proves no match can still arrive (left state
+    expiry) — the semantics a lost-attribution report needs."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+        "left_outer",
+    ).select("click_id", "user_id", "purchase_id")
+    return run_to_memory(joined, output_mode="append")
+
+
 @register(
     "streaming_dedup_within_watermark",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
