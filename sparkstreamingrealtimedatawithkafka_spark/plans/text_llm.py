@@ -484,6 +484,21 @@ def vector_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_clusters")  # rows-only: iterative algorithm, not one SQL statement
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (2 iterations, k=8) over the embedding corpus
+    (operators/clustering.py) — the iterative-algorithm representative:
+    driver-held broadcast centroids, shuffle-free assignment passes,
+    k×dim-sized update aggregations."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.clustering import kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned = kmeans(emb, k=8, iters=2)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("id").alias("min_vec_id")
+    )
+
+
 @register(
     "multimodal_binary_stub",
     oracle="""
