@@ -259,6 +259,39 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+US_PER_HOUR = 3_600_000_000
+
+_RANGE_FRAME_ORACLE = f"""
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS n_trailing_1h,
+  SUM({sql_cents('value')}) OVER w AS val_trailing_c
+FROM (SELECT event_id, user_id, "value", epoch_ns(ts)//1000 AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {US_PER_HOUR} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def events_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (trailing 1 hour by VALUE distance, not row
+    count): per event, how many events / how much value the same user
+    produced in the preceding hour — the sliding-lookback primitive that
+    needs no self-join. Peers at an identical timestamp are all included,
+    same as the oracle's RANGE semantics."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-US_PER_HOUR, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(cents("value")).over(w).alias("val_trailing_c"),
+    )
+
+
 @register(
     "events_dedup_first_per_key",
     oracle="""

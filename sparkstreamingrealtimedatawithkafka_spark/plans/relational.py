@@ -254,6 +254,43 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SURFACE_ORACLE = """
+WITH tiers(tier, lo, hi) AS (VALUES ('low', 0, 200000), ('high', 200000, 10000000)),
+     base AS (
+       SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+       UNION ALL
+       SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+     )
+SELECT t.tier, b.o_orderpriority, COUNT(*) AS n
+FROM base b JOIN tiers t ON b.o_totalprice >= t.lo AND b.o_totalprice < t.hi
+GROUP BY t.tier, b.o_orderpriority
+"""
+
+
+@register("sql_surface_cte_union_all", oracle=_SQL_SURFACE_ORACLE)
+def sql_surface_cte_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface exercised end-to-end: CTE + inline VALUES +
+    UNION ALL (bag semantics, unlike the distinct set-op entries) + theta
+    join — the engine is a full SQL engine, not only a DataFrame API."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sql")
+    return spark.sql(
+        """
+        WITH tiers AS (
+          SELECT * FROM VALUES ('low', 0, 200000), ('high', 200000, 10000000)
+            AS t(tier, lo, hi)
+        ),
+        base AS (
+          SELECT o_orderpriority, o_totalprice FROM orders_sql WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT o_orderpriority, o_totalprice FROM orders_sql WHERE o_orderstatus = 'O'
+        )
+        SELECT t.tier, b.o_orderpriority, COUNT(*) AS n
+        FROM base b JOIN tiers t ON b.o_totalprice >= t.lo AND b.o_totalprice < t.hi
+        GROUP BY t.tier, b.o_orderpriority
+        """
+    )
+
+
 @register(
     "setop_nation_intersect",
     oracle="""
