@@ -461,6 +461,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_ORACLE = f"""
+WITH u AS (
+  SELECT l_returnflag,
+         {sql_cents('l_extendedprice')} AS x,
+         {sql_cents('l_quantity')} AS y
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n,
+  (CAST(SUM(x*y) AS DOUBLE)/COUNT(*)
+    - (CAST(SUM(x) AS DOUBLE)/COUNT(*)) * (CAST(SUM(y) AS DOUBLE)/COUNT(*)))
+  / (sqrt(CAST(SUM(x*x) AS DOUBLE)/COUNT(*)
+          - (CAST(SUM(x) AS DOUBLE)/COUNT(*)) * (CAST(SUM(x) AS DOUBLE)/COUNT(*)))
+     * sqrt(CAST(SUM(y*y) AS DOUBLE)/COUNT(*)
+          - (CAST(SUM(y) AS DOUBLE)/COUNT(*)) * (CAST(SUM(y) AS DOUBLE)/COUNT(*))))
+  AS corr_price_qty
+FROM u
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_corr_price_qty", oracle=_CORR_ORACLE)
+def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer sums (Σx Σy Σxy Σx² Σy²),
+    combined in ONE identical double expression on both engines — the
+    same order-independence discipline as agg_stats_distribution; Spark's
+    built-in ``corr`` is a running float moment and is deliberately not
+    used on the oracle path."""
+    li = t(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag", cents("l_extendedprice").alias("x"), cents("l_quantity").alias("y")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double") / n
+    sy = F.sum("y").cast("double") / n
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double") / n
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double") / n
+    syy = F.sum(F.col("y") * F.col("y")).cast("double") / n
+    corr = (sxy - sx * sy) / (F.sqrt(sxx - sx * sx) * F.sqrt(syy - sy * sy))
+    return u.groupBy("l_returnflag").agg(n.alias("n"), corr.alias("corr_price_qty"))
+
+
 @register(
     "order_limit_top_orders",
     oracle="""
