@@ -183,6 +183,76 @@ def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 [CAST(unicode(c) AS BIGINT) for c in split(text, '')]),
+    (h, x) -> (h * 1000003 + x) % 2147483647) AS fingerprint,
+  n_chars
+FROM documents
+WHERE text IS NOT NULL AND length(text) > 0
+""",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash over the document's characters
+    (h := (h*B + c) mod P) — the content-fingerprint primitive for
+    byte-identical dedup and incremental chunk hashing. Pure codegen'd
+    higher-order fold: the char array is in *argument* position (evaluated
+    once per row), the fold is sequential so the hash is order-sensitive,
+    unlike the bag-of-words fp of ``text_fingerprint_clusters``. At 100 TB
+    this is a narrow map — no shuffle, no UDF, no driver involvement."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda h, x: (h * F.lit(1000003) + x) % F.lit(2147483647),
+    )
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", fp.alias("fingerprint"), "n_chars")
+    )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT lang,
+  SUM(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)) AS total_tokens,
+  MAX(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)) AS max_tokens,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter
+    runs | digit groups capped at 3 | single punctuation) counted per doc,
+    aggregated per language — the cost-estimation primitive for training-data
+    budgeting. ``regexp_extract_all`` runs JVM-side inside codegen; the
+    identical pattern is valid in both Java regex and RE2, which the oracle
+    proves. Whitespace-token stats live in ``text_token_stats``; this is the
+    subword-aware variant."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    ).cast("long")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 @register("text_langid")  # rows-only: heuristic UDF plane
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (vectorized pandas UDF, U1-pattern)."""
@@ -438,6 +508,91 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rawsim") >= 0.3)
         .select("id_a", "id_b", F.round("rawsim", 4).alias("sim"))
+    )
+
+
+_COS_ND_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+    list_sum(list_transform(generate_series(1, 4),
+      i -> CASE WHEN v[i] >= 0 THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS band_a,
+    list_sum(list_transform(generate_series(5, 8),
+      i -> CASE WHEN v[i] >= 0 THEN CAST(pow(2, i-5) AS BIGINT) ELSE 0 END)) AS band_b
+  FROM e
+), cand AS (
+  SELECT a.vec_id AS ia, b2.vec_id AS ib, a.v AS va, b2.v AS vb
+  FROM b a JOIN b b2 ON a.band_a = b2.band_a AND a.vec_id < b2.vec_id
+  UNION
+  SELECT a.vec_id, b2.vec_id, a.v, b2.v
+  FROM b a JOIN b b2 ON a.band_b = b2.band_b AND a.vec_id < b2.vec_id
+), scored AS (
+  SELECT ia, ib,
+    list_sum(list_transform(generate_series(1, len(va)), i -> va[i]*vb[i]))
+      / (sqrt(list_sum(list_transform(va, x -> x*x)))
+         * sqrt(list_sum(list_transform(vb, x -> x*x)))) AS sim
+  FROM cand
+)
+SELECT ib AS dup_id, MIN(ia) AS kept_id,
+       COUNT(*) AS n_near, ROUND(MAX(sim), 4) AS max_sim
+FROM scored WHERE sim >= 0.3 GROUP BY ib
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COS_ND_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: 2-band sign-LSH blocking (random-
+    hyperplane LSH with axis-aligned planes over dims 1-4 / 5-8) generates
+    candidate pairs, exact cosine >= 0.3 confirms, and each near-dup row is
+    assigned its lowest-id surviving representative (the drop-list of a
+    dedup pass). Scale story: each band join shuffles only on a 4-bit key,
+    pair work is sum of per-bucket squares (not n^2 global); more/wider
+    bands trade recall for cost without changing the plan shape."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def band(lo: int) -> F.Column:
+        bits = [
+            F.when(F.element_at("embedding", lo + i) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(4)
+        ]
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out.cast("long")
+
+    banded = emb.select(
+        "vec_id", "embedding", band(1).alias("band_a"), band(5).alias("band_b")
+    )
+
+    def pairs(key: str) -> DataFrame:
+        a, b = banded.alias("a"), banded.alias("b")
+        sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            norm(F.col("a.embedding")) * norm(F.col("b.embedding"))
+        )
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            sim.alias("sim"),
+        )
+
+    scored = pairs("band_a").union(pairs("band_b")).distinct()
+    return (
+        scored.filter(F.col("sim") >= 0.3)
+        .groupBy(F.col("ib").alias("dup_id"))
+        .agg(
+            F.min("ia").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_near"),
+            F.round(F.max("sim"), 4).alias("max_sim"),
+        )
     )
 
 
