@@ -43,6 +43,83 @@ def decode_binary_features(df: DataFrame, id_col: str = "doc_id", blob_col: str 
     return df.mapInPandas(op, schema=BINARY_FEATURES_SCHEMA)
 
 
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_off int, frame_fp int"
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int = 4,
+    frame_chars: int = 16,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Frame sampling over an opaque 'video' blob: treat the payload as a
+    sequence of fixed-size frames and emit one row per k-th frame.
+
+    This is the fan-out multimodal shape (1 input row → n output rows
+    through ``mapInPandas``), unlike ``decode_binary_features``'s 1:1 map.
+    The frame fingerprint is a deterministic fake (codepoint of the frame's
+    first char) standing in for a real per-frame decode; the batching,
+    fan-out and schema are the production shape. Frames are cut on char
+    boundaries so the DuckDB oracle can replay it with substr/unicode.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            fps: list[int] = []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                s = bytes(blob).decode("utf-8")
+                n_frames = len(s) // frame_chars
+                for i in range(0, n_frames, every):
+                    off = i * frame_chars
+                    ids.append(did)
+                    idxs.append(i)
+                    offs.append(off)
+                    fps.append(ord(s[off]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int32"),
+                    "frame_fp": pd.Series(fps, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = "doc_id bigint, width int, height int, data binary"
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """STUB — real resize needs an image codec (PIL/opencv), absent here.
+
+    The mapInPandas wiring is the production shape (same contract as
+    ``decode_image``); only the codec body raises.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Raise at call time (not first-next time) so the worker surfaces
+        # NotImplementedError instead of a generator-protocol type error.
+        raise NotImplementedError(
+            f"resize to {width}x{height} requires an image codec library "
+            "(PIL/opencv); not available in this environment"
+        )
+
+    return df.mapInPandas(op, schema=RESIZED_IMAGE_SCHEMA)
+
+
 IMAGE_FEATURES_SCHEMA = "doc_id bigint, width int, height int, mean_luma double"
 
 
@@ -54,10 +131,11 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "image decode requires an image codec library (PIL/opencv); "
-                "not available in this environment"
-            )
+        # Raise at call time (not first-next time) so the worker surfaces
+        # NotImplementedError instead of a generator-protocol type error.
+        raise NotImplementedError(
+            "image decode requires an image codec library (PIL/opencv); "
+            "not available in this environment"
+        )
 
     return df.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)

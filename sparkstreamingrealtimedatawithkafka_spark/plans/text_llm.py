@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
-from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import decode_binary_features
+from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
+    decode_binary_features,
+    sample_frames,
+)
 from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
     lsh_candidate_pairs,
     simhash_table,
@@ -671,6 +674,29 @@ def multimodal_binary_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
     return decode_binary_features(blobs)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i*16 AS INT) AS frame_off,
+       CAST(unicode(substr(text, CAST(i*16 + 1 AS INT), 1)) AS INT) AS frame_fp
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(floor(length(text)/16) AS BIGINT) - 1, 4)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 16
+)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque 'video' payload: every 4th fixed-size
+    frame, one output row per sampled frame — the fan-out ``mapInPandas``
+    multimodal shape (functions/multimodal.py sample_frames). The per-frame
+    'decode' is a deterministic fake so the DuckDB oracle can replay it;
+    batching, fan-out and schema are the production shape."""
+    docs = t(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return sample_frames(blobs, every=4, frame_chars=16)
 
 
 @register(
