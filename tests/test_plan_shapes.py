@@ -72,3 +72,20 @@ def test_corpus_clean_single_shuffle(spark, name):
     plan = _plan(spark, name)
     # one Exchange for the dedup window; the filters must not add more
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embedding_cosine_dedup_is_equi_join_on_bands(spark):
+    plan = _plan(spark, "dedup_embedding_cosine")
+    # sign-LSH blocking must plan as hash joins keyed on the band columns;
+    # the cosine threshold and id ordering ride along as join filters. A
+    # cartesian / nested-loop product here is the n^2 failure mode.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashJoin") >= 2  # one per band
+
+
+def test_frame_sample_is_arrow_map_no_shuffle(spark):
+    plan = _plan(spark, "multimodal_frame_sample")
+    # fan-out decode is a narrow Arrow-batched map: no exchange anywhere
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
