@@ -44,3 +44,36 @@ def test_ivf_recall_at_5(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sim:
             assert r["sim"] == exact_sim[key]
+
+
+def test_embedding_cosine_dedup_sound_and_recalls(spark):
+    """2-band sign-LSH dedup: exact-cosine confirmation makes every reported
+    dup TRUE (subset of exhaustive ground truth, zero false positives);
+    banding trades recall for scale — floor pinned at the measured ~0.27
+    (theory for 2 bands x 4 bits at sim 0.3 is ~0.25)."""
+    import numpy as np
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    # ground truth: ids that have a >= 0.3 neighbor with a smaller id
+    true_dups = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= 0.3:
+                true_dups.add(int(max(ids[i], ids[j])))
+
+    got = {
+        r.dup_id
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    }
+    assert got <= true_dups, "false positive near-dups reported"
+    assert len(got) / len(true_dups) >= 0.15
