@@ -32,7 +32,7 @@ US_PER_30MIN = 1_800_000_000
     "events_json_extract",
     oracle="""
 SELECT event_type,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -264,7 +264,7 @@ US_PER_HOUR = 3_600_000_000
 _RANGE_FRAME_ORACLE = f"""
 SELECT event_id, user_id,
   COUNT(*) OVER w AS n_trailing_1h,
-  SUM({sql_cents('value')}) OVER w AS val_trailing_c
+  CAST(SUM({sql_cents('value')}) OVER w AS BIGINT) AS val_trailing_c
 FROM (SELECT event_id, user_id, "value", epoch_ns(ts)//1000 AS us FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN {US_PER_HOUR} PRECEDING AND CURRENT ROW)

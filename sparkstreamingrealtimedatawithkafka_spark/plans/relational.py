@@ -409,7 +409,7 @@ def agg_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                COUNT(*) AS n,
-               SUM({sql_cents('l_quantity')})/100.0 AS sum_qty
+               SUM({sql_cents('l_quantity')}) / CAST(100.0 AS DOUBLE) AS sum_qty
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -437,27 +437,59 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no oracle: HLL estimate is algorithm-specific
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for
-    cardinality; rows-only check (estimates differ from any SQL oracle)."""
+@register(
+    "agg_approx_sketches",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_partkey) AS n_parts_exact,
+  TRUE AS hll_parts_ok,
+  TRUE AS hll_orders_ok,
+  TRUE AS p50_in_bounds
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketch aggregates — ``approx_count_distinct``
+    (HyperLogLog++) and ``percentile_approx`` (GK quantile summary), the
+    100 TB-scale paths for cardinality and quantiles — checked through
+    *derived deterministic invariants*: the sketches are deterministic
+    functions of the data, and their documented error bounds (HLL rsd 0.05,
+    GK rank error n/accuracy) hold with wide margin, so the emitted
+    booleans (estimate within 10% of exact; approx p50 between the exact
+    0.45 and 0.55 quantiles) are stable TRUEs an ANSI oracle can assert.
+    Raw estimate values stay pytest-covered (tests/test_relational.py)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    price_c = cents("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_partkey").alias("hll_parts"),
+        F.approx_count_distinct("l_orderkey").alias("hll_orders"),
+        F.percentile_approx(price_c, 0.5, 10000).alias("p50_approx_c"),
+        F.expr(f"percentile({sql_cents('l_extendedprice')}, 0.45)").alias("p45_c"),
+        F.expr(f"percentile({sql_cents('l_extendedprice')}, 0.55)").alias("p55_c"),
     )
 
-
-@register("agg_approx_percentile")  # no oracle: sketch estimates are algorithm-specific
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style quantile sketch) — the mergeable-sketch
-    path for quantiles at 100 TB, where exact percentile's per-group sort
-    is the bottleneck; rows-only check, like the HLL entry."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(cents("l_extendedprice"), [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles_c"
+    def rel_ok(est: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(est).cast("double") - F.col(exact).cast("double"))
+            / F.col(exact).cast("double")
+            < 0.10
         )
+
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "n_parts_exact",
+        rel_ok("hll_parts", "n_parts_exact").alias("hll_parts_ok"),
+        rel_ok("hll_orders", "n_orders_exact").alias("hll_orders_ok"),
+        F.col("p50_approx_c")
+        .cast("double")
+        .between(F.col("p45_c"), F.col("p55_c"))
+        .alias("p50_in_bounds"),
     )
 
 
@@ -1069,9 +1101,9 @@ def agg_stats_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_functions",
     oracle=f"""
 SELECT o_orderpriority,
-       SUM(CAST(abs({sql_cents('o_totalprice')} - 25000000) AS BIGINT)) AS sum_abs_dev_c,
+       CAST(SUM(abs({sql_cents('o_totalprice')} - 25000000)) AS BIGINT) AS sum_abs_dev_c,
        MAX(sqrt(CAST({sql_cents('o_totalprice')} AS DOUBLE))) AS max_sqrt_c,
-       SUM(CAST(floor(o_totalprice/100000) AS BIGINT)) AS sum_bucket,
+       CAST(SUM(CAST(floor(o_totalprice/100000) AS BIGINT)) AS BIGINT) AS sum_bucket,
        COUNT(*) FILTER (WHERE {sql_cents('o_totalprice')} % 2 = 0) AS n_even_cents
 FROM orders
 GROUP BY o_orderpriority

@@ -122,8 +122,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang,
   COUNT(*) AS n_docs,
   COUNT(DISTINCT source) AS n_sources,
-  SUM(n_chars) AS total_chars,
-  SUM(CAST(len({_TOKS}) AS BIGINT)) AS total_tokens
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang
 """,
@@ -226,7 +226,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
     "text_bpe_token_count",
     oracle=f"""
 SELECT lang,
-  SUM(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)) AS total_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT) AS total_tokens,
   MAX(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)) AS max_tokens,
   COUNT(*) AS n_docs
 FROM documents
@@ -256,9 +256,46 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_langid")  # rows-only: heuristic UDF plane
+_LANGID_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+         ELSE list_distinct(list_transform(generate_series(1, length(text)-1),
+                                           i -> substr(text, CAST(i AS INT), 2)))
+    END AS bg
+  FROM documents
+),
+profiles(lang, prof) AS (VALUES
+  ('en', ['th','he','in','er','an']),
+  ('de', ['ch','ei','en','de','ie']),
+  ('fr', ['le','es','on','de','ou']),
+  ('es', ['de','la','os','el','en']),
+  ('zh', ['zh','sh','ng','ua','ia'])
+),
+scored AS (
+  SELECT b.doc_id, p.lang,
+         len(list_filter(b.bg, x -> list_contains(p.prof, x))) AS s
+  FROM b JOIN profiles p ON b.bg IS NOT NULL
+),
+pick AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rk
+  FROM scored
+),
+pred AS (
+  SELECT CASE WHEN bg IS NULL THEN 'und' ELSE p.lang END AS pred_lang
+  FROM b LEFT JOIN (SELECT doc_id, lang FROM pick WHERE rk = 1) p USING (doc_id)
+)
+SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (vectorized pandas UDF, U1-pattern)."""
+    """Language-ID heuristic (vectorized pandas UDF, U1-pattern): distinct
+    char bigrams scored against per-language profiles, argmax with
+    lang-DESC tie-break — deterministic, so the full decision procedure is
+    replayed by the ANSI oracle (bigrams → profile intersection → argmax)."""
     docs = t(spark, sf_dir, "documents")
     return (
         docs.select(TX.lang_id_udf(F.col("text")).alias("pred_lang"))

@@ -42,6 +42,20 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a dtype to the kind the driver's value hash is sensitive to:
+    int vs float vs bool vs object (width variations hash identically)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> CompareResult:
     got = spark_df.toPandas()
     if len(got) != len(oracle_df):
@@ -50,6 +64,28 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> CompareResult:
         return CompareResult(
             name, False, f"columns {sorted(got.columns)} != oracle {sorted(oracle_df.columns)}"
         )
+    # Predict the driver's value hash: DECIMAL-vs-DOUBLE or HUGEINT-vs-BIGINT
+    # drift changes the hashed representation even when float(x) compares
+    # equal, and unhashable cell values (lists/arrays) crash the driver's
+    # canonicalizer outright (CORRECTNESS_r01.json: agg_approx_percentile).
+    for col in got.columns:
+        for side, frame in (("spark", got), ("oracle", oracle_df)):
+            cell = frame[col].dropna().head(1)
+            if len(cell) and isinstance(cell.iloc[0], (list, tuple, dict, set)) or (
+                len(cell) and type(cell.iloc[0]).__name__ == "ndarray"
+            ):
+                return CompareResult(
+                    name, False,
+                    f"{side} col {col} holds {type(cell.iloc[0]).__name__} values — "
+                    "driver canonicalizer crashes on unhashable cells",
+                )
+        ka, kb = _dtype_kind(got[col]), _dtype_kind(oracle_df[col])
+        if ka != kb:
+            return CompareResult(
+                name, False,
+                f"dtype kind mismatch on {col}: spark={got[col].dtype} ({ka}) "
+                f"vs oracle={oracle_df[col].dtype} ({kb}) — driver hash would differ",
+            )
     if len(got) == 0:
         return CompareResult(name, True, "empty (weak)")
     a, b = _normalize(got), _normalize(oracle_df)
@@ -80,10 +116,18 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> CompareResult:
     return CompareResult(name, True, inexact_float_cols=inexact)
 
 
-def run_one(spark, con, sf_dir: str, name: str, fn, sql: str | None) -> CompareResult:
+def run_one(
+    spark, con, sf_dir: str, name: str, fn, sql: str | None, in_window: bool = True
+) -> CompareResult:
     df = fn(spark, sf_dir)
     if sql is None:
         n = df.count()
-        return CompareResult(name, True, f"rows-only ({n} rows)")
+        # The driver implements NO rows-only fallback: an in-window entry
+        # without an oracle lands err:"no_oracle" (CORRECTNESS_r01.json).
+        if in_window:
+            return CompareResult(
+                name, False, f"no_oracle — driver errors on this entry ({n} rows)"
+            )
+        return CompareResult(name, True, f"rows-only, out of driver window ({n} rows)")
     oracle_df = con.execute(sql).fetchdf()
     return compare(name, df, oracle_df)
