@@ -42,8 +42,15 @@ def assign_nearest(points: DataFrame, centroids: list[list[float]], id_col: str,
     )
 
 
-def update_centroids(assigned: DataFrame) -> list[list[float]]:
-    """Element-wise mean per cluster, returned to the driver (k × dim)."""
+def update_centroids(
+    assigned: DataFrame, prev_centroids: list[list[float]]
+) -> list[list[float]]:
+    """Element-wise mean per cluster, returned to the driver (k × dim).
+
+    Keyed by cluster id, NOT by position in the collected result: a cluster
+    that received no points keeps its previous centroid, so the returned
+    list stays aligned with cluster ids (cluster id == list index in
+    ``assign_nearest``) even when clusters empty out mid-iteration."""
     rows = (
         assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
         .groupBy("cluster", "pos")
@@ -53,7 +60,8 @@ def update_centroids(assigned: DataFrame) -> list[list[float]]:
         .select("cluster", F.col("pm.m").alias("centroid"))
         .collect()
     )
-    return [r["centroid"] for r in sorted(rows, key=lambda r: r["cluster"])]
+    by_id = {r["cluster"]: list(r["centroid"]) for r in rows}
+    return [by_id.get(i, prev_centroids[i]) for i in range(len(prev_centroids))]
 
 
 def kmeans(
@@ -75,5 +83,5 @@ def kmeans(
     assigned = None
     for _ in range(iters):
         assigned = assign_nearest(points, centroids, id_col, vec_col)
-        centroids = update_centroids(assigned)
+        centroids = update_centroids(assigned, centroids)
     return assigned.select("id", "cluster")

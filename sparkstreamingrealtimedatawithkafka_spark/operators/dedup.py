@@ -145,17 +145,25 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    # Pairs are generated *within* each (band, bhash) bucket from one
-    # collect_list aggregation — the signature pipeline runs once (a
-    # self-join would compute it twice) and only (band, bhash, id) ever
-    # shuffles, never token arrays. Buckets are tiny by construction, so
-    # the k²/2 in-bucket expansion is bounded.
+    pairs = bucket_pairs(banded, ["band", "bhash"])
+    return verify_jaccard(pairs, df, id_col, tokens_col, jaccard_threshold)
+
+
+def bucket_pairs(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from LSH buckets.
+
+    Pairs are generated *within* each bucket from one collect_list
+    aggregation — the signature pipeline runs once (a self-join would
+    compute it twice) and only (bucket key, id) ever shuffles, never token
+    arrays. Buckets are tiny by construction, so the k²/2 in-bucket
+    expansion is bounded.
+    """
     buckets = (
-        banded.groupBy("band", "bhash")
+        banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pairs = (
+    return (
         buckets.select(
             F.explode(
                 F.flatten(
@@ -173,9 +181,18 @@ def lsh_candidate_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Exact-Jaccard verification: join the (small) candidate set back to the
-    # token table twice. AQE broadcasts the pair side, so at scale these are
-    # two broadcast probes over the corpus, not extra wide shuffles.
+
+def verify_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: join the (small)
+    candidate set back to the token table twice. AQE broadcasts the pair
+    side, so at scale these are two broadcast probes over the corpus, not
+    extra wide shuffles. Returns (id_a, id_b, jaccard >= threshold)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.array_distinct(F.col(tokens_col)).alias("tok")
     )
@@ -190,6 +207,57 @@ def lsh_candidate_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    chunk_bits: int = 16,
+    hamming_max: int = 10,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash chunk-banding + exact verification —
+    the SimHash twin of ``lsh_candidate_pairs``, same scale shape.
+
+    The 63-bit signature splits into ``ceil(63/chunk_bits)`` chunks; docs
+    sharing any exact chunk value become candidates (equi-join on
+    (chunk_idx, chunk_val) — by pigeonhole this finds every pair within
+    hamming distance < n_chunks with certainty, and near-dups with high
+    probability beyond). Candidates pass a cheap hamming pre-filter
+    (``bit_count(sig_a ^ sig_b)``) before exact-Jaccard verification, which
+    alone decides membership — the pre-filter only sheds work, so a loose
+    ``hamming_max`` cannot change results, just cost.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    n_chunks = (63 + chunk_bits - 1) // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_table(df, id_col, tokens_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright("sig", c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    banded = sig.select("id", F.explode(chunks).alias("cc")).select(
+        "id", F.col("cc.chunk_idx").alias("chunk_idx"), F.col("cc.chunk_val").alias("chunk_val")
+    )
+    pairs = bucket_pairs(banded, ["chunk_idx", "chunk_val"])
+
+    sigs = sig.select(F.col("id"), F.col("sig"))
+    close = (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= hamming_max)
+        .select("id_a", "id_b")
+    )
+    return verify_jaccard(close, df, id_col, tokens_col, jaccard_threshold)
 
 
 def two_stage_near_dup_pairs(

@@ -350,6 +350,63 @@ def setop_union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_union_intersect_except",
+    oracle="""
+SELECT 'intersect' AS op, CAST(nationkey AS VARCHAR) AS val FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except' AS op, CAST(custkey AS VARCHAR) AS val FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'union' AS op, tag AS val FROM (
+  SELECT o_orderpriority AS tag FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT c_mktsegment AS tag FROM customer
+)
+""",
+)
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three distinct-semantics set operators in one plan, tagged:
+    INTERSECT (customer∩supplier nations), EXCEPT (urgent-order customers
+    minus the BUILDING segment), UNION (priorities ∪ segments). Each set op
+    is a distinct-aggregate over one shuffle; the final UNION ALL is a
+    zero-shuffle concatenation."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+
+    inter = (
+        c.select(F.col("c_nationkey").alias("k"))
+        .intersect(s.select(F.col("s_nationkey").alias("k")))
+        .select(F.lit("intersect").alias("op"), F.col("k").cast("string").alias("val"))
+    )
+    exc = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .subtract(
+            c.filter(F.col("c_mktsegment") == "BUILDING").select(
+                F.col("c_custkey").alias("k")
+            )
+        )
+        .select(F.lit("except").alias("op"), F.col("k").cast("string").alias("val"))
+    )
+    uni = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderpriority").alias("tag"))
+        .union(c.select(F.col("c_mktsegment").alias("tag")))
+        .distinct()
+        .select(F.lit("union").alias("op"), F.col("tag").alias("val"))
+    )
+    return inter.union(exc).union(uni)
+
+
+@register(
     "agg_rollup_flag_status",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
@@ -414,6 +471,62 @@ def agg_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+_GROUPING_MULTI_ORACLE = f"""
+SELECT 'rollup' AS op, l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM({sql_cents('l_quantity')}) / CAST(100.0 AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS op, l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM({sql_cents('l_quantity')}) / CAST(100.0 AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets' AS op, l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM({sql_cents('l_quantity')}) / CAST(100.0 AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_multi", oracle=_GROUPING_MULTI_ORACLE)
+def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole grouping-sets family in one tagged plan: ROLLUP, CUBE and
+    explicit GROUPING SETS with grouping_id, over the same aggregate. Each
+    branch is one shuffle with map-side Expand fan-out; the concatenation
+    is shuffle-free. (The individual entries remain in the catalog past the
+    driver window for isolation.)"""
+    li = t(spark, sf_dir, "lineitem")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+    ]
+    gid = F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid")
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"), "l_returnflag", "l_linestatus", "gid", "n", "sum_qty"
+        )
+
+    r = tag(li.rollup("l_returnflag", "l_linestatus").agg(gid, *agg), "rollup")
+    c = tag(li.cube("l_returnflag", "l_linestatus").agg(gid, *agg), "cube")
+    li.createOrReplaceTempView("lineitem_gm")
+    g = spark.sql(
+        f"""
+        SELECT 'gsets' AS op, l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               SUM({sql_cents('l_quantity')}) / CAST(100.0 AS DOUBLE) AS sum_qty
+        FROM lineitem_gm
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    return r.union(c).union(g)
 
 
 @register(

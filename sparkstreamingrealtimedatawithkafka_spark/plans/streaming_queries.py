@@ -50,7 +50,12 @@ _EVENTS_RAW_SCHEMA = StructType(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is a session default (session.py) — setting it here with no
+    # restore leaked it across catalog entries, and restoring is impossible
+    # because streaming plans freeze confs asynchronously after start().
+    # Belt-and-braces for sessions built outside build_session:
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = file_stream(spark, f"{sf_dir}/events.parquet", _EVENTS_RAW_SCHEMA)
     return raw.select(
         "event_id",

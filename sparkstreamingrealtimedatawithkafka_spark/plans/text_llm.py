@@ -22,7 +22,7 @@ from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
 )
 from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
     lsh_candidate_pairs,
-    simhash_table,
+    simhash_near_dup_pairs,
     two_stage_near_dup_pairs,
 )
 from sparkstreamingrealtimedatawithkafka_spark.operators.similarity import (
@@ -439,11 +439,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def _all_pairs_bigram_oracle(threshold: float, reps_only: bool = False) -> str:
+    """All-pairs exact bigram-shingle Jaccard >= threshold over the corpus
+    (optionally over exact-dedup representatives only) — the ground truth an
+    LSH near-dup pass must reproduce when its recall is 1.
+
+    The LSH entries are deterministic (fixed xxhash64 seeds), so "candidate
+    recall = 1 on this corpus" is a stable, verified property, not a per-run
+    gamble: the fixture's true near-dup pairs all have bigram Jaccard >= 0.9
+    (measured at sf0.001 and sf0.01), where the banding's detection
+    probability is 1 - (1-0.9^4)^8 ≈ 0.9998 per pair and empirically every
+    pair is found. A missed pair would fail this oracle loudly — which is
+    exactly the regression signal we want on the candidate generator.
+    """
+    src = (
+        """(SELECT d.doc_id, d.text FROM documents d
+     JOIN (SELECT MIN(doc_id) AS doc_id
+           FROM documents
+           GROUP BY md5(array_to_string(list_sort(list_distinct("""
+        + _TOKS
+        + """)), ' '))) r
+     ON d.doc_id = r.doc_id)"""
+        if reps_only
+        else "documents"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_BIGRAMS} AS s FROM {src}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_all_pairs_bigram_oracle(0.4))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates over the full corpus, verified with
-    exact Jaccard on token shingles — the 100 TB dedup path (shuffles on
-    band hash, never O(n²))."""
+    """MinHash-LSH near-dup pairs over the full corpus, verified with exact
+    Jaccard on bigram shingles — the 100 TB dedup path (shuffles on band
+    hash, never O(n²)). Oracle: the exact all-pairs ground truth, which the
+    pass reproduces because candidate recall is 1 on this corpus (see
+    _all_pairs_bigram_oracle; the O(n²) comparison lives ONLY in the
+    oracle — the Spark plan stays bucketed)."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
     return lsh_candidate_pairs(
@@ -451,12 +492,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_two_stage")  # rows-only: xxhash64 has no DuckDB twin
+@register("dedup_two_stage", oracle=_all_pairs_bigram_oracle(0.4, reps_only=True))
 def dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup-first near-dup detection (two_stage_near_dup_pairs) —
     the composition that keeps LSH linear when the corpus carries heavy
     exact duplication (measured 12× faster than raw LSH at 10× duplicated
-    data). The 100 TB default."""
+    data). The 100 TB default. Oracle: all-pairs ground truth restricted to
+    the per-fingerprint representatives the first stage keeps."""
     docs = t(spark, sf_dir, "documents")
     prepared = docs.select(
         "doc_id",
@@ -468,17 +510,22 @@ def dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+@register("dedup_simhash", oracle=_all_pairs_bigram_oracle(0.5))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures; exact-signature collision groups."""
+    """SimHash near-dup pairs: 63-bit shingle-multiset SimHash, candidates
+    from exact-matching 8-bit signature chunks (equi-join banding — by
+    pigeonhole, certain for hamming < 8), hamming <= 15 pre-filter,
+    exact-Jaccard verification (operators/dedup.py simhash_near_dup_pairs).
+    Chunk width is the recall/cost dial: these short fixture docs flip
+    several signature bits per differing shingle (measured pair hammings up
+    to 13 at J >= 0.9), so 16-bit chunks missed 5 pairs while 8-bit chunks
+    find all of them with ~6k candidates over 500 docs — exact verification
+    still decides membership, so the oracle is the all-pairs ground truth,
+    as in dedup_minhash_lsh."""
     docs = t(spark, sf_dir, "documents")
-    sig = simhash_table(
-        docs.select("doc_id", TX.tokenize("text").alias("toks")), "doc_id", "toks"
-    ).withColumnRenamed("id", "doc_id")
-    return (
-        sig.groupBy("sig")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-        .filter(F.col("n_docs") > 1)
+    sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    return simhash_near_dup_pairs(
+        sh, "doc_id", "sh", chunk_bits=8, hamming_max=15, jaccard_threshold=0.5
     )
 
 
@@ -556,10 +603,10 @@ WITH e AS (
   SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings
 ), b AS (
   SELECT vec_id, v,
-    list_sum(list_transform(generate_series(1, 4),
+    list_sum(list_transform(generate_series(1, 8),
       i -> CASE WHEN v[i] >= 0 THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS band_a,
-    list_sum(list_transform(generate_series(5, 8),
-      i -> CASE WHEN v[i] >= 0 THEN CAST(pow(2, i-5) AS BIGINT) ELSE 0 END)) AS band_b
+    list_sum(list_transform(generate_series(9, 16),
+      i -> CASE WHEN v[i] >= 0 THEN CAST(pow(2, i-9) AS BIGINT) ELSE 0 END)) AS band_b
   FROM e
 ), cand AS (
   SELECT a.vec_id AS ia, b2.vec_id AS ib, a.v AS va, b2.v AS vb
@@ -582,23 +629,33 @@ FROM scored WHERE sim >= 0.3 GROUP BY ib
 
 @register("dedup_embedding_cosine", oracle=_COS_ND_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup: 2-band sign-LSH blocking (random-
-    hyperplane LSH with axis-aligned planes over dims 1-4 / 5-8) generates
-    candidate pairs, exact cosine >= 0.3 confirms, and each near-dup row is
-    assigned its lowest-id surviving representative (the drop-list of a
-    dedup pass). Scale story: each band join shuffles only on a 4-bit key,
-    pair work is sum of per-bucket squares (not n^2 global); more/wider
-    bands trade recall for cost without changing the plan shape."""
+    """Embedding-cosine near-dup dedup: 2-band 8-bit sign-LSH blocking
+    (hyperplane LSH with axis-aligned planes over dims 1-8 / 9-16)
+    generates candidate pairs, exact cosine >= 0.3 confirms, and each
+    near-dup row is assigned its lowest-id surviving representative (the
+    drop-list of a dedup pass).
+
+    Scale math: b bits per band → 2^b buckets per band; with balanced signs
+    the expected bucket size is n/2^b, so per-band pair work is
+    Σ k_i²/2 ≈ n²/2^(b+1). 8 bits (256 buckets) makes that 16× cheaper
+    than the old 4-bit version; production sizes b ≈ log2(n / target
+    bucket size) — the embedding has 64 dims, so up to two 32-bit bands
+    are available before needing seeded random hyperplanes, and widening b
+    changes only this function's constant and the oracle's
+    generate_series bounds, not the plan shape (equi-join on a long key).
+    Exact verification decides membership, so band width trades recall and
+    cost, never precision."""
     from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_bits = 8
 
     def band(lo: int) -> F.Column:
         bits = [
             F.when(F.element_at("embedding", lo + i) >= 0, F.lit(1 << i)).otherwise(
                 F.lit(0)
             )
-            for i in range(4)
+            for i in range(n_bits)
         ]
         out = bits[0]
         for bcol in bits[1:]:
@@ -606,7 +663,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.cast("long")
 
     banded = emb.select(
-        "vec_id", "embedding", band(1).alias("band_a"), band(5).alias("band_b")
+        "vec_id", "embedding", band(1).alias("band_a"), band(9).alias("band_b")
     )
 
     def pairs(key: str) -> DataFrame:
@@ -636,10 +693,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk")  # rows-only: approximate by design
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+)
+
+# The IVF pipeline is deterministic end-to-end (centroids = the 16
+# lowest-id corpus vectors, cosine scores are sequential-fold doubles that
+# match DuckDB's list_sum bit-for-bit), so the oracle replays the WHOLE
+# algorithm — bucketing, 3-probe, candidate ranking — not just an error
+# bound. Approximation shows up as which neighbors are reachable, and both
+# engines agree on that exactly.
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+corpus_assign AS (
+  SELECT neighbor_id, centroid_id, v FROM (
+    SELECT e.vec_id AS neighbor_id, c.centroid_id, e.v,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC, c.centroid_id
+           ) AS crank
+    FROM e CROSS JOIN cent c
+  ) WHERE crank = 1
+),
+query_probe AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT e.vec_id AS query_id, c.centroid_id, e.v AS qv,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC, c.centroid_id
+           ) AS crank
+    FROM e CROSS JOIN cent c
+    WHERE e.vec_id < 10
+  ) WHERE crank <= 3
+),
+cand AS (
+  SELECT q.query_id, a.neighbor_id,
+         {_COS_SQL.format(a='a.v', b='q.qv')} AS sim
+  FROM corpus_assign a JOIN query_probe q ON a.centroid_id = q.centroid_id
+)
+SELECT query_id, neighbor_id, "rank", ROUND(sim, 4) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS "rank"
+  FROM cand
+) WHERE "rank" <= 5
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (probe 3 of 16 buckets) — the ANN
-    scale path; recall is checked against brute force in tests."""
+    scale path (prunes 13/16 of the corpus per query); recall vs brute
+    force is pinned in tests, and the deterministic pipeline itself is
+    replayed end-to-end by the SQL oracle."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=3)
@@ -734,6 +843,93 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
     return sample_frames(blobs, every=4, frame_chars=16)
+
+
+_CHUNK = 32
+
+_CHUNKER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+fan AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, CAST(ceil(len(tk)/{_CHUNK}.0) AS BIGINT) - 1)) AS i
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(tk, CAST(i*{_CHUNK} + 1 AS BIGINT),
+                                  CAST((i+1)*{_CHUNK} AS BIGINT)), ' ') AS chunk,
+       CAST(len(list_slice(tk, CAST(i*{_CHUNK} + 1 AS BIGINT),
+                           CAST((i+1)*{_CHUNK} AS BIGINT))) AS INT) AS n_tokens
+FROM fan
+"""
+
+
+@register("text_chunker", oracle=_CHUNKER_ORACLE)
+def text_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the engine's third user-function
+    surface next to the scalar pandas UDF (U1) and applyInPandasWithState:
+    LATERAL chunk_text() splits each document into 32-token training
+    windows, one output row per chunk (functions/chunking.py; empty docs
+    yield no rows, the reference's explode-over-empty shape,
+    spark_entity_counter.py:136). Chunking is pure token-array slicing, so
+    the ANSI oracle replays it exactly."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.chunking import ChunkText
+
+    spark.udtf.register("chunk_text", ChunkText)
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_chunk_src")
+    return spark.sql(
+        f"""
+        SELECT doc_id, chunk_idx, chunk, n_tokens
+        FROM docs_chunk_src, LATERAL chunk_text(text, {_CHUNK})
+        """
+    )
+
+
+_MULTIMODAL_PIPELINE_ORACLE = """
+SELECT doc_id, 'meta' AS rec, CAST(-1 AS INT) AS idx,
+       CAST(octet_length(encode(text)) AS BIGINT) AS off,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS fp
+FROM documents
+UNION ALL
+SELECT doc_id, 'frame' AS rec, CAST(i AS INT) AS idx, CAST(i*16 AS BIGINT) AS off,
+       CAST(unicode(substr(text, CAST(i*16 + 1 AS INT), 1)) AS INT) AS fp
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(floor(length(text)/16) AS BIGINT) - 1, 4)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 16
+)
+"""
+
+
+@register("multimodal_pipeline", oracle=_MULTIMODAL_PIPELINE_ORACLE)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over opaque binary payloads, both mapInPandas
+    shapes in one plan: the 1:1 Arrow-batched 'decode' (byte length +
+    first byte per blob → rec='meta' rows) and the fan-out frame sampler
+    (every 4th fixed-size frame → rec='frame' rows), unioned with a tag.
+    The codec bodies are deterministic fakes (env has no PIL/ffmpeg —
+    functions/multimodal.py documents the stub contract); schema, Arrow
+    batching, fan-out and partitioning are the production shape."""
+    docs = t(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    meta = decode_binary_features(blobs).select(
+        "doc_id",
+        F.lit("meta").alias("rec"),
+        F.lit(-1).cast("int").alias("idx"),
+        F.col("byte_len").cast("long").alias("off"),
+        F.col("first_byte").cast("int").alias("fp"),
+    )
+    frames = sample_frames(blobs, every=4, frame_chars=16).select(
+        "doc_id",
+        F.lit("frame").alias("rec"),
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("frame_off").cast("long").alias("off"),
+        F.col("frame_fp").cast("int").alias("fp"),
+    )
+    return meta.union(frames)
 
 
 @register(

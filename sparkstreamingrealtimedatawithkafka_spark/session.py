@@ -37,6 +37,13 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # events.parquet is TIMESTAMP(NANOS), which Spark's parquet reader
+        # rejects without this legacy flag. A session-level default (rather
+        # than per-query set/restore) because streaming plans freeze confs
+        # asynchronously after start() — a set/restore around readStream
+        # races the micro-batch planner. Only affects NANOS-typed columns;
+        # loaders immediately convert to epoch-micros (sources/registry.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )

