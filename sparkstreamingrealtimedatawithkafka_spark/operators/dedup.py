@@ -224,8 +224,11 @@ def simhash_near_dup_pairs(
     sharing any exact chunk value become candidates (equi-join on
     (chunk_idx, chunk_val) — by pigeonhole this finds every pair within
     hamming distance < n_chunks with certainty, and near-dups with high
-    probability beyond). Candidates pass a cheap hamming pre-filter
-    (``bit_count(sig_a ^ sig_b)``) before exact-Jaccard verification, which
+    probability beyond). The hamming pre-filter (``bit_count(sig_a ^
+    sig_b) <= hamming_max``) is applied INSIDE the in-bucket pair
+    expression — the signature rides along in the collect_list, so
+    far-apart candidates are shed in the same codegen stage that generates
+    them and never reach a join or shuffle. Exact-Jaccard verification
     alone decides membership — the pre-filter only sheds work, so a loose
     ``hamming_max`` cannot change results, just cost.
 
@@ -245,17 +248,41 @@ def simhash_near_dup_pairs(
             for c in range(n_chunks)
         ]
     )
-    banded = sig.select("id", F.explode(chunks).alias("cc")).select(
-        "id", F.col("cc.chunk_idx").alias("chunk_idx"), F.col("cc.chunk_val").alias("chunk_val")
+    banded = sig.select("id", "sig", F.explode(chunks).alias("cc")).select(
+        "id", "sig", F.col("cc.chunk_idx").alias("chunk_idx"), F.col("cc.chunk_val").alias("chunk_val")
     )
-    pairs = bucket_pairs(banded, ["chunk_idx", "chunk_val"])
-
-    sigs = sig.select(F.col("id"), F.col("sig"))
+    # array_sort on struct(id, sig) orders by id (first field), so pairs
+    # come out id_a < id_b exactly as in bucket_pairs.
+    buckets = (
+        banded.groupBy("chunk_idx", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     close = (
-        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-        .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= hamming_max)
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                                lambda y: F.struct(
+                                    x["id"].alias("id_a"),
+                                    y["id"].alias("id_b"),
+                                    F.bit_count(
+                                        x["sig"].bitwiseXOR(y["sig"])
+                                    ).alias("d"),
+                                ),
+                            ),
+                            lambda p: p["d"] <= F.lit(hamming_max),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return verify_jaccard(close, df, id_col, tokens_col, jaccard_threshold)
 

@@ -5,9 +5,12 @@ single streaming groupBy().count(), spark_entity_counter.py:139, so this
 module is the engine's generalization layer).
 
 Scale notes (100 TB posture):
-- Dimension tables (region/nation/supplier/part at TPC-H ratios) are
-  explicitly ``F.broadcast`` where joined to fact tables — no shuffle of the
-  big side.
+- Only FIXED-size dimensions (region=5 rows, nation=25 rows, literal
+  VALUES dims, 1-row derived aggregates) carry an explicit ``F.broadcast``
+  hint. customer/part/supplier grow linearly with SF (TPC-H ratios
+  150k/200k/10k rows per SF) and are NOT broadcastable at the 100 TB
+  target — those joins are left to Catalyst/AQE, which broadcasts them
+  while stats say they fit and falls back to sort-merge when they don't.
 - Fact-fact joins (orders⋈lineitem) are left to Catalyst's sort-merge with
   AQE; both sides shuffle on the join key once and aggregations reuse it.
 - Top-k per group uses Window + rank-filter: partial evaluation happens
@@ -92,15 +95,16 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join, filtered, grouped, global top-10.
 
-    customer is small relative to the facts → broadcast; orders⋈lineitem is
-    the one real shuffle. LIMIT has a unique-key tiebreaker.
+    customer scales with SF, so its join is left to AQE (broadcast while
+    small, sort-merge at scale); orders⋈lineitem is the one guaranteed
+    shuffle. LIMIT has a unique-key tiebreaker.
     """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
@@ -136,7 +140,9 @@ GROUP BY n_name
 
 @register("q5_regional_revenue", oracle=_Q5_ORACLE)
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-way star join; every dimension broadcast."""
+    """TPC-H Q5-style 6-way star join. Fixed dims (nation/region) are
+    pinned broadcast; customer/supplier scale with SF, so their joins are
+    left to AQE — broadcast while stats fit, sort-merge at 100 TB."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -147,9 +153,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -827,16 +833,17 @@ GROUP BY 1, 2, 3
 @register("q7_volume_shipping", oracle=_Q7_ORACLE)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style: cross-nation shipping volume by year. supplier and
-    customer broadcast; the only shuffle is orders⋈lineitem on the order
-    key, reused by the aggregation."""
+    customer joins are AQE's choice (both scale with SF); the one
+    guaranteed shuffle is orders⋈lineitem on the order key, reused by the
+    aggregation."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
             "s_nationkey",
@@ -871,8 +878,8 @@ LIMIT 20
 @register("q10_returned_items", oracle=_Q10_ORACLE)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: revenue lost to returns, top-20 customers.
-    Returnflag filter pushes to the lineitem scan; customer/nation
-    broadcast."""
+    Returnflag filter pushes to the lineitem scan; fixed-size nation is
+    pinned broadcast, SF-proportional customer is left to AQE."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -881,7 +888,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -949,7 +956,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     dp = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -991,7 +998,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -1025,7 +1032,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 50))
         .agg(
             (F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / F.lit(10000.0)).alias(
@@ -1128,7 +1135,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_r = rev.agg(F.max("r").alias("mr"))
     return (
         rev.join(F.broadcast(max_r), rev.r == max_r.mr)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", (F.col("r") / F.lit(10000.0)).alias("total_revenue"))
     )
 

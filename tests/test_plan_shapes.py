@@ -22,17 +22,36 @@ def test_q6_filters_reach_the_scan(spark):
     assert "l_shipdate" in scan and "l_quantity" in scan
 
 
-def test_q3_broadcasts_dimensions(spark):
+def test_q3_no_cartesian_and_topk_shape(spark):
     plan = _plan(spark, "q3_shipping_priority")
-    assert "BroadcastHashJoin" in plan
+    # customer's join strategy is AQE's stats-driven choice (broadcast at
+    # this scale, sort-merge at 100 TB) — assert only the invariants
+    assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k never fully sorts
 
 
-def test_q5_star_join_all_broadcast(spark):
+def test_q5_star_join_fixed_dims_broadcast(spark):
     plan = _plan(spark, "q5_regional_revenue")
-    # 5 joins; none may degenerate into a cartesian
-    assert plan.count("BroadcastHashJoin") >= 4
+    # nation/region are pinned broadcast (fixed 25/5 rows); customer and
+    # supplier joins are AQE's choice. 5 joins; none may degenerate.
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_no_explicit_broadcast_of_sf_proportional_tables():
+    """customer/part/supplier grow linearly with SF (150k/200k/10k rows per
+    SF) — an explicit F.broadcast pin on them OOMs at the 100 TB target.
+    Fixed dims (region/nation), literal VALUES dims and 1-row aggregates
+    may pin; everything else must be left to AQE."""
+    import inspect
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans import relational
+
+    src = inspect.getsource(relational)
+    for var in ("cust", "supp", "part"):
+        assert f"F.broadcast({var})" not in src, (
+            f"SF-proportional table '{var}' is broadcast-pinned"
+        )
 
 
 def test_flagship_is_jvm_only(spark):
