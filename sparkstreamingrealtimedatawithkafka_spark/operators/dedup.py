@@ -117,6 +117,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding + exact verification.
 
@@ -125,7 +126,8 @@ def lsh_candidate_pairs(
       2. explode ``bands`` rows/doc, shuffle on (band, band_hash) — the only
          wide op, and it scales with data size, not pairs;
       3. per-bucket self-join emits candidates (buckets are tiny by
-         construction unless data is pathological);
+         construction unless data is pathological — ``max_bucket`` is the
+         opt-in guard for that case, see ``bucket_pairs``);
       4. exact Jaccard verification on the candidates only.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -145,11 +147,13 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    pairs = bucket_pairs(banded, ["band", "bhash"])
+    pairs = bucket_pairs(banded, ["band", "bhash"], max_bucket=max_bucket)
     return verify_jaccard(pairs, df, id_col, tokens_col, jaccard_threshold)
 
 
-def bucket_pairs(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
+def bucket_pairs(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs from LSH buckets.
 
     Pairs are generated *within* each bucket from one collect_list
@@ -157,12 +161,23 @@ def bucket_pairs(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
     compute it twice) and only (bucket key, id) ever shuffles, never token
     arrays. Buckets are tiny by construction, so the k²/2 in-bucket
     expansion is bounded.
+
+    ``max_bucket`` is the runaway guard for pathological corpora (e.g. a
+    universal shingle hashing millions of near-empty docs into one bucket,
+    whose k²/2 expansion would dominate the job): buckets larger than the
+    cap are DROPPED — an explicit recall sacrifice, which is why it is
+    opt-in (default None = exact). The principled fix for duplication-heavy
+    corpora is ``two_stage_near_dup_pairs`` (collapse exact dups first);
+    the cap is the backstop for content that is near- but not exactly
+    identical at huge multiplicity.
     """
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     return (
         buckets.select(
             F.explode(

@@ -1264,3 +1264,165 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.max(F.length("p_name")).alias("max_name_len"),
     )
+
+
+@register(
+    "window_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       NTILE(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic window-function family in one plan: lag/lead (offset),
+    ntile (bucketing), percent_rank (relative position), first/last value
+    over the full partition frame. One shuffle on the partition key serves
+    every function; the unique-key tiebreaker (o_orderkey) makes all seven
+    outputs deterministic. lag/lead pass the raw double through untouched
+    (bit-identical to the oracle's parquet read)."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.first("o_orderkey").over(wfull).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+@register(
+    "join_full_outer_daily",
+    oracle="""
+SELECT COALESCE(o.d, l.d) AS d, o.n_orders, l.n_ship
+FROM (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL JOIN (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d, COUNT(*) AS n_ship
+           FROM lineitem GROUP BY 1) l
+ON o.d = l.d
+""",
+)
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: daily order counts vs daily shipment counts —
+    null-padded on BOTH sides (dates with orders but no shipments and vice
+    versa genuinely occur at the calendar edges). Both inputs are already
+    aggregated, so the outer join runs on two small grouped sides — at
+    scale it is a shuffle on the date key, never a fact-fact outer blowup."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    o = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    l = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_ship"))
+    return o.join(l, ["d"], "full_outer").select("d", "n_orders", "n_ship")
+
+
+@register(
+    "setop_bag_semantics",
+    oracle="""
+SELECT 'except_all' AS op, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT ALL
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'intersect_all' AS op, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT ALL
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+)
+""",
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operators — ``exceptAll`` / ``intersectAll`` —
+    the bag-semantics twins of the distinct set-op entry. Each plans as one
+    count-aggregate per side joined on the key (per-key multiplicity
+    arithmetic), not a row-by-row comparison; one shuffle per side."""
+    orders = t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    fstat = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    exc = urgent.exceptAll(fstat).select(F.lit("except_all").alias("op"), "k")
+    inter = urgent.intersectAll(fstat).select(F.lit("intersect_all").alias("op"), "k")
+    return exc.union(inter)
+
+
+@register(
+    "orderby_global_sort",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_totalprice > 450000
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+)
+def orderby_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY of the full (filtered) result — unlike the top-k
+    entries this keeps every row, so Catalyst plans a range-partitioned
+    exchange (sampled split points) + per-partition sort instead of
+    TakeOrderedAndProject: the scalable total-sort shape, no single-node
+    sort, no driver collect."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       SUM({sql_cents('l_quantity')})/100.0 AS sum_qty,
+       MAX({sql_cents('l_extendedprice')})/100.0 AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators/skew.py salted_agg) over
+    a deliberately hot grouping key (l_returnflag: 3 distinct values across
+    the whole fact table — the worst case for a 1-shuffle groupBy, where 3
+    reducers own everything). Salting spreads each key over 16 partitions
+    for the partial phase; the final phase merges ≤16 partial rows per key.
+    Salting is semantics-neutral, so the oracle is the PLAIN GROUP BY — the
+    mitigation must not change a single bit of the answer."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.skew import salted_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(cents("l_quantity")).alias("pq"),
+            F.max(cents("l_extendedprice")).alias("pp"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n"),
+            (F.sum("pq") / F.lit(100.0)).alias("sum_qty"),
+            (F.max("pp") / F.lit(100.0)).alias("max_price"),
+        ],
+    )

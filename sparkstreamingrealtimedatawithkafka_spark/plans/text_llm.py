@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as W
+
 from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
 from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
     decode_binary_features,
@@ -953,4 +955,53 @@ def multimodal_struct_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.source").alias("source"),
         F.col("meta.label").alias("label"),
         F.size("embedding").alias("emb_dim"),
+    )
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+""",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling (rate 2/16) for training-data
+    pipelines: membership = a hash of the stable row key, so the sample is
+    reproducible across runs, engines and partitionings — unlike
+    ``df.sample(seed=)``, whose output depends on partition layout. Pure
+    narrow filter: no shuffle, prunes at full scan speed, and composes with
+    predicate pushdown on other columns."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_stratified_per_lang",
+    oracle="""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 20
+""",
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k=20 docs per language,
+    chosen by hash-order (pseudo-random but reproducible — the md5 of the
+    row key is a content-independent shuffle key). One shuffle on the
+    stratum key; the window rank prunes map-side after it. The balanced-mix
+    primitive for training-corpus construction."""
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", "sample_rank")
     )

@@ -57,3 +57,24 @@ def test_empty_token_docs_never_pair(spark):
     )
     out = lsh_candidate_pairs(docs, "id", "toks", num_hashes=32, bands=8).collect()
     assert out == []
+
+
+def test_max_bucket_cap_drops_monster_buckets_only(spark):
+    """The opt-in runaway guard: a huge group of identical docs (one
+    monster bucket per band) is dropped when over the cap, while normal
+    near-dup pairs elsewhere in the corpus are untouched."""
+    monster = [(i, "same same text here") for i in range(1, 41)]  # 40 identical
+    normal = [(100, "quick brown fox jumps"), (101, "quick brown fox jumps")]
+    docs = _docs(spark, monster + normal)
+
+    capped = lsh_candidate_pairs(
+        docs, "id", "toks", num_hashes=32, bands=8, jaccard_threshold=0.5,
+        max_bucket=10,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+    # default (no cap) stays exact: all 40*39/2 monster pairs present
+    uncapped = lsh_candidate_pairs(
+        docs, "id", "toks", num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1

@@ -103,6 +103,20 @@ def test_embedding_cosine_dedup_is_equi_join_on_bands(spark):
     assert plan.count("HashJoin") >= 2  # one per band
 
 
+def test_global_sort_is_range_partitioned(spark):
+    plan = _plan(spark, "orderby_global_sort")
+    # total sort must distribute via sampled range partitioning — never a
+    # single-partition sort or a TakeOrdered (which would cap the output)
+    assert "Exchange rangepartitioning" in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_bernoulli_sample_is_narrow(spark):
+    plan = _plan(spark, "sample_hash_bernoulli")
+    # hash-membership sampling is a pure filter: no shuffle anywhere
+    assert "Exchange" not in plan
+
+
 def test_frame_sample_is_arrow_map_no_shuffle(spark):
     plan = _plan(spark, "multimodal_frame_sample")
     # fan-out decode is a narrow Arrow-batched map: no exchange anywhere
