@@ -1426,3 +1426,92 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pp") / F.lit(100.0)).alias("max_price"),
         ],
     )
+
+
+@register(
+    "generator_explode_outer",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> len(t) >= 9) AS longs
+  FROM documents
+)
+SELECT doc_id, tok FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len(longs) = 0 THEN [CAST(NULL AS VARCHAR)]
+                     ELSE longs END) AS tok
+  FROM arr
+)
+""",
+)
+def generator_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` — the null-preserving twin of the reference's
+    plain ``explode`` (spark_entity_counter.py:136 silently DROPS rows
+    whose array is empty; outer keeps them with a NULL element, which is
+    what an audit query needs so failed extractions stay visible).
+    Documents with no >=9-char token prove the difference: they appear
+    here, and would vanish under plain explode."""
+    docs = t(spark, sf_dir, "documents")
+    longs = F.filter(
+        F.split(F.col("text"), " "), lambda x: F.length(x) >= 9
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(longs).alias("tok")
+    )
+
+
+@register(
+    "scalar_regexp_functions",
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS sum_vowelless_len,
+       CAST(COUNT(*) FILTER (WHERE regexp_matches(text, 'spark|stream')) AS BIGINT) AS n_kw,
+       CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '^[a-z]')) AS BIGINT) AS n_lower_start
+FROM documents
+GROUP BY lang
+""",
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression scalar functions — ``regexp_replace`` and
+    ``rlike`` — inside an aggregation. Patterns stay in the
+    character-class/alternation subset where Java regex (Spark) and RE2
+    (DuckDB) agree exactly; all regex work happens JVM-side in one codegen
+    stage before the single shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.length(F.regexp_replace("text", "[aeiou]", ""))).alias(
+            "sum_vowelless_len"
+        ),
+        F.count(F.when(F.col("text").rlike("spark|stream"), 1)).alias("n_kw"),
+        F.count(F.when(F.col("text").rlike("^[a-z]"), 1)).alias("n_lower_start"),
+    )
+
+
+@register(
+    "events_map_functions",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(len(json_keys(props))) AS INT) AS max_n_keys,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: ``from_json`` into ``map<string,bigint>`` then
+    ``element_at`` / ``map_keys`` / ``size`` — the dynamic-schema twin of
+    the struct-typed events_from_json_struct entry (maps for payloads whose
+    key set isn't fixed at plan time). The oracle replays the same values
+    through DuckDB's JSON accessors."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.withColumn("m", m)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.element_at("m", "k")).alias("sum_k"),
+            F.max(F.size(F.map_keys("m"))).alias("max_n_keys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
