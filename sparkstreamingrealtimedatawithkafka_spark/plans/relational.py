@@ -1515,3 +1515,296 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN {sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')})
+                ELSE 0 END)/10000.0 AS nation_vol,
+       SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))/10000.0
+         AS total_vol,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                     THEN {sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')})
+                     ELSE 0 END) AS BIGINT)
+         / CAST(SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')}))
+                AS BIGINT) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+GROUP BY 1
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one nation's fraction of
+    ECONOMY-part revenue sold into AMERICA customers, per order year.
+
+    8-way join; only the fixed-cardinality dims (nation x2, region — 25/5
+    rows at ANY scale factor) are pinned broadcast; customer/supplier/part
+    scale with SF, so their join strategy is AQE's choice. The share is a
+    ratio of two exact integer-cents sums, divided once at the end —
+    long/long division is IEEE double in both engines, so it hash-matches
+    bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.c_nkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == n2.s_nkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(nat_vol) / F.lit(10000.0)).alias("nation_vol"),
+            (F.sum(vol) / F.lit(10000.0)).alias("total_vol"),
+            (F.sum(nat_vol) / F.sum(vol)).alias("mkt_share"),
+        )
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       SUM({sql_cents('l_extendedprice')}*(100-{sql_cents('l_discount')})
+           - {sql_cents('p_retailprice')}*{sql_cents('l_quantity')})/10000.0
+         AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and year.
+
+    The fixtures carry no partsupp table, so unit cost is modeled as
+    p_retailprice (the adaptation is the join/agg shape, which is what Q9
+    exercises: a 5-way join with a LIKE-filtered part). Profit stays in
+    integer units (cents x cents = 10^-4 dollars) until one final divide.
+    Only nation (25 rows at any SF) is pinned broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    profit_u = cents("l_extendedprice") * (F.lit(100) - cents("l_discount")) - cents(
+        "p_retailprice"
+    ) * cents("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_u) / F.lit(10000.0)).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q11_ORACLE = f"""
+WITH v AS (
+  SELECT l_partkey, SUM({sql_cents('l_extendedprice')}) AS val_c
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(val_c) AS BIGINT) AS t, COUNT(*) AS np FROM v)
+SELECT l_partkey, val_c/100.0 AS part_value
+FROM v, tot
+WHERE 5*val_c*np > 6*t
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style "important stock" scan: parts whose total lineitem
+    value exceeds 1.2x the average part value (a scalar subquery against a
+    global aggregate, the defining Q11 shape; the fixture set has no
+    partsupp, so value is lineitem revenue).
+
+    The global total is one row — broadcast to every partition, so the
+    HAVING is a map-side filter over the grouped values, no second
+    shuffle. The 1.2x threshold is the integer comparison
+    ``5*val*np > 6*t`` — scale-invariant (both sides grow with SF) and
+    exact; at extreme scale the products approach long overflow, at which
+    point the same comparison runs in DECIMAL(38,0) unchanged."""
+    li = t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("val_c"))
+    tot = v.agg(
+        F.sum("val_c").alias("t"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.lit(5) * F.col("val_c") * F.col("np") > F.lit(6) * F.col("t"))
+        .select("l_partkey", (F.col("val_c") / F.lit(100.0)).alias("part_value"))
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size BETWEEN 10 AND 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+@register("q16_supplier_cnt", oracle=_Q16_ORACLE)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-count distribution: distinct suppliers per
+    (brand, size) for a filtered part family, excluding a NOT-IN supplier
+    set (here: negative account balance; the fixture supplier table has no
+    comment column).
+
+    The NOT IN becomes a broadcast left-anti join (the exclusion set is a
+    filtered scan of supplier — tiny relative to lineitem at every SF, and
+    an anti join is the only correct NOT-IN shape under nulls-free keys).
+    Part filters push to the parquet scan before the join."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").between(10, 20)
+    )
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = f"""
+WITH pt AS (
+  SELECT l_partkey AS pk, SUM({sql_cents('l_quantity')}) AS tot
+  FROM lineitem GROUP BY l_partkey
+),
+ex AS (
+  SELECT l_suppkey FROM lineitem JOIN pt ON l_partkey = pk
+  GROUP BY l_suppkey, l_partkey, tot
+  HAVING 8*SUM({sql_cents('l_quantity')}) > tot
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
+"""
+
+
+@register("q20_excess_suppliers", oracle=_Q20_ORACLE)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested-IN reduction: suppliers who shipped more
+    than 1/8 of some part's total volume (the fixtures lack partsupp, so
+    "availability exceeds half the demand" becomes "share of shipped
+    volume exceeds the threshold" — same nested aggregate-IN shape).
+
+    Both aggregates shuffle on l_partkey (the per-(supp,part) rollup
+    re-partitions by partkey for the threshold join), then collapse to a
+    distinct supplier set that semi-joins supplier. The semi join is the
+    IN; its probe side (supplier) is the small one at every SF."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    qty = cents("l_quantity")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("tot")
+    )
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qty).alias("sq"))
+    excess = (
+        per_sp.join(per_part, per_sp.l_partkey == per_part.pk)
+        .filter(F.lit(8) * F.col("sq") > F.col("tot"))
+        .select("l_suppkey")
+    )
+    return supp.join(
+        excess, supp.s_suppkey == excess.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("q21_sole_blame_suppliers", oracle=_Q21_ORACLE)
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style correlated EXISTS / NOT EXISTS: in finalized
+    multi-supplier orders, find the supplier that is the ONLY one whose
+    lines were returned (the fixtures lack commit/receipt dates, so "late
+    delivery" becomes "returned lines" — the double-correlated-subquery
+    shape is untouched).
+
+    EXISTS compiles to a left-semi join and NOT EXISTS to a left-anti
+    join, both equi on l_orderkey with the supplier inequality as a
+    residual condition — so each is one hash/sort-merge join keyed on the
+    order key, reusing the same partitioning, never a cartesian. Ordering
+    (numwait DESC, s_name) is total because s_name is unique, making the
+    LIMIT deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(orders, l1.ok == orders.o_orderkey, "left_semi")
+        .join(l2, (l1.ok == l2.ok2) & (l1.sk != l2.sk2), "left_semi")
+        .join(l3, (l1.ok == l3.ok3) & (l1.sk != l3.sk3), "left_anti")
+    )
+    return (
+        waiting.join(supp, waiting.sk == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
