@@ -13,6 +13,7 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
     text_llm,
     events,
     streaming_queries,
+    connectors,
 )
 
 # The driver hash-checks exactly the FIRST 50 queries() entries in

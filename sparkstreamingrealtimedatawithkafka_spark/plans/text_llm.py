@@ -1005,3 +1005,181 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= 20)
         .select("doc_id", "lang", "sample_rank")
     )
+
+
+_DECON_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk)-1),
+                                  i -> array_to_string(tk[i:i+2], ' '))
+              ELSE [] END AS gs
+  FROM toks
+),
+eg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 199 = 0),
+tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 199 <> 0)
+SELECT doc_id, CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_hit_grams
+FROM tg JOIN eg ON tg.g = eg.g
+GROUP BY doc_id
+"""
+
+
+@register("decontaminate_ngram_overlap", oracle=_DECON_ORACLE)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-gram with a held-out eval set (here the deterministic
+    ``doc_id % 199 == 0`` slice of ``documents``), reporting how many
+    distinct eval 3-grams each contaminated doc contains.
+
+    This is the standard pretraining-hygiene sweep (exact n-gram overlap
+    against benchmark suites). Scale shape: the eval side is ALWAYS small
+    relative to the corpus (benchmarks are fixed-size while training data
+    grows), so its distinct-gram set is built first and broadcast — the
+    100 TB train side streams through one hash join on the gram string and
+    one groupBy(doc_id); the corpus is never shuffled on raw text. With a
+    non-broadcastable eval set the same plan degrades gracefully to a
+    shuffle join on the gram key."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.array_join(F.slice(tk, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    eval_grams = (
+        g.filter(F.col("doc_id") % 199 == 0).select("g").distinct()
+    )
+    train = g.filter(F.col("doc_id") % 199 != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hit_grams"))
+    )
+
+
+_GOPHER_ORACLE = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+pc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS total_toks,
+       COUNT(*) AS uniq_toks,
+       CAST(MAX(c) AS BIGINT) AS max_tok_freq
+FROM pc
+GROUP BY doc_id
+HAVING 10*(CAST(SUM(c) AS BIGINT) - COUNT(*)) > 4*CAST(SUM(c) AS BIGINT)
+"""
+
+
+@register("text_gopher_repetition", oracle=_GOPHER_ORACLE)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: flag documents whose repeated-token
+    mass exceeds 40% (``total - distinct > 0.4 * total``, kept as the
+    exact integer comparison ``10*(total-uniq) > 4*total``), reporting the
+    token counts and the modal token frequency.
+
+    Two aggregations, both with map-side partial combine: (doc, token)
+    counts, then per-doc rollup. Both shuffles key on doc_id(+token), so
+    the data distributes evenly at any corpus size — no token-frequency
+    skew can concentrate a partition because the doc_id is always part of
+    the key."""
+    docs = t(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("total_toks"),
+        F.count(F.lit(1)).alias("uniq_toks"),
+        F.max("c").alias("max_tok_freq"),
+    )
+    return stats.filter(
+        F.lit(10) * (F.col("total_toks") - F.col("uniq_toks"))
+        > F.lit(4) * F.col("total_toks")
+    )
+
+
+_DOCFREQ_ORACLE = """
+WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+df AS (SELECT tok, COUNT(*) AS d FROM t GROUP BY tok),
+alltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT a.doc_id,
+       CAST(SUM(d) AS BIGINT) AS sum_df,
+       COUNT(*) AS n_toks,
+       CAST(SUM(d) AS BIGINT) / COUNT(*) AS mean_df
+FROM alltok a JOIN df USING (tok)
+GROUP BY a.doc_id
+"""
+
+
+@register("text_docfreq_score", oracle=_DOCFREQ_ORACLE)
+def text_docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics scoring: build a token document-frequency table
+    from the corpus itself, then score every document by its tokens' mean
+    document frequency (low = rare vocabulary, high = boilerplate — the
+    deterministic integer-valued core of TF-IDF / unigram-LM quality
+    scores, which would add one log() around the same join).
+
+    Two-pass shape that defines corpus-relative scoring at scale: pass 1
+    aggregates distinct (doc, token) pairs into a DF table (shuffle keyed
+    on token — doc_id in the distinct stage prevents hot-token skew from
+    concentrating a partition); pass 2 joins that table back to the token
+    stream. The DF table is vocabulary-sized (sublinear in corpus rows),
+    so AQE broadcasts it while it fits and falls back to a shuffle join
+    keyed on token when it doesn't. The final division happens once per
+    doc: exact int64 sum over exact int64 counts, IEEE-identical in both
+    engines."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    df_table = (
+        toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        toks.join(df_table, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("d").alias("sum_df"),
+            F.count(F.lit(1)).alias("n_toks"),
+            (F.sum("d") / F.count(F.lit(1))).alias("mean_df"),
+        )
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(total_toks) AS BIGINT) AS corpus_toks FROM per)
+SELECT lang, source, n_docs, total_toks,
+       total_toks / corpus_toks AS token_share
+FROM per, tot
+"""
+
+
+@register("corpus_mixture_weights", oracle=_MIXTURE_ORACLE)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture accounting: token counts and corpus share per
+    (language, source) domain — the table a training run turns into
+    sampling weights. One aggregation plus a one-row broadcast for the
+    global denominator; the share is a single long/long IEEE division so
+    it hash-matches the oracle exactly."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_toks"),
+    )
+    tot = per.agg(F.sum("total_toks").alias("corpus_toks"))
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_toks",
+        (F.col("total_toks") / F.col("corpus_toks")).alias("token_share"),
+    )

@@ -122,3 +122,14 @@ def test_frame_sample_is_arrow_map_no_shuffle(spark):
     # fan-out decode is a narrow Arrow-batched map: no exchange anywhere
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_partitioned_parquet_read_prunes_partitions(spark):
+    """sink_partitioned_parquet's read side must prune the lang partition
+    at planning time: the scan's PartitionFilters carry the lang predicate
+    and only the en directory's files are listed."""
+    df = REGISTRY["sink_partitioned_parquet"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "lang" in pf, f"lang predicate not in PartitionFilters: {pf}"
