@@ -15,12 +15,13 @@ from the read-back side, oracle-checked against the original parquet.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, t
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 
 _DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars int"
@@ -107,4 +108,58 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed managed tables: write
+    orders and lineitem ``bucketBy(8, orderkey)``, then join the bucketed
+    tables and aggregate.
+
+    Bucketing is the pre-pay-the-shuffle strategy for 100 TB fact-fact
+    joins: both sides land hash-partitioned AND sorted on the join key at
+    write time, so every later join on that key is a zero-exchange
+    SortMergeJoin (asserted in tests/test_skew_and_bucketing.py — the
+    plan contains no Exchange over the bucketed scans). Amortized across
+    the many queries that join on the same key, the one-time bucketed
+    write beats re-shuffling 100 TB per query. The aggregation after the
+    join still exchanges on its own grouping key, as it must."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # The in-memory catalog forgets managed tables between processes while
+    # their warehouse directories survive, so a fresh session's CREATE hits
+    # "location already exists" — drop both layers before writing. (The
+    # tables can't be dropped after the read: the returned DataFrame reads
+    # them lazily, after this function returns.)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("ssk_orders_bucketed", "ssk_lineitem_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("ssk_orders_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("ssk_lineitem_bucketed")
+    return (
+        spark.table("ssk_orders_bucketed")
+        .join(
+            spark.table("ssk_lineitem_bucketed"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
+        )
     )

@@ -1,0 +1,119 @@
+"""Scale-up experiment: do the headline plans scale linearly?
+
+Materializes a 10x copy of sf0.1's lineitem/orders (6M / 1.5M rows) by
+exploding each row 10 times with perturbed keys (orderkey' = orderkey*10+i,
+so key cardinality scales with data — duplicating keys would instead grow
+groups), then times the q1 aggregation shape and the q3 join+agg shape at
+1x and 10x and prints the scaling ratios.
+
+A plan that holds at 100 TB should show time ratio ~= data ratio (linear):
+sub-linear means fixed overhead still dominates at this size; super-linear
+means a shuffle/skew/memory cliff — investigate before believing the 100 TB
+story. Run: python tools/scale_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.sources.registry import (  # noqa: E402
+    load_table,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+SCALE_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"), "ssk_scale10")
+FACTOR = 10
+
+
+def materialize(spark) -> None:
+    if os.path.exists(os.path.join(SCALE_DIR, "orders", "_SUCCESS")):
+        return
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("i")
+    (
+        li.select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") * FACTOR + F.col("i"))
+        .drop("i")
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "lineitem"))
+    )
+    (
+        orders.select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") * FACTOR + F.col("i"))
+        .drop("i")
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "orders"))
+    )
+
+
+def q1_shape(li):
+    price, disc = cents("l_extendedprice"), cents("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(price * (F.lit(100) - disc)) / F.lit(10000.0)).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q3_shape(li, orders):
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def run_noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = build_session(app_name="ssk-scale-check")
+    materialize(spark)
+
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    o1 = load_table(spark, SF_DIR, "orders")
+    li10 = spark.read.parquet(os.path.join(SCALE_DIR, "lineitem"))
+    o10 = spark.read.parquet(os.path.join(SCALE_DIR, "orders"))
+
+    # warm up the JVM/codegen/readers so 1x isn't charged the boot cost
+    run_noop(q1_shape(li1))
+    run_noop(q3_shape(li1, o1))
+
+    out = {"factor": FACTOR, "rows_1x": li1.count(), "rows_10x": li10.count()}
+    for name, d1, d10 in (
+        ("q1_agg", q1_shape(li1), q1_shape(li10)),
+        ("q3_join_agg", q3_shape(li1, o1), q3_shape(li10, o10)),
+    ):
+        t1 = min(run_noop(d1), run_noop(d1))
+        t10 = min(run_noop(d10), run_noop(d10))
+        out[name] = {
+            "t_1x_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "time_ratio": round(t10 / t1, 2),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
