@@ -1183,3 +1183,124 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_toks",
         (F.col("total_toks") / F.col("corpus_toks")).alias("token_share"),
     )
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang, {_BIGRAMS} AS s
+  FROM documents WHERE doc_id < 200
+),
+cpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.08
+),
+cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+           UNION ALL SELECT doc_b, doc_a FROM cpairs),
+walk(node, label) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN cedges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+"""
+
+
+@register("dedup_cc_clusters", oracle=_CC_ORACLE)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster collapse: connected components over the near-dup
+    pair graph (operators/graph.py min-label propagation), labeling every
+    involved document with the min doc_id of its component — the
+    transitive closure a pairwise dedup pass needs before it can pick one
+    representative per duplicate group (A~B and B~C must collapse to ONE
+    keeper even when A~C was never emitted).
+
+    The edge set is the bounded-block exact-Jaccard graph from
+    dedup_ngram_jaccard (components here reach size 6, so multi-hop
+    transitivity is actually exercised). The oracle replays the closure
+    with a recursive CTE — iterative Spark joins checked against
+    recursive SQL, the strongest cross-engine check in the catalog."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' '))"
+)
+
+_FULL_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+fp AS (SELECT doc_id, {_FP_SQL} AS f FROM documents),
+reps AS (SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f),
+rep_of AS (SELECT fp.doc_id, reps.rep FROM fp JOIN reps ON fp.f = reps.f),
+sh AS (
+  SELECT d.doc_id, {_BIGRAMS} AS s
+  FROM documents d JOIN reps ON d.doc_id = reps.rep
+),
+npairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.4
+),
+nedges AS (SELECT id_a AS src, id_b AS dst FROM npairs
+           UNION ALL SELECT id_b, id_a FROM npairs),
+walk(node, label) AS (
+  SELECT src, src FROM nedges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN nedges e ON e.src = w.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)
+SELECT r.doc_id, COALESCE(cc.label, r.rep) AS canonical_id
+FROM rep_of r LEFT JOIN cc ON r.rep = cc.node
+"""
+
+
+@register("pipeline_full_dedup", oracle=_FULL_DEDUP_ORACLE)
+def pipeline_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete production dedup pipeline as one query: exact-collapse
+    (fingerprint keep-first) → MinHash-LSH near-dup pairs among
+    representatives → connected components → every document mapped to its
+    canonical keeper (doc_id, canonical_id; 1 row per input doc,
+    singletons map to their own representative).
+
+    This is the composition a 100 TB corpus actually runs: the linear
+    exact pass shrinks the LSH input, LSH emits pairs with one
+    band-hash shuffle, the component collapse makes near-duplication
+    transitive, and the final map is what a training job joins against to
+    drop duplicates. Every stage is individually catalog-checked
+    (dedup_exact_docs, dedup_two_stage, dedup_cc_clusters); this entry
+    checks the composition end-to-end — the oracle replays exact grouping,
+    all-pairs Jaccard ground truth (recall-1 corpus, see
+    _all_pairs_bigram_oracle), and a recursive-CTE closure in one SQL
+    statement."""
+    docs = t(spark, sf_dir, "documents")
+    prepared = docs.select(
+        "doc_id",
+        TX.word_shingles("text", 2).alias("sh"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    rep_of = prepared.select(
+        "doc_id", "fp", F.min("doc_id").over(w).alias("rep")
+    ).select("doc_id", "rep")
+    pairs = two_stage_near_dup_pairs(
+        prepared, "doc_id", "sh", "fp", num_hashes=32, bands=8, jaccard_threshold=0.4
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return rep_of.join(cc, rep_of.rep == cc.node, "left").select(
+        "doc_id", F.coalesce("label", "rep").alias("canonical_id")
+    )
