@@ -75,9 +75,11 @@ DRIVER_WINDOW = [
     "text_rolling_fingerprint",
     "text_chunker",
     "pipeline_corpus_clean",
-    # dedup family
+    # dedup family (the bounded-block ngram kernel stays out-of-window;
+    # the full pipeline composition transitively exercises exact-collapse,
+    # LSH banding AND the connected-components collapse)
     "dedup_exact_docs",
-    "dedup_ngram_jaccard",
+    "pipeline_full_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

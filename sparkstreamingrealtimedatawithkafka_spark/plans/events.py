@@ -321,3 +321,107 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_us").alias("first_ts_us"),
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_ns(ts)//1000) AS t_signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)//1000) AS t_view_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND epoch_ns(e.ts)//1000 > s.t_signup_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)//1000) AS t_purchase_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts)//1000 > v.t_view_us
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.t_signup_us, v.t_view_us, p.t_purchase_us
+FROM s LEFT JOIN v ON s.user_id = v.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("events_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the first signup, the first view
+    strictly AFTER that signup, and the first purchase strictly after that
+    view — the sequence constraint is what makes this a funnel rather than
+    three independent filters (a purchase before the view must NOT count).
+
+    Three stage aggregations, each joined back to the event stream; every
+    join and groupBy keys on user_id, so all stages reuse one partitioning
+    — at scale this is one shuffle of the events table and then
+    narrow-dependency stage chaining. Stage timestamps stay epoch-us longs
+    end to end (no timezone in the comparison path)."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_signup_us"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("t_signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase_us"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_signup_us", "t_view_us", "t_purchase_us")
+    )
+
+
+_COHORT_ORACLE = f"""
+WITH first AS (
+  SELECT user_id, MIN((epoch_ns(ts)//1000)//{US_PER_DAY}) AS d0
+  FROM events GROUP BY user_id
+)
+SELECT first.d0*{US_PER_DAY} AS cohort_day_us,
+       (epoch_ns(e.ts)//1000)//{US_PER_DAY} - first.d0 AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events e JOIN first ON e.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_cohort_retention", oracle=_COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per (cohort day, day offset) — the standard retention triangle.
+
+    The first-seen aggregation and the final rollup both shuffle on
+    user_id-derived keys; the cohort join is user_id-equi, so AQE reuses
+    the aggregation's partitioning. Day arithmetic is integer division on
+    epoch-us longs — no calendar/timezone functions anywhere near the
+    grouping keys."""
+    ev = t(spark, sf_dir, "events")
+    day = F.lit(US_PER_DAY)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.floor(F.col("ts_us") / day)).alias("d0")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            (F.col("d0") * day).alias("cohort_day_us"),
+            (F.floor(F.col("ts_us") / day) - F.col("d0")).alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
