@@ -1808,3 +1808,83 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+),
+elig AS (
+  SELECT ps.pk, ps.sk, ps.cost_c, s_name, s_acctbal, n_name
+  FROM ps JOIN supplier ON ps.sk = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+mn AS (SELECT pk, MIN(cost_c) AS min_c FROM elig GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       elig.cost_c/100.0 AS supply_cost
+FROM elig JOIN mn ON elig.pk = mn.pk AND elig.cost_c = mn.min_c
+JOIN part ON elig.pk = p_partkey
+WHERE p_size >= 30 AND p_type LIKE 'P%'
+ORDER BY s_acctbal DESC, elig.sk, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for each qualifying part, the
+    European supplier(s) whose offer price equals the per-part minimum — the
+    correlated-scalar-subquery shape (``cost = (SELECT MIN ...)``) expressed
+    as an aggregate-and-rejoin. The fixture has no partsupp table, so the
+    part<->supplier offer relation is derived from lineitem
+    (MIN(l_extendedprice) per (partkey, suppkey)), keeping Q2's plan shape:
+    a grouped offer table, a region-filtered supplier dimension, a
+    correlated per-part MIN, and a tie-aware ordered limit.
+
+    Scale notes: the offer aggregation shuffles lineitem once on
+    (partkey, suppkey); the per-part MIN reuses the same partial ordering
+    (partkey prefix). nation/region are fixed-size -> Catalyst broadcasts
+    them; supplier/part are SF-proportional, so their join strategy is left
+    to AQE. Prices stay integer cents until the single final division.
+    Ref: spark_entity_counter.py:135-139 (groupBy/agg idiom generalized)."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part")
+
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(cents("l_extendedprice")).alias("cost_c"))
+    elig = (
+        ps.join(supp, ps.sk == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              nat.n_regionkey == reg.r_regionkey)
+        .select("pk", "sk", "cost_c", "s_name", "s_acctbal", "n_name")
+    )
+    mn = (
+        elig.groupBy("pk")
+        .agg(F.min("cost_c").alias("min_c"))
+        .withColumnRenamed("pk", "mpk")
+    )
+    return (
+        elig.join(mn, (F.col("pk") == F.col("mpk")) & (F.col("cost_c") == F.col("min_c")))
+        .drop("mpk")
+        .join(
+            part.filter((F.col("p_size") >= 30) & F.col("p_type").startswith("P")),
+            F.col("pk") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            (F.col("cost_c") / F.lit(100.0)).alias("supply_cost"),
+            "sk",
+        )
+        .orderBy(F.desc("s_acctbal"), "sk", "p_partkey")
+        .limit(100)
+        .drop("sk")
+    )
