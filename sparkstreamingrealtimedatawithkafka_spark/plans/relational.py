@@ -19,6 +19,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1887,4 +1889,87 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "sk", "p_partkey")
         .limit(100)
         .drop("sk")
+    )
+
+
+_UNPIVOT_ORACLE = f"""
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(SUM({sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_c,
+         CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_price_c,
+         CAST(SUM({sql_cents('l_discount')}) AS BIGINT) AS sum_disc_c
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty_c' AS metric, sum_qty_c AS value FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_price_c', sum_price_c FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_disc_c', sum_disc_c FROM a
+"""
+
+
+@register("unpivot_melt", oracle=_UNPIVOT_ORACLE)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (``DataFrame.unpivot`` — the inverse of
+    ``pivot_status_by_flag``): one aggregated row per returnflag melts into
+    one row per (returnflag, metric). Unpivot is a zero-shuffle generator
+    (each input row expands to k output rows in place), so the only
+    exchange in the plan is the upstream aggregation's; values stay
+    integer cents so the long format is type-uniform (bigint) without a
+    lossy cast. Ref: spark_entity_counter.py:135-139 (agg idiom; reshape
+    is an engine extension)."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+        F.sum(cents("l_discount")).alias("sum_disc_c"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty_c", "sum_price_c", "sum_disc_c"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_WAVG_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(SUM({sql_cents('l_extendedprice')} * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("udaf_grouped_agg_pandas", oracle=_WAVG_ORACLE)
+def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF: quantity-weighted average
+    price per returnflag, aggregated in Arrow batches JVM->Python. The UDAF
+    extends the reference's scalar-pandas-UDF surface
+    (spark_entity_counter.py:45-87) to aggregations — same Arrow transfer,
+    but partial aggregation happens per-partition before the group shuffle.
+
+    Determinism: the UDF accumulates exact int64 sums (cents x quantity)
+    and performs ONE double division at the end — the oracle replays the
+    identical expression, so the result is bit-stable regardless of row
+    order or partitioning. Built-in sum/avg would be the production choice;
+    this entry exists to pin the UDAF extension point."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price_c: pd.Series, qty: pd.Series) -> float:
+        num = int(price_c.mul(qty).sum())
+        den = int(qty.sum())
+        return float(num) / float(den) if den else 0.0
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one agg(), so the row count is a second pandas UDAF.
+    @pandas_udf("long")
+    def ucount(qty: pd.Series) -> int:
+        return int(len(qty))
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg(cents("l_extendedprice"), F.col("l_quantity").cast("long")).alias("wavg_price"),
+        ucount(F.col("l_quantity").cast("long")).alias("n"),
     )

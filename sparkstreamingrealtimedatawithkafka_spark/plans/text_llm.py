@@ -1304,3 +1304,52 @@ def pipeline_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_of.join(cc, rep_of.rep == cc.node, "left").select(
         "doc_id", F.coalesce("label", "rep").alias("canonical_id")
     )
+
+
+_GROUPED_MAP_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS norm
+FROM (
+  SELECT doc_id, lang, n_chars,
+         MIN(n_chars) OVER (PARTITION BY lang) AS mn,
+         MAX(n_chars) OVER (PARTITION BY lang) AS mx
+  FROM documents
+)
+"""
+
+
+@register("grouped_map_normalize", oracle=_GROUPED_MAP_ORACLE)
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling via batch ``applyInPandas`` (grouped-map):
+    min-max normalize document length within each language. The grouped-map
+    surface is the batch twin of the engine's
+    ``applyInPandasWithState`` operator (streaming/stateful.py) — one
+    shuffle on the group key, then each group lands in a single pandas
+    frame Arrow-side.
+
+    Determinism: integer subtraction inside the group, ONE double division
+    at the end, replayed identically by the oracle's window form —
+    bit-stable under any partitioning. Scale note: group = language, so
+    cardinality is tiny but per-group volume is huge; for 100 TB the same
+    logic should be re-expressed with window MIN/MAX (no Python, no
+    single-task-per-group skew) — this entry pins the grouped-map API
+    contract itself, and the window form IS the oracle. Groups are
+    documents-per-lang; the pandas frame holds only (doc_id, lang,
+    n_chars), never text. Ref: spark_entity_counter.py:45-87 (pandas UDF
+    plane, extended to grouped-map)."""
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn = int(pdf["n_chars"].min())
+        mx = int(pdf["n_chars"].max())
+        span = mx - mn
+        if span == 0:
+            pdf["norm"] = 0.0
+        else:
+            pdf["norm"] = (pdf["n_chars"] - mn).astype("float64") / float(span)
+        return pdf
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        norm, "doc_id long, lang string, n_chars long, norm double"
+    )
