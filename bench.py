@@ -48,6 +48,17 @@ BENCH_QUERIES = [
     "events_asof_last_purchase",
     "streaming_windowed_counts",
     "streaming_stateful_user_stats",
+    # round-2 additions (keys above stay fixed for round-over-round
+    # comparability; these extend coverage to the new families)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "pipeline_full_dedup",
+    "decontaminate_ngram_overlap",
+    "text_gopher_repetition",
+    "sim_ivf_topk",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "join_bucketed_colocated",
 ]
 
 
