@@ -1841,17 +1841,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-style minimum-cost supplier: for each qualifying part, the
     European supplier(s) whose offer price equals the per-part minimum — the
     correlated-scalar-subquery shape (``cost = (SELECT MIN ...)``) expressed
-    as an aggregate-and-rejoin. The fixture has no partsupp table, so the
-    part<->supplier offer relation is derived from lineitem
+    as a window MIN over the offer table. The fixture has no partsupp
+    table, so the part<->supplier offer relation is derived from lineitem
     (MIN(l_extendedprice) per (partkey, suppkey)), keeping Q2's plan shape:
     a grouped offer table, a region-filtered supplier dimension, a
     correlated per-part MIN, and a tie-aware ordered limit.
 
-    Scale notes: the offer aggregation shuffles lineitem once on
-    (partkey, suppkey); the per-part MIN reuses the same partial ordering
-    (partkey prefix). nation/region are fixed-size -> Catalyst broadcasts
-    them; supplier/part are SF-proportional, so their join strategy is left
-    to AQE. Prices stay integer cents until the single final division.
+    Scale notes: the correlated MIN is a window (PARTITION BY partkey),
+    NOT an aggregate-and-rejoin — Spark does not common-subexpression the
+    two sides of a self-join, so the rejoin form scans and shuffles
+    lineitem TWICE (verified in the physical plan); the window form builds
+    the offer table once: one shuffle on (partkey, suppkey), one on
+    partkey. nation/region are fixed-size -> Catalyst broadcasts them;
+    supplier/part are SF-proportional, so their join strategy is left to
+    AQE. Prices stay integer cents until the single final division.
     Ref: spark_entity_counter.py:135-139 (groupBy/agg idiom generalized)."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
@@ -1869,15 +1872,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               nat.n_regionkey == reg.r_regionkey)
         .select("pk", "sk", "cost_c", "s_name", "s_acctbal", "n_name")
     )
-    mn = (
-        elig.groupBy("pk")
-        .agg(F.min("cost_c").alias("min_c"))
-        .withColumnRenamed("pk", "mpk")
-    )
+    winners = elig.withColumn(
+        "min_c", F.min("cost_c").over(W.partitionBy("pk"))
+    ).filter(F.col("cost_c") == F.col("min_c"))
     return (
-        elig.join(mn, (F.col("pk") == F.col("mpk")) & (F.col("cost_c") == F.col("min_c")))
-        .drop("mpk")
-        .join(
+        winners.join(
             part.filter((F.col("p_size") >= 30) & F.col("p_type").startswith("P")),
             F.col("pk") == F.col("p_partkey"),
         )

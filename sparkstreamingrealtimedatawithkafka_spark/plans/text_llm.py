@@ -1353,3 +1353,74 @@ def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         norm, "doc_id long, lang string, n_chars long, norm double"
     )
+
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH injected AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS itext
+  FROM documents
+),
+redacted AS (
+  SELECT source,
+         len(regexp_extract_all(itext, '{_EMAIL_PAT}')) AS n_email,
+         len(regexp_extract_all(itext, '{_PHONE_PAT}')) AS n_phone,
+         regexp_replace(regexp_replace(itext, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                        '{_PHONE_PAT}', '<PHONE>', 'g') AS rtext
+  FROM injected
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(len(rtext)) AS BIGINT) AS redacted_chars
+FROM redacted GROUP BY source
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction accounting: mask emails and phone-like tokens with
+    typed placeholders, report per-source docs / redaction counts /
+    post-redaction character mass. The fixture corpus is a digit-free
+    synthetic word-bag, so the PII being redacted is INJECTED
+    deterministically from doc_id inside the query (documented, replayed
+    by the oracle) — the operator under test is the redaction pipeline
+    (regexp_extract_all count + chained regexp_replace mask), which is
+    exactly what a real corpus scrub runs.
+
+    Both regex patterns are alternation/class-only, the verified
+    Java-regex == RE2 compatibility subset. Everything is a pure column
+    expression — JVM codegen, no Python, no extra shuffle beyond the final
+    per-source aggregation; at 100 TB this is a map-only pass over the
+    corpus followed by a tiny rollup. Ref: spark_entity_counter.py:77-87
+    (per-row text transform idiom, JVM-side here)."""
+    docs = t(spark, sf_dir, "documents")
+    itext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(itext, F.lit(_EMAIL_PAT), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(itext, F.lit(_PHONE_PAT), F.lit(0))).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace(itext, _EMAIL_PAT, "<EMAIL>"),
+            _PHONE_PAT,
+            "<PHONE>",
+        ).alias("rtext"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_redacted"),
+        F.sum("n_phone").cast("long").alias("phones_redacted"),
+        F.sum(F.length("rtext")).cast("long").alias("redacted_chars"),
+    )
