@@ -43,16 +43,20 @@ DRIVER_WINDOW = [
     "order_limit_top_orders",
     "window_running_total",
     "events_window_range_frame",
-    # scalar functions / SQL surface
+    # scalar functions / SQL surface (math fns stay out-of-window; string+
+    # date evidence §2.7 and the swapped-in §2.4 surfaces need the slots)
     "date_functions_revenue",
-    "scalar_math_functions",
     "scalar_string_functions",
-    # set ops + grouped aggregates
+    # UDAF / grouped-map surfaces (§2.4: scalar pandas UDF is
+    # pipeline_parity_udf, UDTF is text_chunker — these complete the row)
+    "udaf_grouped_agg_pandas",
+    "grouped_map_normalize",
+    # set ops + grouped aggregates (corr stays out-of-window;
+    # agg_stats_distribution covers the exact-statistics family)
     "setop_union_intersect_except",
     "agg_grouping_multi",
     "agg_distinct_counts",
     "agg_approx_sketches",
-    "agg_corr_price_qty",
     "agg_stats_distribution",
     "pivot_status_by_flag",
     # event-time semantics (batch twins)
