@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType, StringType, DoubleType
 
+from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import ENTITY_COUNT_ORACLE
 from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
@@ -329,4 +330,64 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     joined = stream.join(F.broadcast(dim), "event_type")
     counts = joined.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(counts, output_mode="complete")
+
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+_STREAM_CORPUS_CLEAN_ORACLE = f"""
+WITH scored AS (
+  SELECT lang,
+    (least(len({_TOKS_SQL}), 50)/50.0
+     + (1.0 - CAST(len(list_filter({_TOKS_SQL}, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+              / len({_TOKS_SQL})))/2.0 AS quality,
+    len({_TOKS_SQL}) AS n_tokens,
+    md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fp
+  FROM documents
+)
+SELECT lang, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs
+FROM scored
+WHERE quality >= 0.7 AND n_tokens BETWEEN 10 AND 200
+GROUP BY lang
+"""
+
+
+@register("streaming_corpus_clean", oracle=_STREAM_CORPUS_CLEAN_ORACLE)
+def streaming_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning pipeline as a STREAMING query — the engine's
+    answer to 'documents arrive continuously': quality score + token
+    bounds as pure column expressions on the stream, streaming
+    ``dropDuplicates`` on (lang, fingerprint) — the producer-LRU dedup
+    ancestor (news_producer.py:30-48) done with engine state — then a
+    stateful per-language count in complete mode. Two chained stateful
+    operators (dedup state feeding aggregation state).
+
+    Determinism: only distinct-fingerprint COUNTS are emitted — WHICH
+    duplicate survives the race between partitions is not observable in
+    the result, so the oracle is the batch COUNT(DISTINCT fp). At scale
+    the dedup state is bounded by the unique-fingerprint count; the
+    production variant adds a watermark + ``dropDuplicatesWithinWatermark``
+    (see streaming_dedup_within_watermark) to bound it by time instead."""
+    stream = file_stream(spark, f"{sf_dir}/documents.parquet", _DOCS_SCHEMA)
+    toks = TX.tokenize("text")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
+    quality = (
+        F.least(n, F.lit(50)) / F.lit(50.0)
+        + (F.lit(1.0) - stop.cast("double") / n)
+    ) / F.lit(2.0)
+    cleaned = (
+        stream.select(
+            "lang",
+            quality.alias("quality"),
+            n.cast("long").alias("n_tokens"),
+            TX.fingerprint("text").alias("fp"),
+        )
+        .filter((F.col("quality") >= 0.7) & F.col("n_tokens").between(10, 200))
+        .dropDuplicates(["lang", "fp"])
+    )
+    counts = cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_unique_docs")
+    )
     return run_to_memory(counts, output_mode="complete")
