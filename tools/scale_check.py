@@ -25,6 +25,10 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+)
 from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents  # noqa: E402
 from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # noqa: E402
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import (  # noqa: E402
@@ -81,6 +85,38 @@ def q3_shape(li, orders):
     )
 
 
+def materialize_docs(spark) -> None:
+    """10x documents as 10-way NEAR-DUPLICATE families (each replica gets
+    one extra unique token), the realistic scaling regime for near-dup
+    dedup: corpus grows 10x AND true near-dup pairs grow 10x (45 intra-
+    family pairs per original doc) — bucket count must grow with the
+    corpus for the LSH plan to stay linear."""
+    if os.path.exists(os.path.join(SCALE_DIR, "documents", "_SUCCESS")):
+        return
+    docs = load_table(spark, SF_DIR, "documents")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("i")
+    (
+        docs.select("doc_id", "text", rep)
+        .select(
+            (F.col("doc_id") * FACTOR + F.col("i")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" uniq"),
+                (F.col("doc_id") * FACTOR + F.col("i")).cast("string"),
+            ).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "documents"))
+    )
+
+
+def dedup_shape(docs):
+    sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    pairs = lsh_candidate_pairs(
+        sh, "doc_id", "sh", num_hashes=32, bands=8, jaccard_threshold=0.4
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def run_noop(df) -> float:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
@@ -90,11 +126,14 @@ def run_noop(df) -> float:
 def main() -> None:
     spark = build_session(app_name="ssk-scale-check")
     materialize(spark)
+    materialize_docs(spark)
 
     li1 = load_table(spark, SF_DIR, "lineitem")
     o1 = load_table(spark, SF_DIR, "orders")
     li10 = spark.read.parquet(os.path.join(SCALE_DIR, "lineitem"))
     o10 = spark.read.parquet(os.path.join(SCALE_DIR, "orders"))
+    docs1 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs10 = spark.read.parquet(os.path.join(SCALE_DIR, "documents"))
 
     # warm up the JVM/codegen/readers so 1x isn't charged the boot cost
     run_noop(q1_shape(li1))
@@ -104,6 +143,7 @@ def main() -> None:
     for name, d1, d10 in (
         ("q1_agg", q1_shape(li1), q1_shape(li10)),
         ("q3_join_agg", q3_shape(li1, o1), q3_shape(li10, o10)),
+        ("minhash_lsh_dedup", dedup_shape(docs1), dedup_shape(docs10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
