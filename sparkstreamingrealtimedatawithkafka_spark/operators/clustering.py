@@ -28,14 +28,32 @@ def _sq_dist(a, b):
     )
 
 
-def assign_nearest(points: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
-    """(id, vec, cluster): nearest centroid by squared euclidean distance,
-    ties to the lowest cluster id. Centroids ride in as one literal array
-    column (driver-side constants, no join)."""
+def _neg_cos(a, b):
+    # negated cosine similarity, so "smaller is nearer" like _sq_dist —
+    # centroid norm divides out of the argmin, so no need to normalize
+    # the means between iterations (spherical k-means equivalence).
+    d = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    n2 = F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
+    return -d / F.sqrt(n2)
+
+
+def assign_nearest(
+    points: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    metric: str = "euclidean",
+) -> DataFrame:
+    """(id, vec, cluster): nearest centroid, ties to the lowest cluster id.
+    Centroids ride in as one literal array column (driver-side constants,
+    no join). ``metric="cosine"`` is the spherical variant — use it when
+    the centroids feed cosine-based bucketing (IVF) so refinement and
+    lookup agree on what "near" means."""
+    dist_fn = _sq_dist if metric == "euclidean" else _neg_cos
     cents = F.array(*[
         F.array(*[F.lit(float(v)) for v in c]) for c in centroids
     ])
-    dists = F.transform(cents, lambda c: _sq_dist(F.col(vec_col).cast("array<double>"), c))
+    dists = F.transform(cents, lambda c: dist_fn(F.col(vec_col).cast("array<double>"), c))
     best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
     return points.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), best.alias("cluster")
@@ -64,6 +82,38 @@ def update_centroids(
     return [by_id.get(i, prev_centroids[i]) for i in range(len(prev_centroids))]
 
 
+def _init_centroids(
+    points: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    init = (
+        points.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    return [r["v"] for r in init]
+
+
+def kmeans_centroids(
+    points: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "euclidean",
+) -> list[list[float]]:
+    """Lloyd's iterations, returning the refined centroids themselves
+    (k x dim floats on the driver — bounded, not data-sized). This is the
+    quality upgrade for IVF bucketing (operators/similarity.py): first-N
+    'centroids' collapse recall when the first N corpus vectors are
+    correlated; two Lloyd's passes spread them to the data's actual modes."""
+    centroids = _init_centroids(points, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_nearest(points, centroids, id_col, vec_col, metric=metric)
+        centroids = update_centroids(assigned, centroids)
+    return centroids
+
+
 def kmeans(
     points: DataFrame,
     k: int = 8,
@@ -73,13 +123,7 @@ def kmeans(
 ) -> DataFrame:
     """Lloyd's k-means with deterministic init (the k lowest-id vectors).
     Returns the final assignment (id, cluster)."""
-    init = (
-        points.orderBy(id_col)
-        .limit(k)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    centroids = [r["v"] for r in init]
+    centroids = _init_centroids(points, k, id_col, vec_col)
     assigned = None
     for _ in range(iters):
         assigned = assign_nearest(points, centroids, id_col, vec_col)

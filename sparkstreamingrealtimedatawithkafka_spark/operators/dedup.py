@@ -21,6 +21,8 @@ these run inside whole-stage codegen with zero Python workers.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -118,6 +120,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     max_bucket: int | None = None,
+    drop_observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding + exact verification.
 
@@ -147,12 +150,17 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    pairs = bucket_pairs(banded, ["band", "bhash"], max_bucket=max_bucket)
+    pairs = bucket_pairs(
+        banded, ["band", "bhash"], max_bucket=max_bucket, drop_observation=drop_observation
+    )
     return verify_jaccard(pairs, df, id_col, tokens_col, jaccard_threshold)
 
 
 def bucket_pairs(
-    banded: DataFrame, bucket_cols: list[str], max_bucket: int | None = None
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int | None = None,
+    drop_observation=None,
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs from LSH buckets.
 
@@ -165,19 +173,39 @@ def bucket_pairs(
     ``max_bucket`` is the runaway guard for pathological corpora (e.g. a
     universal shingle hashing millions of near-empty docs into one bucket,
     whose k²/2 expansion would dominate the job): buckets larger than the
-    cap are DROPPED — an explicit recall sacrifice, which is why it is
-    opt-in (default None = exact). The principled fix for duplication-heavy
+    cap are DROPPED — an explicit recall sacrifice, so oracle-checked exact
+    entries leave it off (None = exact) while the production pipeline
+    composition turns it on. The principled fix for duplication-heavy
     corpora is ``two_stage_near_dup_pairs`` (collapse exact dups first);
     the cap is the backstop for content that is near- but not exactly
     identical at huge multiplicity.
-    """
+
+    Drops are never silent: whenever the cap is set, an ``observe`` metric
+    (``buckets_dropped`` / ``ids_in_dropped_buckets`` / ``max_bucket_size``)
+    is attached — collected by Spark at action time with zero extra jobs,
+    readable via a ``pyspark.sql.Observation`` passed as
+    ``drop_observation`` (tests / notebooks) or via a QueryExecution
+    listener under the auto-generated name (production)."""
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+        oversize = F.size("ids") > max_bucket
+        metrics = (
+            F.sum(oversize.cast("long")).alias("buckets_dropped"),
+            F.coalesce(
+                F.sum(F.when(oversize, F.size("ids")).otherwise(0)).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("ids_in_dropped_buckets"),
+            F.max(F.size("ids")).alias("max_bucket_size"),
+        )
+        if drop_observation is not None:
+            buckets = buckets.observe(drop_observation, *metrics)
+        else:
+            buckets = buckets.observe(f"lsh_bucket_drops_{uuid.uuid4().hex[:8]}", *metrics)
+        buckets = buckets.filter(~oversize)
     return (
         buckets.select(
             F.explode(
@@ -310,6 +338,8 @@ def two_stage_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    drop_observation=None,
 ) -> DataFrame:
     """Exact-dedup-first LSH: collapse exact duplicates (keep the min-id
     representative per fingerprint), then run MinHash-LSH over unique
@@ -320,6 +350,9 @@ def two_stage_near_dup_pairs(
     times yields g²/2 pairs in EVERY band — measured 19× slowdown at 10×
     data with 10× duplication), while exact dedup is one linear shuffle.
     Collapsing first makes the LSH stage see each content once.
+    ``max_bucket`` caps the residual pathology (near- but not exactly
+    identical content at huge multiplicity) with observed drop counts —
+    see ``bucket_pairs``.
 
     Returns (id_a, id_b, jaccard) among representatives.
     """
@@ -336,6 +369,8 @@ def two_stage_near_dup_pairs(
         num_hashes=num_hashes,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+        drop_observation=drop_observation,
     )
 
 

@@ -96,13 +96,44 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_strategy: str = "first_n",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: IVF bucketing with deterministic centroids
-    (the first ``n_centroids`` corpus vectors — a stand-in for k-means,
-    keeping results reproducible and driver-free)."""
-    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-    )
+    """Approximate top-k: IVF bucketing over ``n_centroids`` buckets.
+
+    ``centroid_strategy``:
+    - ``"first_n"`` (default): the first ``n_centroids`` corpus vectors —
+      fully deterministic and driver-free, the oracle-checkable baseline.
+      Weakness: if the first N vectors are correlated (clustered real
+      data), the buckets are lopsided and recall collapses.
+    - ``"kmeans"``: ``kmeans_iters`` Lloyd's passes refine the same
+      deterministic init (operators/clustering.py:kmeans_centroids), so
+      buckets track the data's actual modes. Driver holds only k x dim
+      floats; the corpus never leaves the executors.
+    """
+    if centroid_strategy == "kmeans":
+        from sparkstreamingrealtimedatawithkafka_spark.operators.clustering import (
+            kmeans_centroids,
+        )
+
+        cents = kmeans_centroids(
+            corpus,
+            k=n_centroids,
+            iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            metric="cosine",  # refinement must agree with the cosine bucketing
+        )
+        centroids = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "centroid_id int, cvec array<double>",
+        )
+    elif centroid_strategy == "first_n":
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    else:
+        raise ValueError(f"unknown centroid_strategy {centroid_strategy!r}")
     bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec_n"), "centroid_id"
     )

@@ -13,6 +13,7 @@ from pyspark.sql.types import LongType, StructField, StructType, StringType, Dou
 
 from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
+from sparkstreamingrealtimedatawithkafka_spark.sources.registry import event_time_columns
 from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import ENTITY_COUNT_ORACLE
 from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
     entity_counts,
@@ -36,36 +37,26 @@ _DOCS_SCHEMA = StructType(
     ]
 )
 
-# events.parquet carries TIMESTAMP(NANOS); the stream reads it as raw long
-# (legacy nanosAsLong) and converts, same as the batch loader.
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # nanosAsLong is a session default (session.py) — setting it here with no
-    # restore leaked it across catalog entries, and restoring is impossible
-    # because streaming plans freeze confs asynchronously after start().
-    # Belt-and-braces for sessions built outside build_session:
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = file_stream(spark, f"{sf_dir}/events.parquet", _EVENTS_RAW_SCHEMA)
-    return raw.select(
-        "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
+    # readStream needs an explicit schema; the fixture's ts physical type has
+    # drifted across generations (int64-nanos vs timestamp[us]), so peek the
+    # type Spark resolves on a batch read of the same path (footer-only) and
+    # declare exactly that — a hand-pinned LongType against a micros file
+    # would silently read 1000x-compressed timestamps (the round-3 bug).
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", ts_type, True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
     )
+    raw = file_stream(spark, f"{sf_dir}/events.parquet", schema)
+    ts_us, ts = event_time_columns(ts_type)
+    return raw.select("event_id", ts_us, ts, "user_id", "event_type", "value")
 
 
 @register("streaming_entity_count", oracle=ENTITY_COUNT_ORACLE)

@@ -1293,8 +1293,16 @@ def pipeline_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_of = prepared.select(
         "doc_id", "fp", F.min("doc_id").over(w).alias("rep")
     ).select("doc_id", "rep")
+    # Production posture: the bucket cap is ON here (with observed drop
+    # counts — operators/dedup.py:bucket_pairs), unlike the exact oracle
+    # entries. 512 post-exact-collapse near-identical variants is far past
+    # this corpus's multiplicity (verified: cap engages nothing at sf0.01,
+    # so the oracle still matches bit-for-bit), but at 100 TB it bounds the
+    # in-bucket k²/2 expansion instead of letting one degenerate bucket
+    # dominate the job.
     pairs = two_stage_near_dup_pairs(
-        prepared, "doc_id", "sh", "fp", num_hashes=32, bands=8, jaccard_threshold=0.4
+        prepared, "doc_id", "sh", "fp", num_hashes=32, bands=8,
+        jaccard_threshold=0.4, max_bucket=512,
     )
     from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
         connected_components,

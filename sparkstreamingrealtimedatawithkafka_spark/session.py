@@ -37,12 +37,14 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
-        # events.parquet is TIMESTAMP(NANOS), which Spark's parquet reader
-        # rejects without this legacy flag. A session-level default (rather
-        # than per-query set/restore) because streaming plans freeze confs
-        # asynchronously after start() — a set/restore around readStream
-        # races the micro-batch planner. Only affects NANOS-typed columns;
-        # loaders immediately convert to epoch-micros (sources/registry.py).
+        # Fixture-drift safety net: some fixture generations write events.ts
+        # as TIMESTAMP(NANOS), which Spark's parquet reader rejects without
+        # this legacy flag (it is inert for non-NANOS columns, including the
+        # current timestamp[us] fixtures). The events loader branches on the
+        # type actually resolved (sources/registry.py:event_time_columns),
+        # so either physical type round-trips to the same epoch-micros.
+        # Session-level (not per-query set/restore) because streaming plans
+        # freeze confs asynchronously after start().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")

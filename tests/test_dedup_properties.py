@@ -78,3 +78,46 @@ def test_max_bucket_cap_drops_monster_buckets_only(spark):
         docs, "id", "toks", num_hashes=32, bands=8, jaccard_threshold=0.5
     ).count()
     assert uncapped == 40 * 39 // 2 + 1
+
+def test_max_bucket_cap_engages_with_observed_drops(spark):
+    """Pathological corpus: 40 docs sharing one near-identical token set
+    all land in the same LSH bucket in every band; with the cap on, those
+    buckets are dropped (bounding the k²/2 expansion), the drop is
+    *observed* (never silent), and well-behaved buckets still pair."""
+    from pyspark.sql import Observation
+
+    from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import bucket_pairs
+
+    mega = [(i, 0, 7777) for i in range(40)]          # one 40-id bucket
+    small = [(100, 1, 42), (101, 1, 42)]              # one healthy pair
+    banded = spark.createDataFrame(
+        mega + small, "id long, band int, bhash long"
+    )
+    obs = Observation("cap_test")
+    pairs = bucket_pairs(
+        banded, ["band", "bhash"], max_bucket=10, drop_observation=obs
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
+    assert obs.get["buckets_dropped"] == 1
+    assert obs.get["ids_in_dropped_buckets"] == 40
+    assert obs.get["max_bucket_size"] == 40
+
+
+def test_max_bucket_cap_inert_on_healthy_corpus(spark):
+    """With buckets under the cap, results are identical to the exact
+    (uncapped) path and the observation reports zero drops."""
+    from pyspark.sql import Observation
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [(1, base), (2, base), (3, "one two three four")])
+    obs = Observation("inert_test")
+    capped = lsh_candidate_pairs(
+        docs, "id", "toks", num_hashes=32, bands=8,
+        jaccard_threshold=0.5, max_bucket=512, drop_observation=obs,
+    ).collect()
+    exact = lsh_candidate_pairs(
+        docs, "id", "toks", num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
+    assert obs.get["buckets_dropped"] == 0
+    assert obs.get["ids_in_dropped_buckets"] == 0

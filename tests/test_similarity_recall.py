@@ -46,6 +46,69 @@ def test_ivf_recall_at_5(spark):
             assert r["sim"] == exact_sim[key]
 
 
+def _recall_at_5(spark, corpus, strategy, n_probe):
+    queries = corpus.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(corpus, queries, k=5)
+    approx = ivf_topk(
+        corpus, queries, k=5, n_centroids=16, n_probe=n_probe,
+        centroid_strategy=strategy,
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    return len(exact_set & approx_set) / len(exact_set)
+
+
+def test_ivf_kmeans_centroids_recall_ge_first_n(spark):
+    """k-means-refined centroids vs first-N at equal probe budget on the
+    fixture corpus. The fixture embeddings are ISOTROPIC random vectors —
+    there are no modes to learn, so the strategies are comparable rather
+    than kmeans-dominant (measured at k=5/16 centroids: first_n 0.98 at
+    every probe budget; kmeans 0.94 @3 probes, crossing to 0.98 @5 and
+    1.0 @6). The test pins the ≥ relation at the crossover and a floor at
+    the default budget; the structured-data case where kmeans *dominates*
+    is test_ivf_kmeans_beats_first_n_on_clustered_corpus."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert _recall_at_5(spark, emb, "kmeans", 6) >= _recall_at_5(spark, emb, "first_n", 6)
+    assert _recall_at_5(spark, emb, "kmeans", 3) >= 0.9
+
+
+def test_ivf_kmeans_beats_first_n_on_clustered_corpus(spark):
+    """The scenario first-N centroids fail on: the first 16 corpus vectors
+    all come from ONE mode of a clustered distribution, so first-N buckets
+    carve up a single cluster and recall for queries in other modes
+    collapses. Lloyd's passes recover the true modes."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    modes = rng.normal(size=(8, 32)) * 5.0
+    # ids 0..99 all drawn around mode 0 (the first-N trap), 100..899 spread
+    vecs = [modes[0] + rng.normal(size=32) for _ in range(100)]
+    for m in range(8):
+        vecs.extend(modes[m] + rng.normal(size=32) for _ in range(100))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # queries from every mode, not just mode 0
+    queries = corpus.filter(F.col("vec_id").isin([150, 250, 350, 450, 550, 650, 750, 850, 0, 50]))
+
+    exact = brute_force_topk(corpus, queries, k=5)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(strategy):
+        approx = ivf_topk(
+            corpus, queries, k=5, n_centroids=16, n_probe=3,
+            centroid_strategy=strategy,
+        )
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        return len(exact_set & got) / len(exact_set)
+
+    r_first, r_kmeans = recall("first_n"), recall("kmeans")
+    assert r_kmeans > r_first, (
+        f"kmeans {r_kmeans:.2f} should beat first_n {r_first:.2f} on clustered data"
+    )
+    assert r_kmeans >= 0.8
+
+
 def test_embedding_cosine_dedup_sound_and_recalls(spark):
     """2-band 8-bit sign-LSH dedup: exact-cosine confirmation makes every
     reported dup TRUE (subset of exhaustive ground truth, zero false
