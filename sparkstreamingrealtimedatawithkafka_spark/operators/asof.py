@@ -32,27 +32,46 @@ def asof_join(
     payload_cols: list[str],
     tiebreak: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join, left-outer.
+    """As-of join, left-outer — the ``pandas.merge_asof`` surface.
+
+    ``direction="backward"`` (default): most recent right row with
+    ``right_ts <= left_ts``; ``"forward"``: earliest right row with
+    ``right_ts >= left_ts``. Both are the same union + per-key ordered
+    window plan — one shuffle, linear in |L|+|R| — just mirrored
+    (``last`` over the preceding frame vs ``first`` over the following).
 
     ``tiebreak``: right-side column ordering concurrent right rows (equal
-    key + timestamp); the largest wins, making the pick deterministic.
+    key + timestamp); deterministic pick — largest wins backward, smallest
+    wins forward (both are "the value nearest the left row" under the sort
+    that direction uses).
+
+    ``tolerance``: maximum allowed ``|left_ts - matched_ts|`` in the
+    timestamp's own units; matches farther away are nulled out, not
+    dropped (left-outer contract preserved). Applied post-match, so it
+    changes results, never the plan shape.
+
     Output: all left columns, then ``right_ts + suffix`` and each payload
-    column ``+ suffix`` (nulls when no right row precedes the left row).
+    column ``+ suffix`` (nulls when no right row qualifies).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     l_cols = left.columns
     payload = F.struct(
         F.col(right_ts).alias(right_ts),
         *[F.col(c).alias(c) for c in payload_cols],
     )
 
-    # Right rows must sort before left rows at the same timestamp so the
-    # match is inclusive (right_ts <= left_ts); among concurrent right rows
-    # the tiebreak orders them and `last` takes the largest.
+    # Sort-side trick: backward needs right rows BEFORE left rows at the
+    # same timestamp so the match is inclusive (right_ts <= left_ts);
+    # forward mirrors it (left rows first, match via the following frame).
+    l_side = 1 if direction == "backward" else 0
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
         F.struct(*[F.col(c).alias(c) for c in l_cols]).alias("__l"),
         F.lit(None).cast(
@@ -62,7 +81,7 @@ def asof_join(
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(1 - l_side).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
         F.lit(None).cast(
             left.select(
@@ -72,16 +91,27 @@ def asof_join(
         payload.alias("__r"),
     )
 
-    w = (
-        W.partitionBy(*on)
-        .orderBy("__ts", "__side", "__tb")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    base = W.partitionBy(*on).orderBy("__ts", "__side", "__tb")
+    if direction == "backward":
+        w = base.rowsBetween(W.unboundedPreceding, 0)
+        pick = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(0, W.unboundedFollowing)
+        pick = F.first("__r", ignorenulls=True).over(w)
     matched = (
         l_tagged.unionByName(r_tagged)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+        .withColumn("__match", pick)
+        .filter(F.col("__side") == l_side)
     )
+    if tolerance is not None:
+        delta = (
+            F.col("__ts") - F.col(f"__match.{right_ts}")
+            if direction == "backward"
+            else F.col(f"__match.{right_ts}") - F.col("__ts")
+        )
+        matched = matched.withColumn(
+            "__match", F.when(delta <= tolerance, F.col("__match"))
+        )
     return matched.select(
         *[F.col(f"__l.{c}").alias(c) for c in l_cols],
         F.col(f"__match.{right_ts}").alias(f"{right_ts}{suffix}"),

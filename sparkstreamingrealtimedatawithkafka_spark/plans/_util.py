@@ -8,9 +8,10 @@ Determinism policy (what makes the DuckDB oracle hash-match bit-for-bit):
   order-independent) and divided back to a double only once at the end — the
   same final division on both engines yields the same IEEE bits. Raw double
   columns passed through untouched are already bit-identical (same parquet).
-- **Event time in epoch microseconds (long).** ``events.ts`` is parquet
-  TIMESTAMP(NANOS); queries compute on ``ts_us = ts div 1000``, so results
-  are independent of either engine's session timezone.
+- **Event time in epoch microseconds (long).** Queries compute on the
+  loader-derived ``ts_us`` (sources/registry.py:event_time_columns — the
+  schema-adaptive bridge over the fixture's drifting physical ts type), so
+  results are independent of either engine's session timezone.
 - **Unique-key tiebreakers in every ORDER BY / window** so LIMIT/top-k picks
   are unambiguous.
 """

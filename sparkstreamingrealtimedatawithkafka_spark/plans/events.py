@@ -8,8 +8,9 @@ never parses them — so this module is the engine's watermark-ready design).
 
 Determinism: all window boundaries are computed/emitted as epoch
 microseconds (longs) so results are independent of session timezone; the
-DuckDB oracle uses ``epoch_ns(ts)//1000`` which matches the loader's
-``ts div 1000`` truncation exactly.
+DuckDB oracle uses ``epoch_ns(ts)//1000`` which matches the loader-derived
+``ts_us`` (sources/registry.py:event_time_columns) exactly under either
+physical ts type.
 """
 
 from __future__ import annotations
@@ -256,6 +257,59 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts_us",
         payload_cols=["event_id", "value"],
         tiebreak="event_id",
+    )
+
+
+_ASOF_FWD_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts_us, event_id, value FROM (
+    SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)//1000
+                              ORDER BY event_id) AS rk
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rk = 1
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       CASE WHEN p.ts_us - c.ts_us <= {US_PER_DAY} THEN p.ts_us END AS ts_us_r,
+       CASE WHEN p.ts_us - c.ts_us <= {US_PER_DAY} THEN p.event_id END AS event_id_r,
+       CASE WHEN p.ts_us - c.ts_us <= {US_PER_DAY} THEN p.value END AS value_r
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+"""
+
+
+@register("events_asof_next_purchase", oracle=_ASOF_FWD_ORACLE)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance window (the pandas merge_asof
+    surface, operators/asof.py): each click gets the user's next purchase
+    at or after it, but only if it lands within 24 hours — matches farther
+    out are nulled, not dropped (attribution-window semantics). Same
+    one-shuffle union + ordered-window plan as the backward entry, frame
+    mirrored. Oracle: DuckDB native forward ASOF LEFT JOIN with a CASE
+    tolerance mask."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = exact_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", "event_id", "value"
+        ),
+        keys=["user_id", "ts_us"],
+        order_by=[F.asc("event_id")],
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["event_id", "value"],
+        tiebreak="event_id",
+        direction="forward",
+        tolerance=US_PER_DAY,
     )
 
 

@@ -518,12 +518,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact-matching 8-bit signature chunks (equi-join banding — by
     pigeonhole, certain for hamming < 8), hamming <= 15 pre-filter,
     exact-Jaccard verification (operators/dedup.py simhash_near_dup_pairs).
-    Chunk width is the recall/cost dial: these short fixture docs flip
-    several signature bits per differing shingle (measured pair hammings up
-    to 13 at J >= 0.9), so 16-bit chunks missed 5 pairs while 8-bit chunks
-    find all of them with ~6k candidates over 500 docs — exact verification
-    still decides membership, so the oracle is the all-pairs ground truth,
-    as in dedup_minhash_lsh."""
+    Chunk width is the recall/cost dial, measured on all three fixture
+    corpora: candidate recall vs the all-pairs ground truth is 1.0 ONLY at
+    8 bits (9-bit chunks lose 1 of 28 pairs at sf0.001; 10-16 bit lose
+    1-5 at the larger scales). The cost of the wider buckets — 592k
+    in-bucket candidate expansions at 5000 docs vs 149k at 9 bits — stays
+    inside the generating codegen stage (~0.25s measured), so recall wins
+    the trade; exact verification still decides membership, so the oracle
+    is the all-pairs ground truth, as in dedup_minhash_lsh."""
     docs = t(spark, sf_dir, "documents")
     sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
     return simhash_near_dup_pairs(
@@ -787,6 +789,22 @@ def vector_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(e, 1).alias("first_val"),
         F.element_at(e, 33).alias("mid_val"),
         F.element_at(F.reverse(F.array_sort(e)), 3).alias("third_largest"),
+    )
+
+
+@register("sim_ivf_kmeans_topk")  # rows-only: iterative centroid refinement
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with spherical-k-means-refined centroids
+    (operators/similarity.py centroid_strategy="kmeans") — the quality
+    path for clustered real data, where first-N centroids carve up a
+    single mode and recall collapses. Iterative refinement isn't one SQL
+    statement, so this is a rows-only entry; recall ≥ the first-N
+    baseline is pinned in tests/test_similarity_recall.py, and the
+    oracle-checked deterministic twin is sim_ivf_topk."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=3, centroid_strategy="kmeans"
     )
 
 

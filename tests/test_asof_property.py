@@ -64,3 +64,75 @@ def test_asof_matches_brute_force(spark, tables_):
     }
     got = {key: (v if v != (None, None) else (None, None)) for key, v in got.items()}
     assert got == expected
+
+def brute_force_forward(left, right, tolerance=None):
+    out = {}
+    for lk, lts in left:
+        best = None
+        for rk, rts, rid in right:
+            if rk == lk and rts >= lts:
+                # nearest following ts; smallest tiebreak id among equals
+                cand = (rts, rid)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None and tolerance is not None and best[0] - lts > tolerance:
+            best = None
+        out[(lk, lts)] = best
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(tables())
+def test_asof_forward_matches_brute_force(spark, tables_):
+    left, right = tables_
+    ldf = spark.createDataFrame(
+        [(k, ts) for k, ts in left] or [(None, None)], "k long, ts long"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in right] or [(None, None, None)],
+        "k long, rts long, rid long",
+    ).filter("k is not null")
+
+    got = {
+        (r["k"], r["ts"]): (r["rts_r"], r["rid_r"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            payload_cols=["rid"], tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    expected = {
+        key: (best if best is not None else (None, None))
+        for key, best in brute_force_forward(left, right).items()
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(tables())
+def test_asof_forward_tolerance_nulls_far_matches(spark, tables_):
+    left, right = tables_
+    tol = 5
+    ldf = spark.createDataFrame(
+        [(k, ts) for k, ts in left] or [(None, None)], "k long, ts long"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in right] or [(None, None, None)],
+        "k long, rts long, rid long",
+    ).filter("k is not null")
+
+    got = {
+        (r["k"], r["ts"]): (r["rts_r"], r["rid_r"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            payload_cols=["rid"], tiebreak="rid",
+            direction="forward", tolerance=tol,
+        ).collect()
+    }
+    expected = {
+        key: (best if best is not None else (None, None))
+        for key, best in brute_force_forward(left, right, tolerance=tol).items()
+    }
+    # left-outer contract: every left row present even when the only match
+    # was beyond tolerance
+    assert set(got) == set(expected)
+    assert got == expected

@@ -20,12 +20,14 @@ from sparkstreamingrealtimedatawithkafka_spark.streaming.stateful import user_ru
 
 @pytest.fixture()
 def split_events(spark, tmp_path):
-    """events split deterministically into 3 parquet files by event_id."""
+    """events split deterministically into 3 parquet files by event_id.
+    Goes through the schema-adaptive loader (never a hand-pinned ts
+    expression — that is exactly what broke in round 3)."""
+    from sparkstreamingrealtimedatawithkafka_spark.sources.registry import load_table
+
     src = str(tmp_path / "events_split")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select("event_id", "user_id", "value", F.expr("ts div 1000").alias("ts_us"))
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "ts_us"
     )
     events.repartition(3, "event_id").write.parquet(src)
     return src
