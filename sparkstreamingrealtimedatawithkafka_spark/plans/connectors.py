@@ -111,6 +111,73 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@register("source_orc_roundtrip", oracle=_ORC_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip: write ``documents`` as ORC, read it back
+    with an explicit schema, and prove the per-source aggregates survive.
+
+    ORC is the second columnar format users exchange (Hive-lineage
+    warehouses); like parquet it's splittable, predicate-pushdown-capable
+    and column-pruned, so the same 100 TB scan posture applies. The read
+    declares the schema instead of trusting footer inference order."""
+    docs = t(spark, sf_dir, "documents")
+    path = _scratch("docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(_DOC_SCHEMA).orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_PYSOURCE_ORACLE = """
+SELECT CAST(id % 16 AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((id * 2654435761) % 1000) AS BIGINT) AS sum_score_milli
+FROM range(0, 80000) t(id)
+GROUP BY 1
+"""
+
+
+@register("source_python_datasource", oracle=_PYSOURCE_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source through the Python DataSource API (Spark 4): a
+    pure-Python reader registered as format ``ssk_synthetic`` — planned
+    partitions fan out one executor-side ``read()`` per InputPartition and
+    rows travel as Arrow RecordBatches (sources/pysource.py).
+
+    This is the engine's extension point for systems Spark has no built-in
+    reader for (the reference's NewsAPI HTTP fetch, news_producer.py:
+    59-88, is exactly this class); the synthetic generator keeps it
+    deterministic so DuckDB replays it from ``range()``. The aggregation
+    after the scan is a normal shuffle — the source behaves like any other
+    table."""
+    from sparkstreamingrealtimedatawithkafka_spark.sources.pysource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    rows = (
+        spark.read.format("ssk_synthetic")
+        .option("n", 80_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score_milli").alias("sum_score_milli"),
+    )
+
+
 _BUCKETED_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_lines,

@@ -479,3 +479,35 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_variant_props", oracle=_VARIANT_ORACLE)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary-encoded variant, then typed
+    ``variant_get`` path extraction under aggregation.
+
+    This is the modern replacement for both of the engine's older JSON
+    paths (``get_json_object`` re-parses the string per access;
+    ``from_json`` needs the full schema up front): variant parses once,
+    stores a compact binary encoding, and each path access is a cheap
+    typed probe — the right default for schema-on-read event props at
+    100 TB. The DuckDB oracle replays the same extraction with its JSON
+    functions."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
+        F.max(F.variant_get("v", "$.k", "bigint")).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -21,6 +21,7 @@ from typing import Any, Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -84,6 +85,66 @@ def _update_user_stats(
             "first_us": [first_us],
             "last_us": [last_us],
         }
+    )
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """The same per-user running-stats state machine as
+    ``_update_user_stats``, on the Spark 4 ``transformWithStateInPandas``
+    API (StatefulProcessor): typed state handles (`getValueState`) instead
+    of one opaque tuple, explicit init/close lifecycle, and optional
+    timers/TTL the old API lacks. Requires the RocksDB state store
+    provider."""
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState(
+            "stats", "n_events bigint, value_cents bigint, first_us bigint, last_us bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        prior = self._stats.get()
+        n, cents_total, first_us, last_us = prior if prior is not None else (0, 0, None, None)
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            cents_total += int(round(pdf["value"].mul(100).round(0).sum()))
+            lo = int(pdf["ts_us"].min())
+            hi = int(pdf["ts_us"].max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        self._stats.update((n, cents_total, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_cents": [cents_total],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """``user_running_stats`` built on ``transformWithStateInPandas``
+    (Spark 4). Same input/output contract; state lives in RocksDB (the
+    caller must set the RocksDB state store provider before the query
+    starts — the new operator refuses the default HDFS-backed store).
+
+    Environment gate (the Kafka pattern, SURVEY §5.3): the operator's
+    state-server protocol needs ``google.protobuf`` in the Python workers,
+    which this container lacks — so this stays OUT of the oracle catalog.
+    The plan-construction contract (grouping key, output schema, streaming
+    flag) is asserted without execution in tests/test_spark4_surfaces.py;
+    the cross-batch execution test runs wherever protobuf exists."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 
