@@ -1972,3 +1972,34 @@ def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         wavg(cents("l_extendedprice"), F.col("l_quantity").cast("long")).alias("wavg_price"),
         ucount(F.col("l_quantity").cast("long")).alias("n"),
     )
+
+
+_LATERAL_ORACLE = """
+SELECT b.p_brand, t.p_partkey, t.p_name, t.p_retailprice
+FROM (SELECT DISTINCT p_brand FROM part) b,
+LATERAL (SELECT p_partkey, p_name, p_retailprice FROM part p
+         WHERE p.p_brand = b.p_brand
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t
+"""
+
+
+@register("lateral_topk_per_brand", oracle=_LATERAL_ORACLE)
+def lateral_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-brand ordered LIMIT) through
+    spark.sql — the other spelling of top-k-per-group, planned the way it
+    must be at scale: Catalyst *decorrelates* the per-group LIMIT into a
+    WindowGroupLimit (partial before the shuffle, final after — map-side
+    top-k pruning, so only <=2 rows per brand per input partition ever
+    shuffle) joined back to the DISTINCT brand list via broadcast. No
+    per-group re-execution of the inner query, which is what a naive
+    lateral evaluation would do over every one of millions of groups."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_sql")
+    return spark.sql(
+        """
+        SELECT b.p_brand, t.p_partkey, t.p_name, t.p_retailprice
+        FROM (SELECT DISTINCT p_brand FROM part_sql) b,
+        LATERAL (SELECT p_partkey, p_name, p_retailprice FROM part_sql p
+                 WHERE p.p_brand = b.p_brand
+                 ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t
+        """
+    )

@@ -1450,3 +1450,62 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("long").alias("phones_redacted"),
         F.sum(F.length("rtext")).cast("long").alias("redacted_chars"),
     )
+
+
+_ARROW_VEC_ORACLE = """
+SELECT vec_id,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+  list_aggregate(embedding, 'max') AS max_val,
+  CAST(list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS BIGINT)
+    AS argmax
+FROM embeddings
+"""
+
+
+@register("vector_mapinarrow_stats", oracle=_ARROW_VEC_ORACLE)
+def vector_mapinarrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the engine's Arrow-native UDF plane (the fourth
+    user-function surface after scalar pandas UDF / grouped-map / UDTF):
+    batches arrive as pyarrow RecordBatches with NO pandas conversion, the
+    per-vector stats are computed with vectorized reduceat kernels over the
+    flattened list buffer, and batches go back as Arrow.
+
+    Per embedding: positive-component count, max component, argmax index —
+    all *selection* (no float arithmetic), so results are bit-exact against
+    the DuckDB list-function replay. This is the template for numeric
+    kernels where even pandas Series overhead matters (the multimodal
+    family uses mapInPandas; vector crunching at 100 TB wants the raw
+    Arrow buffers)."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    def stats(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(col).to_numpy()
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            n_pos = np.add.reduceat((flat > 0).astype(np.int64), starts)
+            maxv = np.maximum.reduceat(flat, starts)
+            pos = np.arange(len(flat), dtype=np.int64)
+            cand = np.where(flat == np.repeat(maxv, lens), pos, len(flat))
+            argmax = np.minimum.reduceat(cand, starts) - starts
+            yield pa.record_batch(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    pa.array(n_pos, type=pa.int64()),
+                    pa.array(maxv, type=pa.float32()),
+                    pa.array(argmax, type=pa.int64()),
+                ],
+                names=["vec_id", "n_pos", "max_val", "argmax"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        stats, "vec_id bigint, n_pos bigint, max_val float, argmax bigint"
+    )
