@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "events_funnel_conversion",
     "events_cohort_retention",
     "join_bucketed_colocated",
+    # round-4 additions (keys above stay fixed for comparability)
+    "events_variant_props",
+    "events_gapfill_resample",
+    "vector_mapinarrow_stats",
 ]
 
 

@@ -511,3 +511,77 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.variant_get("v", "$.k", "bigint")).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+US_PER_HOUR = 3_600_000_000
+
+_GAPFILL_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_ns(ts)//1000)//{US_PER_HOUR}*{US_PER_HOUR} AS bucket_us,
+         COUNT(*) AS n_events,
+         SUM({sql_cents('value')}) AS sum_cents
+  FROM events GROUP BY 1,2
+),
+bounds AS (SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM b GROUP BY 1),
+grid AS (
+  SELECT event_type, UNNEST(range(lo, hi + {US_PER_HOUR}, {US_PER_HOUR})) AS bucket_us
+  FROM bounds
+),
+j AS (
+  SELECT g.event_type, g.bucket_us, b.n_events, b.sum_cents
+  FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket_us = b.bucket_us
+)
+SELECT event_type, bucket_us,
+       COALESCE(n_events, 0) AS n_events,
+       last_value(sum_cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS filled_value
+FROM j
+"""
+
+
+@register("events_gapfill_resample", oracle=_GAPFILL_ORACLE)
+def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + resample (the hypertable ``time_bucket_gapfill``
+    + ``locf`` pattern): hourly buckets per event_type, the COMPLETE hourly
+    grid between each series' first and last bucket generated with
+    ``sequence``+``explode``, missing buckets joined in as zero-count rows,
+    and the last observed hourly value carried forward with
+    ``last(ignorenulls)`` over an ordered window.
+
+    Scale shape: the grid is generated distributed — one ``sequence`` array
+    per series row, exploded executor-side (never a driver loop); the
+    forward fill is one shuffle on the series key. Granularity is chosen so
+    the per-series array stays bounded (hours over months ~ 10^3); for
+    second-level grids over years, generate the grid from a range join
+    against a bucket dimension instead of one giant array per row."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        (F.expr(f"ts_us div {US_PER_HOUR}") * US_PER_HOUR).alias("bucket_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    bounds = b.groupBy("event_type").agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(US_PER_HOUR))).alias("bucket_us"),
+    )
+    j = grid.join(b, ["event_type", "bucket_us"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "bucket_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.last("sum_cents", ignorenulls=True).over(w) / F.lit(100.0)).alias(
+            "filled_value"
+        ),
+    )
