@@ -2003,3 +2003,75 @@ def lateral_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t
         """
     )
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))/100.0 AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the same logical plan as the classic
+    SELECT spelled as a linear ``|>`` dataflow — scan |> filter |>
+    aggregate |> filter |> sort. Each stage lowers to the identical
+    Catalyst operators (this is syntax, not a new engine path), so
+    pushdown/pruning/codegen behave exactly as the classic form — the
+    oracle IS the classic form."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+                       / CAST(100 AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+_SCRIPT_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_big
+FROM orders
+WHERE o_totalprice > 200000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_scripting_block", oracle=_SCRIPT_ORACLE)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4, ``BEGIN..END``): session variables declared
+    and consumed inside a procedural block; the block's last statement is
+    the result. The variable substitutes at plan time, so the predicate
+    still pushes down to the scan — scripting composes control flow
+    around plans, it does not interpret rows."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff DOUBLE DEFAULT 200000.0;
+              DECLARE status STRING DEFAULT 'O';
+              SELECT o_orderpriority, COUNT(*) AS n_big
+              FROM orders_script
+              WHERE o_totalprice > cutoff AND o_orderstatus = status
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
