@@ -2075,3 +2075,89 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_bitmap_exact_distinct", oracle=_BITMAP_ORACLE)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps: bucket each key with
+    ``bitmap_bucket_number``, OR the per-bucket bit positions together with
+    ``bitmap_construct_agg``, then sum the popcounts.
+
+    This is the scale-out alternative to ``COUNT(DISTINCT)``'s expandable
+    two-phase plan when distinct counts are needed per rollup cell or
+    re-aggregated across time partitions: bitmaps are associative partial
+    states (like sketches) but EXACT — a day's bitmaps OR together into a
+    month's without re-reading the month. The oracle is the plain
+    COUNT(DISTINCT), which the bitmap pipeline must equal bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_customers")
+    )
+
+
+_LISTAGG_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_listagg_sorted", oracle=_LISTAGG_ORACLE)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg`` (Spark 4) with DISTINCT + WITHIN GROUP ordering — the
+    deterministic string-aggregation surface. DISTINCT bounds the output
+    (5 priorities), because concatenating an unbounded group's raw column
+    into one string is an anti-pattern at scale — a group with 10^8 rows
+    would materialize one multi-GB string on a single executor."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderpriority, ',') "
+            "WITHIN GROUP (ORDER BY o_orderpriority)"
+        ).alias("prios")
+    )
+
+
+@register("agg_hll_sketch_mergeable")  # rows-only: the estimate comes from
+# Apache DataSketches HLL, which no SQL oracle replays; the mergeability +
+# accuracy contracts are pinned exactly in tests/test_hll_sketch.py
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate distinct: per-priority HLL sketches
+    (``hll_sketch_agg``), plus an ALL row whose estimate comes from
+    ``hll_union_agg`` over the per-priority partial sketches — never from
+    re-scanning the input.
+
+    This partial-sketch-then-merge shape is how a 100 TB pipeline serves
+    distinct counts across arbitrary time/partition slices: store one
+    small sketch per (partition, group) cell, merge cells at query time.
+    Unlike ``approx_count_distinct`` (whose partials are internal), the
+    sketch here is a first-class binary value that can be written to a
+    table and unioned days later."""
+    o = t(spark, sf_dir, "orders")
+    per_prio = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    est = per_prio.select(
+        "o_orderpriority",
+        F.expr("hll_sketch_estimate(sk)").alias("n_customers_est"),
+    )
+    merged = per_prio.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_customers_est"),
+    )
+    return est.unionByName(merged)
