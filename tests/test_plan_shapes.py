@@ -133,3 +133,31 @@ def test_partitioned_parquet_read_prunes_partitions(spark):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "lang" in pf, f"lang predicate not in PartitionFilters: {pf}"
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The LATERAL per-group ordered LIMIT must decorrelate into
+    WindowGroupLimit (map-side top-k pruning: <=k rows per group per
+    partition reach the shuffle) — never a per-group re-execution or a
+    cartesian expansion."""
+    plan = _plan(spark, "lateral_topk_per_brand")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_grid_is_distributed_generate(spark):
+    """The gap-fill grid comes from sequence+explode executor-side (a
+    Generate node), not a driver-built range; the fill is a single window
+    over the series key."""
+    plan = _plan(spark, "events_gapfill_resample")
+    assert "Generate explode" in plan
+    assert plan.count("Window") >= 1
+
+
+def test_bitmap_distinct_is_two_phase_no_expand(spark):
+    """The bitmap pipeline replaces COUNT(DISTINCT)'s Expand-based
+    rewrite: partial bitmap OR per (group, bucket), popcount-sum after —
+    no Expand node anywhere."""
+    plan = _plan(spark, "agg_bitmap_exact_distinct")
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan or "bitmap_count" in plan

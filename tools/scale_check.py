@@ -117,6 +117,80 @@ def dedup_shape(docs):
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def materialize_events(spark) -> None:
+    """10x events with key cardinality scaled (user_id' = user_id*10+i) and
+    timestamps jittered per replica (+i minutes) so per-user series grow in
+    count but session/gap structure stays realistic — the regime where the
+    event-time family's shuffles (asof union-window, gap-fill grid,
+    session merge) must stay linear."""
+    if os.path.exists(os.path.join(SCALE_DIR, "events", "_SUCCESS")):
+        return
+    ev = load_table(spark, SF_DIR, "events")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("i")
+    (
+        ev.select("event_id", "ts_us", "user_id", "event_type", "value", rep)
+        .select(
+            (F.col("event_id") * FACTOR + F.col("i")).alias("event_id"),
+            (F.col("ts_us") + F.col("i") * 60_000_000).alias("ts_us"),
+            (F.col("user_id") * FACTOR + F.col("i")).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "events"))
+    )
+
+
+def asof_shape(ev):
+    from sparkstreamingrealtimedatawithkafka_spark.operators.asof import asof_join
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    j = asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["p_event_id", "value"],
+        tiebreak="p_event_id",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents("value_r")).alias("v")
+    )
+
+
+def gapfill_shape(ev):
+    US_H = 3_600_000_000
+    b = ev.groupBy(
+        "event_type", (F.expr(f"ts_us div {US_H}") * US_H).alias("bucket_us")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sc"))
+    bounds = b.groupBy("event_type").agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi", F.lit(US_H))).alias("bucket_us")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = grid.join(b, ["event_type", "bucket_us"], "left").select(
+        "event_type",
+        "bucket_us",
+        F.last("sc", ignorenulls=True).over(w).alias("filled"),
+    )
+    return filled.agg(F.count(F.lit(1)).alias("n"), F.sum("filled").alias("s"))
+
+
 def run_noop(df) -> float:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
@@ -127,6 +201,7 @@ def main() -> None:
     spark = build_session(app_name="ssk-scale-check")
     materialize(spark)
     materialize_docs(spark)
+    materialize_events(spark)
 
     li1 = load_table(spark, SF_DIR, "lineitem")
     o1 = load_table(spark, SF_DIR, "orders")
@@ -134,6 +209,8 @@ def main() -> None:
     o10 = spark.read.parquet(os.path.join(SCALE_DIR, "orders"))
     docs1 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     docs10 = spark.read.parquet(os.path.join(SCALE_DIR, "documents"))
+    ev1 = load_table(spark, SF_DIR, "events")
+    ev10 = spark.read.parquet(os.path.join(SCALE_DIR, "events"))
 
     # warm up the JVM/codegen/readers so 1x isn't charged the boot cost
     run_noop(q1_shape(li1))
@@ -144,6 +221,8 @@ def main() -> None:
         ("q1_agg", q1_shape(li1), q1_shape(li10)),
         ("q3_join_agg", q3_shape(li1, o1), q3_shape(li10, o10)),
         ("minhash_lsh_dedup", dedup_shape(docs1), dedup_shape(docs10)),
+        ("asof_join", asof_shape(ev1), asof_shape(ev10)),
+        ("gapfill_resample", gapfill_shape(ev1), gapfill_shape(ev10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
