@@ -2161,3 +2161,135 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_customers_est"),
     )
     return est.unionByName(merged)
+
+
+_UPSERT_ORACLE = """
+WITH delta AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN o_custkey
+              ELSE o_custkey + 10000000 END AS k,
+         SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS delta_cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY 1
+)
+SELECT COALESCE(c.c_custkey, d.k) AS c_custkey,
+       COALESCE(c.c_name, '(new)') AS c_name,
+       (COALESCE(CAST(ROUND(c.c_acctbal*100,0) AS BIGINT), 0)
+          + COALESCE(d.delta_cents, 0))/100.0 AS balance,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN d.k IS NULL THEN 'keep' ELSE 'update' END AS op
+FROM customer c FULL OUTER JOIN delta d ON c.c_custkey = d.k
+"""
+
+
+@register("merge_upsert_scd1", oracle=_UPSERT_ORACLE)
+def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type 1 upsert) as a plan: apply a keyed
+    change-set to a dimension in one FULL OUTER join — matched rows
+    update (balance += delta), unmatched-change rows insert, unmatched-base
+    rows pass through, each tagged with its ``op``.
+
+    Plain-parquet Spark has no MERGE statement (that's a table-format
+    feature — Delta/Iceberg layer it on this exact join + rewrite); the
+    join IS the scalable core: one shuffle on the merge key for the delta
+    (the dimension side is typically the big one and shuffles once too —
+    at 100 TB you bucket the dimension on the key so only the delta
+    moves). The change-set here routes half the keys out of the base's
+    key space so all three MERGE branches are exercised and checked."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    delta = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(
+            F.when(F.col("o_custkey") % 2 == 0, F.col("o_custkey"))
+            .otherwise(F.col("o_custkey") + 10_000_000)
+            .alias("k")
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("delta_cents"))
+    )
+    merged = cust.join(delta, cust.c_custkey == delta.k, "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "k").alias("c_custkey"),
+        F.coalesce("c_name", F.lit("(new)")).alias("c_name"),
+        (
+            (F.coalesce(cents("c_acctbal"), F.lit(0)) + F.coalesce("delta_cents", F.lit(0)))
+            / F.lit(100.0)
+        ).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("k").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH chg AS (
+  SELECT o_custkey AS k, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS eff,
+         SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS delta_cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY 1, 2
+),
+versions AS (
+  SELECT c_custkey AS k, TIMESTAMP '1990-01-01' AS valid_from,
+         CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_cents
+  FROM customer
+  UNION ALL
+  SELECT c.c_custkey, chg.eff,
+         CAST(ROUND(c.c_acctbal*100,0) AS BIGINT)
+           + SUM(chg.delta_cents) OVER (PARTITION BY chg.k ORDER BY chg.eff
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  FROM chg JOIN customer c ON c.c_custkey = chg.k
+)
+SELECT k AS c_custkey, valid_from, bal_cents/100.0 AS balance,
+       lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from) IS NULL
+         AS is_current
+FROM versions
+"""
+
+
+@register("merge_scd2_history", oracle=_SCD2_ORACLE)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2 (versioned history): every balance change opens a new
+    version row; ``valid_to`` is the next version's ``valid_from`` (lead
+    window) and the open version is ``is_current``. With
+    ``merge_upsert_scd1`` this completes the warehouse MERGE family:
+    type 1 overwrites in place, type 2 keeps the full history — the shape
+    every compliance-grade dimension needs.
+
+    Scale: one shuffle keys the change stream (groupBy), one window pass
+    assigns intervals per key — interval assignment never compares rows
+    across keys, so it shards like any keyed window. The cumulative
+    balance is exact integer cents under the running-sum window."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    chg = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("eff"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("delta_cents"))
+    )
+    cum = W.partitionBy("k").orderBy("eff").rowsBetween(W.unboundedPreceding, 0)
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.lit("1990-01-01").cast("timestamp_ntz").alias("valid_from"),
+        cents("c_acctbal").alias("bal_cents"),
+    )
+    changed = (
+        chg.join(cust, chg.k == cust.c_custkey)
+        .select(
+            "k",
+            F.col("eff").alias("valid_from"),
+            (cents("c_acctbal") + F.sum("delta_cents").over(cum)).alias("bal_cents"),
+        )
+    )
+    versions = base.unionByName(changed)
+    nxt = W.partitionBy("k").orderBy("valid_from")
+    return versions.select(
+        F.col("k").alias("c_custkey"),
+        "valid_from",
+        (F.col("bal_cents") / F.lit(100.0)).alias("balance"),
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        F.lead("valid_from").over(nxt).isNull().alias("is_current"),
+    )
