@@ -585,3 +585,77 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_value"
         ),
     )
+
+
+_COGROUP_ORACLE = f"""
+WITH c AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events
+           WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events
+           WHERE event_type = 'purchase'),
+cg AS (SELECT user_id, COUNT(*) AS n_clicks FROM c GROUP BY 1),
+pg AS (
+  SELECT user_id, COUNT(*) AS n_purchases,
+         SUM(CASE WHEN EXISTS (SELECT 1 FROM c
+                               WHERE c.user_id = p.user_id
+                                 AND c.us <= p.us
+                                 AND c.us >= p.us - {US_PER_30MIN})
+                  THEN 1 ELSE 0 END) AS n_attributed
+  FROM p GROUP BY 1
+)
+SELECT COALESCE(cg.user_id, pg.user_id) AS user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       CAST(COALESCE(n_attributed, 0) AS BIGINT) AS n_attributed
+FROM cg FULL OUTER JOIN pg ON cg.user_id = pg.user_id
+"""
+
+
+@register("cogroup_click_attribution", oracle=_COGROUP_ORACLE)
+def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the two-input grouped-map surface:
+    clicks and purchases grouped on user_id arrive as SEPARATE pandas
+    frames per key, and arbitrary Python merges them (here last-click
+    attribution: a purchase is attributed when some click by the same user
+    precedes it within 30 minutes — a vectorized searchsorted, not a
+    pairwise product).
+
+    This is the escape hatch for per-key merge logic no join expresses
+    (state-machine reconciliation, custom interval matching); the engine's
+    asof_join covers the expressible case with pure DataFrame ops, and
+    this entry pins the surface for the rest. Cogroup is key-outer: users
+    with only one side present get the other as an empty frame. One
+    shuffle per side on the key; Arrow-batched both ways."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us")
+
+    def merge(key, clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame):
+        import numpy as np
+
+        cu = np.sort(clicks_pdf["ts_us"].to_numpy())
+        pu = purch_pdf["ts_us"].to_numpy()
+        if len(cu) and len(pu):
+            idx = np.searchsorted(cu, pu, side="right") - 1
+            ok = idx >= 0
+            att = int((ok & (pu - cu[idx.clip(0)] <= 1_800_000_000)).sum())
+        else:
+            att = 0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(cu)],
+                "n_purchases": [len(pu)],
+                "n_attributed": [att],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_clicks bigint, n_purchases bigint, n_attributed bigint",
+        )
+    )
