@@ -154,3 +154,49 @@ def test_transform_with_state_cross_batch(spark, tmp_path):
     assert final[2]["n_events"] == 2
     assert final[2]["value_cents"] == 1050
     assert (final[2]["first_us"], final[2]["last_us"]) == (50, 300)
+
+
+def test_grouped_apply_in_arrow(spark):
+    """Grouped-map applyInArrow — the Arrow-native sibling of
+    applyInPandas: each group arrives as a pyarrow Table, goes back as
+    Arrow, no pandas materialization. Completes the Arrow UDF matrix
+    (scalar pandas UDF / mapInArrow / grouped pandas / grouped Arrow /
+    cogrouped pandas)."""
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 30.0), (2, 5.0)], "k long, v double"
+    )
+
+    def center(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mean = pc.mean(tbl.column("v"))
+        return tbl.set_column(
+            tbl.schema.get_field_index("v"),
+            "v",
+            pc.subtract(tbl.column("v"), mean),
+        )
+
+    out = df.groupBy("k").applyInArrow(center, "k long, v double").collect()
+    got = sorted((r["k"], r["v"]) for r in out)
+    assert got == [(1, -10.0), (1, 10.0), (2, 0.0)]
+
+
+def test_join_hints_control_strategy(spark):
+    """SQL join hints must steer the physical strategy: BROADCAST forces a
+    BroadcastHashJoin even when AQE would pick otherwise; MERGE forces
+    SortMergeJoin even for a tiny broadcastable side. At 100 TB, hints are
+    the manual override when stats mislead the optimizer."""
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").createOrReplaceTempView("o_h")
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet").createOrReplaceTempView("c_h")
+
+    plan_b = spark.sql(
+        "SELECT /*+ BROADCAST(c_h) */ * FROM o_h JOIN c_h ON o_custkey = c_custkey"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    plan_m = spark.sql(
+        "SELECT /*+ MERGE(c_h) */ * FROM o_h JOIN c_h ON o_custkey = c_custkey"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m and "BroadcastHashJoin" not in plan_m
