@@ -1509,3 +1509,50 @@ def vector_mapinarrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInArrow(
         stats, "vec_id bigint, n_pos bigint, max_val float, argmax bigint"
     )
+
+
+_FUZZY_ORACLE = """
+WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("fuzzy_match_levenshtein", oracle=_FUZZY_ORACLE)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / fuzzy matching: candidate pairs by BLOCKING
+    (equi-join on the first token), then edit-distance filter inside the
+    block — the entity-resolution shape (dedup of customer/supplier
+    records by near-identical names).
+
+    Blocking is what makes this survive scale: the join is an equi-join on
+    the block key (one shuffle, same plan class as the LSH dedup family);
+    the O(len²) ``levenshtein`` only ever runs on in-block candidates,
+    never all pairs. Block-key choice is the recall/cost dial exactly like
+    LSH band width — a production linker unions several blockings
+    (first-token, soundex, prefix) the same way LSH uses multiple bands.
+    Both Spark and DuckDB implement ``levenshtein``, so the entry is fully
+    oracle-checked."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("id_a", "id_b", "dist")
+    )
