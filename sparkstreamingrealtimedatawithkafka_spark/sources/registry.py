@@ -29,7 +29,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    ArrayType,
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 TABLES = (
     "region",
@@ -43,6 +56,187 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+
+class SchemaDriftError(TypeError):
+    """A fixture table's resolved schema violates its contract.
+
+    Raised with every violation listed, so one driver regeneration that
+    changes several columns reads as one self-describing failure instead of
+    a cascade of red catalog entries (the round-3 failure class —
+    SURVEY §1.2's string-vs-struct ``source`` mismatch is the reference
+    ancestor: news_producer.py:127 vs spark_entity_counter.py:106).
+    """
+
+
+# --- type families -----------------------------------------------------------
+# Contracts are stated per *family*, not per physical type, so width/unit
+# drift (int32<->int64, float<->double, decimal(p,2)->double,
+# timestamp[us]/[ns]/ntz, nanos-as-long) stays loadable; only a change of
+# kind (e.g. a key column arriving as string) trips the contract.
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_FRACTIONAL = (FloatType, DoubleType, DecimalType)
+
+
+def _in_family(dt, family: str) -> bool:
+    if family == "integral":
+        return isinstance(dt, _INTEGRAL)
+    if family == "fractional":
+        return isinstance(dt, _FRACTIONAL)
+    if family == "string":
+        return isinstance(dt, StringType)
+    if family == "timestamp":
+        # LongType admitted for the nanos-as-long legacy read (events.ts
+        # round-3 history); DateType for a date-typed regeneration.
+        return isinstance(
+            dt, (TimestampType, TimestampNTZType, DateType, LongType)
+        )
+    if family == "float_array":
+        return isinstance(dt, ArrayType) and isinstance(
+            dt.elementType, _FRACTIONAL
+        )
+    raise ValueError(f"unknown type family {family!r}")
+
+
+# Expected columns per fixture table (TESTDATA.md). Order-insensitive;
+# missing, extra, or family-mismatched columns all trip the contract.
+EXPECTED_SCHEMAS: dict = {
+    "region": {"r_regionkey": "integral", "r_name": "string"},
+    "nation": {
+        "n_nationkey": "integral",
+        "n_name": "string",
+        "n_regionkey": "integral",
+    },
+    "customer": {
+        "c_custkey": "integral",
+        "c_name": "string",
+        "c_nationkey": "integral",
+        "c_acctbal": "fractional",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "integral",
+        "s_name": "string",
+        "s_nationkey": "integral",
+        "s_acctbal": "fractional",
+    },
+    "part": {
+        "p_partkey": "integral",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "integral",
+        "p_retailprice": "fractional",
+    },
+    "orders": {
+        "o_orderkey": "integral",
+        "o_custkey": "integral",
+        "o_orderstatus": "string",
+        "o_totalprice": "fractional",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "integral",
+        "l_partkey": "integral",
+        "l_suppkey": "integral",
+        "l_linenumber": "integral",
+        "l_quantity": "fractional",
+        "l_extendedprice": "fractional",
+        "l_discount": "fractional",
+        "l_tax": "fractional",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "integral",
+        "ts": "timestamp",
+        "user_id": "integral",
+        "event_type": "string",
+        "value": "fractional",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "integral",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "integral",
+    },
+    "embeddings": {
+        "vec_id": "integral",
+        "embedding": "float_array",
+        "label": "integral",
+    },
+}
+
+
+def check_schema_contract(schema, name: str) -> None:
+    """Validate a resolved Spark schema against the table's contract.
+
+    Raises :class:`SchemaDriftError` naming every violation; returns None
+    when the schema is conforming. Reads only resolved metadata — no data
+    scan, so calling it on every load costs a parquet-footer read that the
+    load was doing anyway.
+    """
+    expected = EXPECTED_SCHEMAS[name]
+    got = {f.name: f.dataType for f in schema.fields}
+    problems = []
+    for col, family in expected.items():
+        if col not in got:
+            problems.append(f"missing column {col!r} (expected {family})")
+        elif not _in_family(got[col], family):
+            problems.append(
+                f"column {col!r} resolved as {got[col].simpleString()}, "
+                f"expected family {family!r}"
+            )
+    for col in got:
+        if col not in expected:
+            problems.append(
+                f"unexpected column {col!r} ({got[col].simpleString()})"
+            )
+    if problems:
+        raise SchemaDriftError(
+            f"fixture table {name!r} schema drifted: " + "; ".join(problems)
+        )
+
+
+def _normalize_columns(df: DataFrame, name: str) -> DataFrame:
+    """Cast drifted physical types back to the canonical forms the plan
+    library was written against (the ``event_time_columns`` idea, applied
+    to every table):
+
+    - fractional scalars -> double (value-preserving for float32; the
+      closest-behavior choice for a decimal regeneration)
+    - timestamp columns -> TimestampNTZType (the type Spark resolves for
+      today's tz-less parquet timestamps, i.e. the steady state every plan
+      was validated against; instant/date casts are identity under the
+      pinned-UTC session, nanos-as-long goes via ``timestamp_micros``)
+    - integral / string / float-array columns pass through as resolved
+      (plans are width-agnostic; both engines read the same parquet).
+
+    Returns ``df`` unchanged when nothing drifted, so the steady-state plan
+    is byte-identical to a plain parquet scan.
+    """
+    exprs, changed = [], False
+    for f in df.schema.fields:
+        family = EXPECTED_SCHEMAS[name][f.name]
+        dt = f.dataType
+        if family == "fractional" and not isinstance(dt, DoubleType):
+            exprs.append(F.col(f.name).cast(DoubleType()).alias(f.name))
+            changed = True
+        elif family == "timestamp" and not isinstance(dt, TimestampNTZType):
+            if isinstance(dt, LongType):  # nanos-as-long legacy read
+                col = F.expr(f"timestamp_micros({f.name} div 1000)")
+            else:  # TimestampType / DateType — UTC session tz, identity
+                col = F.col(f.name)
+            exprs.append(col.cast(TimestampNTZType()).alias(f.name))
+            changed = True
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs) if changed else df
 
 
 def event_time_columns(ts_type) -> tuple:
@@ -68,14 +262,26 @@ def event_time_columns(ts_type) -> tuple:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    check_schema_contract(raw.schema, "events")
     ts_us, ts = event_time_columns(raw.schema["ts"].dataType)
-    return raw.select("event_id", ts_us, ts, "user_id", "event_type", "value", "props")
+    value = F.col("value")
+    if not isinstance(raw.schema["value"].dataType, DoubleType):
+        value = value.cast(DoubleType()).alias("value")
+    return raw.select("event_id", ts_us, ts, "user_id", "event_type", value, "props")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; ``events`` gets the nanos→micros treatment."""
+    """Load one fixture table with its schema contract enforced.
+
+    Every table passes :func:`check_schema_contract` (loud, named failure on
+    drift — the round-3 lesson) and :func:`_normalize_columns` (adaptive
+    casts back to canonical types); ``events`` additionally gets the
+    nanos→micros ``(ts_us, ts)`` treatment.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    check_schema_contract(raw.schema, name)
+    return _normalize_columns(raw, name)

@@ -168,8 +168,10 @@ def test_embedding_cosine_dedup_full_recall_on_real_near_dups(spark, tmp_path):
     noise = rng.normal(size=(20, 64)) * 0.01
     dups = dup_src + noise
     V = np.vstack([base, dups]).astype(np.float32)
-    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rows = [(i, [float(x) for x in V[i]], 0) for i in range(len(V))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
     Vn = V.astype(np.float64)
