@@ -6,7 +6,10 @@ sf_dir and compares row-count / column names / order-insensitive values
 against ``oracle_sql()`` via DuckDB. Prints one status line per query and
 a final summary line.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--only SUBSTRING]
+
+``--only`` runs just the catalog entries whose name contains SUBSTRING
+(skips the entry() smoke) — the quick loop for iterating on one query.
 """
 
 from __future__ import annotations
@@ -22,7 +25,13 @@ sys.path.insert(0, str(REPO / "tests"))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     spec = importlib.util.spec_from_file_location("__spark_entry__", REPO / "__spark_entry__.py")
     mod = importlib.util.module_from_spec(spec)
@@ -33,11 +42,12 @@ def main() -> int:
 
     spark = build_session(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
 
-    t0 = time.time()
-    flagship = mod.entry(spark)
-    rows = flagship.collect()
-    print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s; head={rows[:3]}")
-    assert len(rows) > 0
+    if only is None:
+        t0 = time.time()
+        flagship = mod.entry(spark)
+        rows = flagship.collect()
+        print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s; head={rows[:3]}")
+        assert len(rows) > 0
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
@@ -51,6 +61,8 @@ def main() -> int:
     DRIVER_WINDOW = 50
     failed, inexact = [], []
     for pos, name in enumerate(qs, start=1):
+        if only is not None and only not in name:
+            continue
         in_window = pos <= DRIVER_WINDOW
         t0 = time.time()
         try:
