@@ -96,20 +96,23 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_strategy: str = "first_n",
+    centroid_strategy: str = "kmeans",
     kmeans_iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k: IVF bucketing over ``n_centroids`` buckets.
 
     ``centroid_strategy``:
-    - ``"first_n"`` (default): the first ``n_centroids`` corpus vectors —
-      fully deterministic and driver-free, the oracle-checkable baseline.
+    - ``"kmeans"`` (default — the quality path a production pipeline
+      wants): ``kmeans_iters`` Lloyd's passes refine a deterministic
+      first-N init (operators/clustering.py:kmeans_centroids), so buckets
+      track the data's actual modes. Driver holds only k x dim floats; the
+      corpus never leaves the executors. Recall >= the first-N baseline is
+      pinned in tests/test_similarity_recall.py.
+    - ``"first_n"``: the first ``n_centroids`` corpus vectors — fully
+      deterministic in ONE pass and SQL-replayable, the oracle-checkable
+      baseline (the ``sim_ivf_topk`` catalog entry pins it explicitly).
       Weakness: if the first N vectors are correlated (clustered real
       data), the buckets are lopsided and recall collapses.
-    - ``"kmeans"``: ``kmeans_iters`` Lloyd's passes refine the same
-      deterministic init (operators/clustering.py:kmeans_centroids), so
-      buckets track the data's actual modes. Driver holds only k x dim
-      floats; the corpus never leaves the executors.
     """
     if centroid_strategy == "kmeans":
         from sparkstreamingrealtimedatawithkafka_spark.operators.clustering import (

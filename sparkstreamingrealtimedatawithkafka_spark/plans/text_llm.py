@@ -753,10 +753,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (probe 3 of 16 buckets) — the ANN
     scale path (prunes 13/16 of the corpus per query); recall vs brute
     force is pinned in tests, and the deterministic pipeline itself is
-    replayed end-to-end by the SQL oracle."""
+    replayed end-to-end by the SQL oracle. Pins first_n centroids
+    explicitly: the operator's default is the kmeans quality path, but the
+    oracle replay needs the one-pass SQL-expressible init."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=3)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=3, centroid_strategy="first_n"
+    )
 
 
 @register(
