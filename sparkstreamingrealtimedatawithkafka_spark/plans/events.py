@@ -513,6 +513,74 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VARIANT_MALFORMED_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN event_id % 5 = 0 THEN 'x' || props
+              WHEN event_id % 5 = 1 THEN '{"k": "s"}'
+              ELSE props END AS p
+  FROM events
+)
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unparseable,
+  CAST(SUM(CASE WHEN json_valid(p)
+                 AND TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_type_mismatch,
+  CAST(SUM(CASE WHEN json_valid(p)
+                THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) END)
+       AS BIGINT) AS sum_k,
+  CAST(SUM(CASE WHEN json_valid(p)
+                 AND json_extract_string(p, '$.missing') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
+FROM c
+GROUP BY event_type
+"""
+
+
+@register("variant_malformed_probes", oracle=_VARIANT_MALFORMED_ORACLE)
+def variant_malformed_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT error-path semantics: ``try_parse_json`` /
+    ``try_variant_get`` over a deterministically corrupted props column —
+    the PERMISSIVE null-row posture the reference relies on for malformed
+    Kafka JSON (spark_entity_counter.py:128 via from_json's default mode,
+    SURVEY §1.2), carried into the variant era.
+
+    Three corruption classes by event_id: leading garbage (unparseable →
+    try_parse_json yields NULL instead of failing the job — at 100 TB one
+    poisoned record must never kill a scan), a string-typed ``k``
+    (parseable, but the typed bigint probe nulls on the cast), and
+    untouched rows. Null propagation is pinned per class: unparseable rows
+    null every probe; type-mismatch rows null only the typed get; every
+    parsed row nulls the absent ``$.missing`` path. The corruption uses
+    LEADING garbage deliberately — Spark's parser tolerates trailing
+    garbage after a complete JSON value where DuckDB's json_valid does
+    not, so a trailing corruption would diverge between engines."""
+    ev = t(spark, sf_dir, "events")
+    p = (
+        F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("x"), F.col("props")))
+        .when(F.col("event_id") % 5 == 1, F.lit('{"k": "s"}'))
+        .otherwise(F.col("props"))
+    )
+    v = ev.select("event_type", F.try_parse_json(p).alias("v"))
+    k_big = F.try_variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").isNull().cast("bigint")).alias("n_unparseable"),
+        F.sum((F.col("v").isNotNull() & k_big.isNull()).cast("bigint")).alias(
+            "n_type_mismatch"
+        ),
+        F.sum(k_big).alias("sum_k"),
+        F.sum(
+            (
+                F.col("v").isNotNull()
+                & F.try_variant_get("v", "$.missing", "bigint").isNull()
+            ).cast("bigint")
+        ).alias("n_missing_path"),
+    )
+
+
 US_PER_HOUR = 3_600_000_000
 
 _GAPFILL_ORACLE = f"""

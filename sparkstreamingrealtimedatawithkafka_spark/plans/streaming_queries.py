@@ -294,6 +294,57 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _register_tws_entry() -> None:
+    """Conditionally register the ``transformWithStateInPandas`` twin of
+    ``streaming_stateful_user_stats``. Skipped (not failed) where the
+    execution runtime is missing — see ``has_tws_runtime``; the
+    plan-construction contract is always tested regardless
+    (tests/test_spark4_surfaces.py)."""
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.stateful import (
+        has_tws_runtime,
+        user_running_stats_tws,
+    )
+
+    if not has_tws_runtime():
+        return
+
+    @register(
+        "streaming_stateful_user_stats_tws",
+        oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND("value"*100,0) AS BIGINT))/100.0 AS total_value,
+       MIN(epoch_ns(ts)//1000) AS first_us,
+       MAX(epoch_ns(ts)//1000) AS last_us
+FROM events
+GROUP BY user_id
+""",
+    )
+    def streaming_stateful_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """``streaming_stateful_user_stats`` on the Spark-4 successor API
+        (``transformWithStateInPandas`` + RocksDB state store): same
+        input/output contract and the same SQL oracle, so both stateful
+        APIs are held to identical results."""
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = _events_stream(spark, sf_dir)
+        stats = user_running_stats_tws(stream.select("user_id", "value", "ts_us"))
+        out = run_to_memory(stats, output_mode="update")
+        return out.select(
+            "user_id",
+            "n_events",
+            (F.col("value_cents") / F.lit(100.0)).alias("total_value"),
+            "first_us",
+            "last_us",
+        )
+
+
+_register_tws_entry()
+
+
 @register(
     "streaming_static_join",
     oracle="""

@@ -1492,7 +1492,22 @@ def vector_mapinarrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if batch.num_rows == 0:
                 continue
             col = batch.column(batch.schema.get_field_index("embedding"))
-            lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+            lens_arr = pc.list_value_length(col)
+            # reduceat is only well-defined over non-empty segments: an
+            # empty list makes reduceat read the NEIGHBORING segment's
+            # element (silently wrong stats) or raise on a trailing empty,
+            # and a NULL list vanishes from list_flatten, misaligning every
+            # later vector. Fail loudly instead of corrupting silently —
+            # this kernel is the template for Arrow-plane numeric UDFs.
+            if lens_arr.null_count:
+                raise ValueError(
+                    "vector_mapinarrow_stats: NULL embedding list in batch"
+                )
+            lens = lens_arr.to_numpy().astype(np.int64)
+            if (lens == 0).any():
+                raise ValueError(
+                    "vector_mapinarrow_stats: empty embedding list in batch"
+                )
             flat = pc.list_flatten(col).to_numpy()
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])

@@ -52,6 +52,15 @@ class SyntheticReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.n = int(options.get("n", 80_000))
         self.num_parts = int(options.get("partitions", 8))
+        # partitions=0 would yield an empty partition list — a source that
+        # silently returns zero rows instead of erroring; negative values
+        # produce nonsense ranges. Options are user input: validate loudly.
+        if self.n < 0:
+            raise ValueError(f"ssk_synthetic: n must be >= 0, got {self.n}")
+        if self.num_parts < 1:
+            raise ValueError(
+                f"ssk_synthetic: partitions must be >= 1, got {self.num_parts}"
+            )
 
     def partitions(self):
         return [InputPartition(i) for i in range(self.num_parts)]

@@ -128,6 +128,21 @@ class UserStatsProcessor(StatefulProcessor):
         pass
 
 
+def has_tws_runtime() -> bool:
+    """True when ``transformWithStateInPandas`` can actually EXECUTE here:
+    its worker<->state-server protocol rides on ``google.protobuf``, which
+    pip-forbidden sandboxes may lack. Catalog registration keys off this,
+    so the TWS entry lights up automatically the moment the environment
+    gains the dependency (no code change) — the same env-gate posture as
+    the Kafka surfaces (SURVEY §5.3)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def user_running_stats_tws(events: DataFrame) -> DataFrame:
     """``user_running_stats`` built on ``transformWithStateInPandas``
     (Spark 4). Same input/output contract; state lives in RocksDB (the

@@ -11,7 +11,7 @@ from bench import BENCH_QUERIES
 from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 
 
 def test_bench_names_resolve():

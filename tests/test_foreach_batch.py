@@ -10,7 +10,7 @@ import os
 from sparkstreamingrealtimedatawithkafka_spark.sources.formats import write_files
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 
 

@@ -13,7 +13,7 @@ from sparkstreamingrealtimedatawithkafka_spark.sources.formats import (
 )
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 
 CUSTOMER_SCHEMA = (
     "c_custkey bigint, c_name string, c_nationkey int, "

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 
 
 def test_hll_merge_equals_direct_and_tracks_exact(spark):

@@ -8,7 +8,7 @@ import pytest
 
 from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 
 
 def _plan(spark, name: str) -> str:

@@ -14,7 +14,7 @@ from sparkstreamingrealtimedatawithkafka_spark.operators.similarity import (
 )
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 
 
 def test_ivf_recall_at_5(spark):

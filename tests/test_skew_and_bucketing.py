@@ -17,7 +17,7 @@ from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
 from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 
 
 def test_salted_agg_matches_plain(spark):

@@ -15,7 +15,7 @@ from sparkstreamingrealtimedatawithkafka_spark.sources.pysource import (
     register_python_sources,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # single source of truth for the fixture dir
 
 _MIX = 2654435761
 
@@ -62,12 +62,20 @@ def test_variant_roundtrip_scalar(spark):
 
 
 def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.stateful import (
+        has_tws_runtime,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return has_tws_runtime()
+
+
+def test_tws_catalog_registration_tracks_runtime():
+    """The TWS catalog entry must be registered exactly when the runtime
+    can execute it — it lights up automatically once the sandbox gains
+    google.protobuf, and never ships as a guaranteed-red entry without."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
+
+    assert ("streaming_stateful_user_stats_tws" in REGISTRY) == _has_protobuf()
 
 
 def test_transform_with_state_plan_contract(spark, tmp_path):
