@@ -1173,6 +1173,196 @@ def text_docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("stream", "window", "merge")
+_BM25_TERMS_SQL = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(dl) / COUNT(*) AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY tok
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))
+         ) AS score
+  FROM tf
+  JOIN df USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, "rank", ROUND(score, 4) AS score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS "rank"
+  FROM scored
+) WHERE "rank" <= 10
+"""
+
+
+@register("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) against a fixed term query —
+    the relevance-scoring capability a corpus engine owes its users on top
+    of the raw docfreq stats (text_docfreq_score holds the integer core;
+    this adds the real Robertson idf + length-normalized tf saturation).
+
+    Scale shape: the corpus tokenizes once; per-term df and per-(doc,term)
+    tf both filter to the QUERY terms before any shuffle, so the wide ops
+    are keyed on a handful of terms regardless of corpus size; corpus-wide
+    scalars (N, avgdl) ride a one-row broadcast cross join (the
+    relational.py stats-join pattern). Top-10 is a single global
+    WindowGroupLimit. Both engines evaluate the identically-parenthesized
+    double expression; the 4-dp round absorbs the last-ulp ln()
+    difference."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    df_t = (
+        qtoks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    tf = qtoks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rank", F.round("score", 4).alias("score"))
+    )
+
+
+_POSTINGS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       COUNT(*) AS total_tf,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       md5(array_to_string(list_sort(list_distinct(list(doc_id))), ',')) AS posting_md5
+FROM toks
+GROUP BY tok
+"""
+
+
+@register("text_inverted_postings", oracle=_POSTINGS_ORACLE)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: one shuffle keyed on term builds the
+    full posting list per token (df, total tf, doc-id bounds, and an md5
+    over the sorted distinct posting list so the EXACT membership is
+    hash-checked without hauling the arrays into the result).
+
+    This is the indexing half of the search family (search_bm25_topk is
+    the query half). Scale: output is vocabulary-sized (sublinear in
+    corpus rows); the posting arrays exist only inside the aggregation
+    buffers — for web-scale vocabularies the same plan shards by term, and
+    a posting list too large for one buffer is the signal to shard the
+    TERM (doc-range segmenting), not to collect it."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_set("doc_id")))
+        ).alias("posting_md5"),
+    )
+
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT *,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+              THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM assigned
+GROUP BY split
+"""
+
+
+@register("split_train_valid_test", oracle=_SPLIT_ORACLE)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-way train/valid/test split (75/12.5/12.5 by
+    md5-of-key bucket) — the assignment every training pipeline needs to
+    be REPRODUCIBLE and engine-portable: md5 is bit-identical everywhere
+    (unlike engine-native hash functions), so the same document lands in
+    the same split in Spark, DuckDB, or a Python driver script. Hashing
+    the key instead of sampling makes the split stable under corpus
+    growth: adding documents never moves an existing one across splits
+    (sample fractions re-shuffle everything). Disjoint-and-exhaustive by
+    construction (CASE over one hash char); pinned in
+    tests/test_split_properties.py."""
+    docs = t(spark, sf_dir, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c.isin(*"0123456789ab"), "train")
+        .when(c.isin("c", "d"), "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
 _MIXTURE_ORACLE = """
 WITH per AS (
   SELECT lang, source, COUNT(*) AS n_docs,
