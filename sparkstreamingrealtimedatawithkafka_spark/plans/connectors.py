@@ -187,6 +187,49 @@ GROUP BY o_orderpriority
 """
 
 
+_PYSTREAM_ORACLE = """
+SELECT CAST(id % 16 AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((id * 2654435761) % 1000) AS BIGINT) AS sum_score_milli
+FROM range(0, 40000) t(id)
+GROUP BY 1
+"""
+
+
+@register("source_python_stream_datasource", oracle=_PYSTREAM_ORACLE)
+def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source through the Python DataSource API
+    (``SimpleDataSourceStreamReader``, sources/pysource.py): the engine
+    drives offset-tracked micro-batches and commits offsets through the
+    checkpoint WAL — the extension contract for polling sources Spark
+    can't read natively (the reference's NewsAPI fetch loop,
+    news_producer.py:59-88, is the archetype; this is its exactly-once
+    upgrade). This bounded entry consumes the full deterministic range in
+    one batch (Spark's AvailableNow falls back to single-batch for Python
+    stream sources); incremental multi-batch paging and the
+    readBetweenOffsets recovery path are exercised in
+    tests/test_python_stream_source.py."""
+    from sparkstreamingrealtimedatawithkafka_spark.sources.pysource import (
+        register_python_sources,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    register_python_sources(spark)
+    rows = (
+        spark.readStream.format("ssk_synthetic_stream")
+        .option("n", 40_000)
+        .option("batch", 40_000)
+        .load()
+    )
+    counts = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score_milli").alias("sum_score_milli"),
+    )
+    return run_to_memory(counts, output_mode="complete")
+
+
 # sf_dir whose bucketed twin tables are currently materialized in this
 # process — the one-time write is the *point* of bucketing (amortized across
 # every later join on the key), so repeat calls must not re-pay it. With

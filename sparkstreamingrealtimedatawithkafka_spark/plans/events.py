@@ -655,6 +655,119 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts)//1000, event_id)
+           AS next_type
+  FROM events
+),
+n AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total FROM n GROUP BY 1)
+SELECT n.from_type, n.to_type, n.n,
+       ROUND(n.n / tot.row_total, 4) AS p
+FROM n JOIN tot USING (from_type)
+"""
+
+
+@register("events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov transition matrix: per user, order events by
+    (event time, event_id tiebreak), pair each event with its successor
+    via ``lead``, then count (from_type, to_type) transitions corpus-wide
+    and normalize per from-state.
+
+    The sequence pass is one keyed window (shards by user like every
+    event-time op — no cross-user comparison anywhere); the count matrix
+    is state-vocabulary-sized (|event_type|² rows), so the normalization
+    join is trivially broadcast. The probability is one exact-integer
+    division rounded at the very end, keeping the entry hash-exact."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    n = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = n.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return n.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 4).alias("p"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont("value", 0.5), 4) AS p50,
+       ROUND(quantile_cont("value", 0.9), 4) AS p90,
+       ROUND(quantile_cont("value", 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_exact_percentiles", oracle=_PERCENTILE_ORACLE)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (median / p90 / p99, linear
+    interpolation) — the ground-truth complement to the mergeable
+    ``agg_approx_sketches`` family: exact quantiles need the group's
+    values together (one shuffle on the group key, per-group sort inside
+    the aggregate buffer), which is affordable for bounded group counts
+    and exactly what you run to VALIDATE the approx sketches' error
+    bounds. At 100 TB with huge groups, approx_percentile is the default
+    and this is the audit path. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the p*(n-1) linear-interpolation definition;
+    the 4-dp round absorbs summation-order ulps."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT event_type,
+       CAST(FLOOR("value" / 25.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN("value") AS lo,
+       MAX("value") AS hi
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_value_histogram", oracle=_HISTOGRAM_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bucket = value div 25):
+    distribution profiling as a single map-side-combinable aggregation —
+    the shape that replaces a driver-side ``collect`` + numpy histogram at
+    scale. Bucket ids are exact integer floors; min/max are selections;
+    nothing here can drift between engines."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
 _COGROUP_ORACLE = f"""
 WITH c AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events
            WHERE event_type = 'click'),

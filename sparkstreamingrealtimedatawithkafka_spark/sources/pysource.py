@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Knuth's multiplicative-hash constant: cheap deterministic pseudo-scores
 # that DuckDB replays with plain BIGINT arithmetic (no float drift).
@@ -84,6 +89,69 @@ class SyntheticReader(DataSourceReader):
             )
 
 
+class SyntheticStreamDataSource(DataSource):
+    """`spark.readStream.format("ssk_synthetic_stream")` — the STREAMING
+    twin of ``ssk_synthetic`` through ``SimpleDataSourceStreamReader``: the
+    engine drives offset-tracked incremental reads (`initialOffset` →
+    `read(start) -> (rows, next)` per micro-batch, `readBetweenOffsets`
+    for replay after restart), which is exactly the contract a custom
+    HTTP/queue poller needs for exactly-once: offsets are committed to the
+    checkpoint WAL, and a crashed batch is re-read BETWEEN the same
+    offsets rather than re-fetched blindly (the reference's producer has
+    at-most-once LRU dedup instead — news_producer.py:30-48 — because raw
+    Kafka gives it no offset replay).
+
+    Options: n (total rows), batch (rows per micro-batch). Emission stops
+    advancing at n. Note Spark's AvailableNow falls back to a single batch
+    for Python stream sources, so bounded runs see one batch of
+    min(batch, n) rows; steady triggers page through batch-sized chunks
+    (exercised in tests/test_python_stream_source.py).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ssk_synthetic_stream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, score_milli bigint"
+
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader(self.options)
+
+
+def _rows_between(lo: int, hi: int):
+    # a LIST, not a generator: the engine's prefetch cache copy.copy()s the
+    # returned iterator when planning partitions, and generators are not
+    # copyable (observed: PYTHON_STREAMING_DATA_SOURCE_RUNTIME_ERROR
+    # "cannot pickle 'generator' object" under multi-batch paging)
+    return [(i, i % 16, (i * _MIX) % 1000) for i in range(lo, hi)]
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 2000))
+        self.batch = int(options.get("batch", 500))
+        if self.n < 0:
+            raise ValueError(f"ssk_synthetic_stream: n must be >= 0, got {self.n}")
+        if self.batch < 1:
+            raise ValueError(
+                f"ssk_synthetic_stream: batch must be >= 1, got {self.batch}"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n)
+        return _rows_between(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of a committed range — the recovery path
+        return _rows_between(start["pos"], end["pos"])
+
+
 def register_python_sources(spark) -> None:
     """Idempotently register the engine's Python data sources."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticStreamDataSource)

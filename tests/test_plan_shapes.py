@@ -161,3 +161,35 @@ def test_bitmap_distinct_is_two_phase_no_expand(spark):
     plan = _plan(spark, "agg_bitmap_exact_distinct")
     assert "Expand" not in plan
     assert "bitmap_construct_agg" in plan or "bitmap_count" in plan
+
+
+def test_bm25_stats_broadcast_and_windowed_topk(spark):
+    """search_bm25_topk: the one-row (N, avgdl) stats join must be a
+    broadcast (never a shuffled cartesian), the global top-10 must take the
+    window-limit path rather than a full global sort materialization, and
+    the scoring stays JVM-only."""
+    plan = _plan(spark, "search_bm25_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_node not in plan
+
+
+def test_split_assignment_is_single_pass_jvm(spark):
+    """split_train_valid_test: the md5 assignment is a pure projection —
+    the only shuffles are the per-split aggregate's two phases (the
+    COUNT(DISTINCT lang) rewrite adds one exchange over the 3-row
+    intermediate; the corpus itself shuffles once), no Python eval."""
+    plan = _plan(spark, "split_train_valid_test")
+    assert plan.count("Exchange") <= 2
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_node not in plan
+
+
+def test_fuzzy_blocking_is_equi_join_not_cartesian(spark):
+    """fuzzy_match_levenshtein candidates come from the banded equi-path
+    (bucket_pairs aggregation), never a cartesian or theta-only join."""
+    plan = _plan(spark, "fuzzy_match_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
