@@ -187,6 +187,52 @@ GROUP BY o_orderpriority
 """
 
 
+_RANGE_CLUSTERED_ORACLE = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       COUNT(*) AS n_lines,
+       SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+GROUP BY 1
+"""
+
+
+@register("sink_range_clustered_parquet", oracle=_RANGE_CLUSTERED_ORACLE)
+def sink_range_clustered_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the time column before writing, then a
+    time-range query over the read-back.
+
+    This is the liquid-clustering/Z-order-lite layout for 100 TB time
+    facts: range partitioning gives each file a narrow min/max band on
+    ``l_shipdate``, so parquet row-group statistics turn the pushed range
+    predicate into whole-file/row-group skips — the scan reads the two
+    matching years, not the table (pushdown asserted in
+    tests/test_plan_shapes.py). Against hive-style ``partitionBy(year)``
+    this trades directory pruning for file-stat pruning and avoids the
+    small-files explosion on high-cardinality keys."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    out = _scratch("lineitem_range_clustered")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    return back.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("ship_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
+    )
+
+
 _PYSTREAM_ORACLE = """
 SELECT CAST(id % 16 AS INT) AS bucket,
        COUNT(*) AS n,

@@ -2077,6 +2077,62 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-12-01'
+),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(rev_cents, 0)/100.0 AS revenue
+FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_ORACLE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate the complete
+    month dimension between fixed bounds by recursion, LEFT JOIN monthly
+    order revenue so empty months surface as explicit zero rows — the
+    SQL-native spelling of the gap-fill grid (events_gapfill_resample
+    builds the same grid with sequence+explode).
+
+    Scale posture: the recursion materializes the DIMENSION (84 rows),
+    never the fact side — each iteration is one tiny UNION ALL step and
+    the fact table still aggregates in one ordinary shuffle before a
+    broadcast-sized join. Recursion over facts (transitive closure on
+    row counts) is the anti-pattern; over calendar/hierarchy dimensions
+    it replaces hand-maintained dimension tables."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP_NTZ '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP_NTZ '2001-12-01'
+        ),
+        rev AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS rev_cents
+          FROM orders_rec GROUP BY 1
+        )
+        SELECT months.m AS month,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(rev_cents, 0)/100.0D AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
+    )
+
+
 _BITMAP_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers

@@ -1313,6 +1313,48 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_HH_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok AS item, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT item, cnt, "rank" FROM (
+  SELECT item, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS "rank"
+  FROM counts
+) WHERE "rank" <= 10
+"""
+
+
+@register("agg_approx_topk_heavy_hitters", oracle=_TOPK_HH_ORACLE)
+def agg_approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` (Spark 4, DataSketches
+    frequent-items): the sketch is a bounded-memory, MERGEABLE partial
+    state — at 100 TB each partition tracks at most ``maxItemsTracked``
+    counters and partials merge associatively, where the exact GROUP BY
+    would shuffle the full vocabulary. Here the tracked capacity (10000)
+    exceeds the corpus vocabulary, so the sketch degenerates to EXACT
+    counts and the all-pairs GROUP BY oracle replays it bit-for-bit (the
+    same degenerate-exact trick as agg_approx_sketches); the final
+    deterministic re-rank by (count desc, item) makes the top-10 cut
+    engine-portable."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sketch = toks.agg(F.expr("approx_top_k(tok, 20)").alias("tk"))
+    items = sketch.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        items.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("item", "cnt", "rank")
+    )
+
+
 _SPLIT_ORACLE = """
 WITH assigned AS (
   SELECT *,

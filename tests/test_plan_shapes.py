@@ -193,3 +193,20 @@ def test_fuzzy_blocking_is_equi_join_not_cartesian(spark):
     plan = _plan(spark, "fuzzy_match_levenshtein")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_clustered_read_pushes_time_predicate(spark):
+    """sink_range_clustered_parquet's read-back must push the shipdate
+    range to the scan (PushedFilters), where the range-clustered files'
+    narrow min/max stats turn it into row-group skips."""
+    plan = _plan(spark, "sink_range_clustered_parquet")
+    scan = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in scan, f"shipdate range not pushed: {scan}"
+
+
+def test_recursive_cte_fact_side_single_agg(spark):
+    """sql_recursive_cte: the fact table aggregates once (no per-iteration
+    fact scans) and joins the 84-row month dimension without a cartesian."""
+    plan = _plan(spark, "sql_recursive_cte")
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 1
