@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "events_variant_props",
     "events_gapfill_resample",
     "vector_mapinarrow_stats",
+    # round-5 additions (keys above stay fixed for comparability)
+    "search_bm25_topk",
+    "events_transition_matrix",
+    "agg_exact_percentiles",
+    "split_train_valid_test",
+    "fuzzy_match_twostage",
 ]
 
 

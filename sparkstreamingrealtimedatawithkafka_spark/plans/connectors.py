@@ -187,6 +187,54 @@ GROUP BY o_orderpriority
 """
 
 
+_PYSINK_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND("value"*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("sink_python_stream_writer", oracle=_PYSINK_ORACLE)
+def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom streaming SINK through the Python DataSource writer API
+    (sources/pysink.py): the bounded events stream writes through
+    executor-side ``write()`` into staged JSON-lines files, the driver
+    ``commit()`` publishes each batch atomically via a manifest, and the
+    read-back side trusts ONLY committed manifests — staged/orphaned files
+    are invisible. The round-trip aggregate must reproduce the source
+    table exactly, proving no batch was lost or double-published."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.streaming_queries import (
+        _events_stream,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.sources.pysink import (
+        committed_files,
+        register_python_sinks,
+    )
+
+    register_python_sinks(spark)
+    base = _scratch("jsonl_sink_out")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("ssk_jsonl_sink")
+        .option("path", base)
+        .option("checkpointLocation", os.path.join(base, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = committed_files(base)
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(
+        files
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+
+
 _RANGE_CLUSTERED_ORACLE = """
 SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
        COUNT(*) AS n_lines,
