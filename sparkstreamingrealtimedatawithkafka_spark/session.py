@@ -47,6 +47,11 @@ def build_session(
         # freeze confs asynchronously after start().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # A 150-query session compiles thousands of whole-stage-codegen
+        # classes; the JVM's default 240 MB code cache fills and late
+        # queries fall back to the interpreter (A/B on the bench preamble:
+        # dedup_simhash 4.01s -> 3.22s min-of-2 with the larger cache).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra or {}).items():
