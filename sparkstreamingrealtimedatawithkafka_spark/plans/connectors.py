@@ -139,6 +139,52 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XML_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_len
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("source_xml_roundtrip", oracle=_XML_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector round-trip (built-in since Spark 4): write
+    ``documents`` as XML (one ``<doc>`` element per row), read back with
+    an explicit schema, and prove the per-language aggregates — including
+    a length checksum over the free-text column, the field XML escaping
+    must round-trip exactly — survive.
+
+    XML is the remaining text interchange format after CSV/JSON-lines
+    (source_csv_json_roundtrip) and the columnar pair (parquet/ORC);
+    enterprise feeds still ship it. Same 100 TB posture as the other text
+    formats: row-tag framing keeps files splittable enough in practice
+    (Spark splits on row tags), and the declared schema keeps the read
+    single-pass with no inference scan."""
+    docs = t(spark, sf_dir, "documents")
+    path = _scratch("docs_xml")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .schema(_DOC_SCHEMA)
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )
+
+
 _PYSOURCE_ORACLE = """
 SELECT CAST(id % 16 AS INT) AS bucket,
        COUNT(*) AS n,

@@ -289,6 +289,40 @@ def fuzzy_shape(parts):
     )
 
 
+def bm25_shape(docs):
+    """search_bm25_topk's core: term-filtered tf/df + one-row stats
+    broadcast + global top-k. The wide ops key on the 3 query terms, so
+    cost must track the (linear) tokenize/length pass, never pair counts."""
+    from pyspark.sql.window import Window as W
+
+    TERMS = ("stream", "window", "merge")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("tok").isin(*TERMS))
+    df_t = (
+        qtoks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(df_t, "tok").join(dl, "doc_id").crossJoin(F.broadcast(stats))
+        .groupBy("doc_id").agg(F.sum(idf * tf_part).alias("score"))
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return top.agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
+
+
 def run_noop(df) -> float:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
@@ -327,6 +361,7 @@ def main() -> None:
         ("gapfill_resample", gapfill_shape(ev1), gapfill_shape(ev10)),
         ("merge_scd2", scd2_shape(cust1, o1), scd2_shape(cust1, o10)),
         ("fuzzy_twostage", fuzzy_shape(part1), fuzzy_shape(part10)),
+        ("bm25_search", bm25_shape(docs1), bm25_shape(docs10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
