@@ -294,6 +294,64 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "state_store_inspection",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND("value"*100,0) AS BIGINT))/100.0 AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State observability through the Spark-4 State Data Source: run the
+    per-user stateful aggregation with a persisted checkpoint, then read
+    the state store ITSELF back as a batch DataFrame
+    (``spark.read.format("statestore")``) and flatten key/value structs
+    into the running totals.
+
+    At 100 TB this is the debugging/repair surface for stateful
+    pipelines: inspect exactly what the store holds per key (skew, stale
+    keys, corrupt entries) without instrumenting the query, and the
+    numbers must reconcile with the batch ground truth — which is
+    precisely what the oracle checks (state bytes == input aggregate).
+    The state scan shards by state partition like the query that wrote
+    it; nothing is collected."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"ssk_statestore_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", base)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(base)
+    flat = st.selectExpr("key.*", "value.*")
+    # key struct holds the grouping column; value struct holds the agg
+    # buffer in declaration order — rename positionally (buffer field
+    # names are internal expression strings)
+    k, n, c = flat.columns
+    return flat.select(
+        F.col(k).alias("user_id"),
+        F.col(n).alias("n_events"),
+        (F.col(c) / F.lit(100.0)).alias("total_value"),
+    )
+
+
 def _register_tws_entry() -> None:
     """Conditionally register the ``transformWithStateInPandas`` twin of
     ``streaming_stateful_user_stats``. Skipped (not failed) where the
