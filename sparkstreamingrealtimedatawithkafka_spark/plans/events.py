@@ -655,6 +655,62 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DYN_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 1800000000 ELSE 600000000 END AS gap_us
+  FROM events
+),
+o AS (
+  SELECT *,
+         MAX(us + gap_us) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e
+),
+s AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN prev_end IS NULL OR us >= prev_end
+                       THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id
+"""
+
+
+@register("events_session_dynamic_gap", oracle=_DYN_SESSION_ORACLE)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap
+    (``session_window(ts, CASE ...)``): conversion events (purchase /
+    signup) hold a session open 30 minutes, passive events only 10 — the
+    real-world sessionization rule fixed-gap windows can't express.
+
+    Same scale shape as the fixed-gap entry (one shuffle on the user key,
+    in-partition interval merging); the oracle replays Spark's merge
+    semantics exactly via the island technique — a session closes when
+    the next event's start reaches the RUNNING MAX of extended ends
+    (running max, not lag: a long-gap event can outlast several
+    short-gap successors)."""
+    ev = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), "30 minutes"
+    ).otherwise("10 minutes")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+
+
 _TRANSITION_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type,

@@ -2077,6 +2077,89 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+              WHEN event_id % 3 = 1 THEN
+                upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+              ELSE event_type END AS et
+  FROM events
+)
+SELECT lower(et) AS event_type_ci, COUNT(*) AS n
+FROM mixed
+GROUP BY lower(et)
+"""
+
+
+@register("scalar_collation_group", oracle=_COLLATION_ORACLE)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``collate``): the event-type
+    column is deliberately case-mangled three ways, then grouped under
+    UNICODE_CI — the engine-level answer to case-insensitive semantics
+    that otherwise get hand-rolled as lower() sprinkled through every
+    predicate (and silently missed in one).
+
+    Collations ride the type, so comparisons, joins and aggregations all
+    honor them without expression rewrites; the oracle replays with
+    explicit lower() since our mangles are pure ASCII case. The output
+    key is lowercased: within a CI group the retained representative's
+    case is arbitrary, its lowercase is not."""
+    ev = t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.upper(et))
+        .when(F.col("event_id") % 3 == 1, F.initcap(et))
+        .otherwise(et)
+        .alias("et")
+    )
+    ci = mixed.select(F.expr("collate(et, 'UNICODE_CI')").alias("et_ci"))
+    return (
+        ci.groupBy("et_ci")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.col("et_ci")).cast("string").alias("event_type_ci"), "n"
+        )
+    )
+
+
+_PANDAS_API_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("pandas_api_groupby", oracle=_PANDAS_API_ORACLE)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``DataFrame.pandas_api()``): a
+    pandas-shaped groupby/agg that plans and executes as ordinary
+    distributed Spark under the hood — the migration surface for
+    pandas-fluent users, held to the same DuckDB oracle as every native
+    entry (the API must not change the answers).
+
+    The conversion is zero-copy at the plan level (same logical plan,
+    pandas-flavored frontend); ``to_spark()`` hands the result back to
+    the DataFrame world. Ordering/index differences are normalized by the
+    final select."""
+    docs = t(spark, sf_dir, "documents")
+    psdf = docs.select("lang", "n_chars").pandas_api()
+    agg = psdf.groupby("lang", as_index=False).agg(
+        n_docs=("n_chars", "count"),
+        sum_chars=("n_chars", "sum"),
+        max_chars=("n_chars", "max"),
+    )
+    out = agg.to_spark()
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("sum_chars").cast("bigint").alias("sum_chars"),
+        F.col("max_chars").cast("bigint").alias("max_chars"),
+    )
+
+
 _RECURSIVE_ORACLE = """
 WITH RECURSIVE months(m) AS (
   SELECT TIMESTAMP '1995-01-01'
