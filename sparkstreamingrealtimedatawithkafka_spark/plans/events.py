@@ -655,6 +655,78 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_US_HOUR = 3_600_000_000
+_US_DAY = 24 * _US_HOUR
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+activity AS (
+  SELECT user_id, (us // {_US_DAY}) * {_US_DAY} AS day_us,
+         MIN(us) AS a_start, MAX(us) + 1 AS a_end
+  FROM e GROUP BY 1, 2
+),
+incidents AS (
+  SELECT (us // {_US_DAY}) * {_US_DAY} AS day_us,
+         (us // {_US_HOUR}) * {_US_HOUR} AS b_start,
+         (us // {_US_HOUR}) * {_US_HOUR} + {_US_HOUR} AS b_end
+  FROM e WHERE event_type = 'error'
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 2
+)
+SELECT a.user_id, a.day_us,
+       COUNT(*) AS n_incidents,
+       CAST(SUM(LEAST(a.a_end, i.b_end) - GREATEST(a.a_start, i.b_start))
+            AS BIGINT) AS overlap_us
+FROM activity a JOIN incidents i
+  ON a.day_us = i.day_us AND a.a_start < i.b_end AND i.b_start < a.a_end
+GROUP BY 1, 2
+"""
+
+
+@register("events_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (temporal algebra): per-user daily activity
+    spans × error-incident windows (hours with >= 2 errors), keeping
+    overlapping pairs and summing the overlap duration — 'how long was
+    each user active during an incident'.
+
+    Scale shape: a raw interval-overlap predicate is a theta join
+    (nested-loop at any scale), so both interval sets carry a coarse
+    time-bin equi key (the day) and the overlap condition rides as a
+    residual on a hash join — the standard binning strategy for interval
+    joins; intervals crossing a bin boundary would be emitted once per
+    touched bin and deduped, which hour-in-day incidents never need.
+    Durations are exact integer micros with half-open [start, end)
+    intervals (a single-event span is one micro, never zero-length)."""
+    ev = t(spark, sf_dir, "events")
+    day = (F.col("ts_us") / _US_DAY).cast("bigint") * _US_DAY
+    activity = ev.groupBy(
+        "user_id", day.alias("day_us")
+    ).agg(
+        F.min("ts_us").alias("a_start"),
+        (F.max("ts_us") + 1).alias("a_end"),
+    )
+    hour = (F.col("ts_us") / _US_HOUR).cast("bigint") * _US_HOUR
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(day.alias("day_us"), hour.alias("b_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 2)
+        .select("day_us", "b_start", (F.col("b_start") + _US_HOUR).alias("b_end"))
+    )
+    joined = activity.join(
+        incidents,
+        (activity.day_us == incidents.day_us)
+        & (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end")),
+    )
+    overlap = F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+    return joined.groupBy("user_id", activity.day_us.alias("day_us")).agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum(overlap).alias("overlap_us"),
+    )
+
+
 _DYN_SESSION_ORACLE = """
 WITH e AS (
   SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,

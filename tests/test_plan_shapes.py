@@ -210,3 +210,13 @@ def test_recursive_cte_fact_side_single_agg(spark):
     plan = _plan(spark, "sql_recursive_cte")
     assert "CartesianProduct" not in plan
     assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 1
+
+
+def test_interval_overlap_is_binned_hash_join(spark):
+    """events_interval_overlap must join on the day-bin equi key with the
+    overlap predicate as a residual — never a nested-loop over all
+    interval pairs."""
+    plan = _plan(spark, "events_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
