@@ -655,6 +655,60 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VARIANT_EXPLODE_ORACLE = """
+WITH j AS (
+  SELECT event_type AS et, "value" > 50 AS high, user_id % 10 AS u FROM events
+),
+kv AS (
+  SELECT 'et' AS k, CAST(to_json(et) AS VARCHAR) AS v FROM j
+  UNION ALL SELECT 'high', CAST(to_json(high) AS VARCHAR) FROM j
+  UNION ALL SELECT 'u', CAST(to_json(u) AS VARCHAR) FROM j
+)
+SELECT k, COUNT(*) AS n,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_values
+FROM kv
+GROUP BY k
+"""
+
+
+@register("variant_explode_props", oracle=_VARIANT_EXPLODE_ORACLE)
+def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``variant_explode`` (Spark 4 table-valued generator): fan a variant
+    OBJECT out into (key, value) rows — schema-on-read introspection for
+    semi-structured props, the generator-plane sibling of the typed-path
+    probes in events_variant_props.
+
+    A mixed-type object (string / boolean / int) is synthesized per event
+    so each key's value stream carries a different variant type; values
+    normalize to their JSON text for the distinct count (the only
+    cross-engine-stable encoding of a heterogeneous column). DuckDB
+    replays with json_each. Lateral generators multiply rows 3x BEFORE
+    the aggregation shuffle — fine here, but at 100 TB push any key
+    filter INTO the generator's output before wide ops."""
+    ev = t(spark, sf_dir, "events")
+    obj = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("et"),
+                (F.col("value") > 50).alias("high"),
+                (F.col("user_id") % 10).alias("u"),
+            )
+        )
+    )
+    # variant_explode is a table-valued generator: it lives in FROM with
+    # LATERAL, not in a select list
+    ev.select(obj.alias("v")).createOrReplaceTempView("events_vobj")
+    return ev.sparkSession.sql(
+        """
+        SELECT e.key AS k,
+               COUNT(*) AS n,
+               COUNT(DISTINCT to_json(e.value)) AS n_distinct_values
+        FROM events_vobj t, LATERAL variant_explode(t.v) e
+        GROUP BY e.key
+        """
+    )
+
+
 _US_HOUR = 3_600_000_000
 _US_DAY = 24 * _US_HOUR
 

@@ -2077,6 +2077,45 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
+_TRY_ARITH_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       CAST(SUM(CAST(FLOOR(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                           / NULLIF(l_quantity - 25, 0)) AS BIGINT))
+            AS BIGINT) AS sum_floor_ratio,
+       CAST(SUM(CASE WHEN TRY_CAST(l_linestatus AS BIGINT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("scalar_try_arithmetic", oracle=_TRY_ARITH_ORACLE)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (``try_divide`` / ``try_cast``): division by
+    zero and bad casts yield NULL instead of failing the job — at 100 TB
+    one pathological row must never kill a scan, and the NULLs stay
+    countable so data-quality monitoring sees exactly how many rows hit
+    each error class.
+
+    The ratio is floored to exact integers before summing (IEEE division
+    is correctly rounded in both engines, so the floor is deterministic);
+    the DuckDB oracle spells try_divide as NULLIF — same semantics,
+    different surface."""
+    li = t(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(cents("l_extendedprice"), F.col("l_quantity") - 25)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ratio.isNull().cast("bigint")).alias("n_div_null"),
+        F.sum(F.floor(ratio).cast("bigint")).alias("sum_floor_ratio"),
+        F.sum(
+            F.expr("try_cast(l_linestatus AS BIGINT)").isNull().cast("bigint")
+        ).alias("n_uncastable"),
+    )
+
+
 _COLLATION_ORACLE = """
 WITH mixed AS (
   SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
