@@ -516,23 +516,27 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_MALFORMED_ORACLE = """
 WITH c AS (
   SELECT event_type,
-         CASE WHEN event_id % 5 = 0 THEN 'x' || props
-              WHEN event_id % 5 = 1 THEN '{"k": "s"}'
-              ELSE props END AS p
+         -- TRY_CAST .. AS JSON is the total parse: NULL for malformed
+         -- input. (A CASE WHEN json_valid(p) guard around
+         -- json_extract_string(p, ..) is NOT safe in DuckDB — under
+         -- vectorized evaluation at larger row counts the extract ran on
+         -- guarded-out rows and threw Malformed JSON; observed at sf0.1.)
+         TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'x' || props
+                       WHEN event_id % 5 = 1 THEN '{"k": "s"}'
+                       ELSE props END AS JSON) AS j
   FROM events
 )
 SELECT event_type,
   COUNT(*) AS n,
-  CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(SUM(CASE WHEN j IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_unparseable,
-  CAST(SUM(CASE WHEN json_valid(p)
-                 AND TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) IS NULL
+  CAST(SUM(CASE WHEN j IS NOT NULL
+                 AND TRY_CAST(json_extract_string(j, '$.k') AS BIGINT) IS NULL
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_type_mismatch,
-  CAST(SUM(CASE WHEN json_valid(p)
-                THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) END)
+  CAST(SUM(TRY_CAST(json_extract_string(j, '$.k') AS BIGINT))
        AS BIGINT) AS sum_k,
-  CAST(SUM(CASE WHEN json_valid(p)
-                 AND json_extract_string(p, '$.missing') IS NULL
+  CAST(SUM(CASE WHEN j IS NOT NULL
+                 AND json_extract_string(j, '$.missing') IS NULL
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
 FROM c
 GROUP BY event_type

@@ -491,7 +491,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
     return lsh_candidate_pairs(
-        toks, "doc_id", "sh", num_hashes=32, bands=8, jaccard_threshold=0.4
+        toks, "doc_id", "sh", num_hashes=64, bands=16, jaccard_threshold=0.4
     )
 
 
@@ -509,7 +509,7 @@ def dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.fingerprint("text").alias("fp"),
     )
     return two_stage_near_dup_pairs(
-        prepared, "doc_id", "sh", "fp", num_hashes=32, bands=8, jaccard_threshold=0.4
+        prepared, "doc_id", "sh", "fp", num_hashes=64, bands=16, jaccard_threshold=0.4
     )
 
 
@@ -1556,7 +1556,7 @@ def pipeline_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-bucket k²/2 expansion instead of letting one degenerate bucket
     # dominate the job.
     pairs = two_stage_near_dup_pairs(
-        prepared, "doc_id", "sh", "fp", num_hashes=32, bands=8,
+        prepared, "doc_id", "sh", "fp", num_hashes=64, bands=16,
         jaccard_threshold=0.4, max_bucket=512,
     )
     from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (

@@ -138,7 +138,7 @@ def materialize_docs(spark) -> None:
 def dedup_shape(docs):
     sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
     pairs = lsh_candidate_pairs(
-        sh, "doc_id", "sh", num_hashes=32, bands=8, jaccard_threshold=0.4
+        sh, "doc_id", "sh", num_hashes=64, bands=16, jaccard_threshold=0.4
     )
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
