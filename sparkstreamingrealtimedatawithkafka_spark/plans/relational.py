@@ -2077,6 +2077,78 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
+# cents(value) * 2^40 ± event_id: value dominates, event_id breaks ties
+# deterministically (max: prefer LOW id via minus; min: prefer LOW id via
+# plus). Fits bigint: max cents ~33k * 2^40 ≈ 3.6e16 << 2^63.
+_ARGKEY_HI = 1_099_511_627_776  # 2^40
+
+_ARGMAX_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       arg_max(event_id,
+               CAST(ROUND("value"*100,0) AS BIGINT) * {_ARGKEY_HI} - event_id)
+         AS max_value_event,
+       arg_min(event_id,
+               CAST(ROUND("value"*100,0) AS BIGINT) * {_ARGKEY_HI} + event_id)
+         AS min_value_event,
+       MAX("value") AS max_value,
+       MIN("value") AS min_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_argmax_minby", oracle=_ARGMAX_ORACLE)
+def agg_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin as single-pass aggregates (``max_by`` / ``min_by``,
+    DuckDB arg_max/arg_min): 'which event had the extreme value' WITHOUT
+    the window-rank detour — one map-side-combinable aggregation instead
+    of a full per-group sort, the cheaper shape whenever only the extreme
+    row's companion columns are needed.
+
+    max_by's ordering value is a composite integer (cents * 2^40 ∓
+    event_id) so value ties break on event id deterministically in both
+    engines — raw max_by on a tied column returns an arbitrary row, which
+    can never be hash-checked."""
+    ev = t(spark, sf_dir, "events")
+    key_hi = cents("value") * F.lit(_ARGKEY_HI)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("event_id", key_hi - F.col("event_id")).alias("max_value_event"),
+        F.min_by("event_id", key_hi + F.col("event_id")).alias("min_value_event"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+_COVAR_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(covar_samp("value", user_id % 100), 4) AS cov_s,
+       ROUND(covar_pop("value", user_id % 100), 4) AS cov_p,
+       ROUND(corr("value", user_id % 100), 4) AS r
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_covariance", oracle=_COVAR_ORACLE)
+def agg_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates (covar_samp / covar_pop / corr):
+    the co-movement family completing the univariate
+    ``agg_stats_distribution`` — all single-pass, partial-mergeable
+    (Welford-style moment states), so they shard like any sum at 100 TB.
+    The 4-dp round absorbs cross-engine summation-order ulps."""
+    ev = t(spark, sf_dir, "events")
+    x = F.col("user_id") % 100
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.covar_samp("value", x), 4).alias("cov_s"),
+        F.round(F.covar_pop("value", x), 4).alias("cov_p"),
+        F.round(F.corr("value", x), 4).alias("r"),
+    )
+
+
 _TRY_ARITH_ORACLE = """
 SELECT l_returnflag,
        COUNT(*) AS n,
