@@ -1405,6 +1405,116 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SURPRISAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt)
+SELECT doc_id,
+       COUNT(*) AS n_toks,
+       ROUND(SUM(-ln(cnt.c / (tot.total * 1.0))) / COUNT(*), 4)
+         AS mean_surprisal
+FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_surprisal", oracle=_SURPRISAL_ORACLE)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document (mean -ln p(tok)
+    under the corpus-trained unigram LM) — the classic perplexity-proxy
+    quality filter for pretraining data: boilerplate made of corpus-common
+    tokens scores low, rare-vocabulary noise scores high, and both tails
+    get dropped.
+
+    Exactly the two-pass corpus-relative shape of text_docfreq_score
+    (which carries the integer core; this entry adds the log around the
+    same join): pass 1 builds the vocabulary-sized count table (one
+    shuffle on token), pass 2 joins it back to the token stream —
+    broadcast while the vocab fits, shuffle join beyond. The corpus total
+    rides a one-row cross join; both engines evaluate the identical
+    -ln(c/total) expression and the mean is rounded once at the end."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("total"))
+    surprisal = -F.log(F.col("c") / (F.col("total") * F.lit(1.0)))
+    return (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum(surprisal) / F.count(F.lit(1)), 4).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
+_OVERLAP_MATRIX_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT source,
+         UNNEST([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+  FROM (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sh GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       pa.n_grams AS n_a, pb.n_grams AS n_b
+FROM sh a
+JOIN sh b ON a.g = b.g AND a.source < b.source
+JOIN per pa ON pa.source = a.source
+JOIN per pb ON pb.source = b.source
+GROUP BY a.source, b.source, pa.n_grams, pb.n_grams
+"""
+
+
+@register("corpus_overlap_matrix", oracle=_OVERLAP_MATRIX_ORACLE)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct bigram shingles they share — the audit
+    that finds one subcorpus leaking into another (or into an eval set —
+    decontaminate_ngram_overlap is the doc-level version of the same
+    question) before mixture weights are trusted.
+
+    Scale shape: the matrix join keys on the SHINGLE (one shuffle,
+    vocabulary-sized input after the per-source distinct), never on doc
+    pairs; output is |sources|² rows. The distinct collapses each
+    source's shingle multiset first, so a shingle shared by thousands of
+    docs in both sources still contributes ONE joined row per source
+    pair — the same collapse-before-pairing principle as the two-stage
+    dedup."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(TX.word_shingles("text", 2)).alias("g")
+    ).distinct()
+    per = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), F.col("g").alias("g_b"))
+    shared = (
+        a.join(b, (a.g == b.g_b) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            per.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            per.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")),
+            "source_b",
+        )
+        .select("source_a", "source_b", "n_shared", "n_a", "n_b")
+    )
+
+
 _MIXTURE_ORACLE = """
 WITH per AS (
   SELECT lang, source, COUNT(*) AS n_docs,
