@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "agg_exact_percentiles",
     "split_train_valid_test",
     "fuzzy_match_twostage",
+    "pack_training_sequences",
+    "events_cdc_snapshot_diff",
 ]
 
 

@@ -1026,3 +1026,217 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, n_clicks bigint, n_purchases bigint, n_attributed bigint",
         )
     )
+
+
+# CDC snapshot windows: state(cutoff) = each user's last event value among
+# events in the 7 days up to the cutoff. Jan 15 / Jan 30 00:00 UTC cutoffs
+# sit inside the fixture's Jan 1-30 span at every SF (seed-stable).
+_CDC_WINDOW_US = 7 * 86_400_000_000
+_CDC_T1_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+_CDC_T2_US = 1_706_572_800_000_000  # 2024-01-30T00:00:00Z
+
+_CDC_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS ts_us FROM events
+), s1 AS (
+  SELECT user_id, CAST(ROUND(value*100,0) AS BIGINT) AS v FROM (
+    SELECT user_id, value,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM ev
+    WHERE ts_us > {_CDC_T1_US - _CDC_WINDOW_US} AND ts_us <= {_CDC_T1_US}
+  ) WHERE rn = 1
+), s2 AS (
+  SELECT user_id, CAST(ROUND(value*100,0) AS BIGINT) AS v FROM (
+    SELECT user_id, value,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM ev
+    WHERE ts_us > {_CDC_T2_US - _CDC_WINDOW_US} AND ts_us <= {_CDC_T2_US}
+  ) WHERE rn = 1
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+  CASE WHEN s1.user_id IS NULL THEN 'insert'
+       WHEN s2.user_id IS NULL THEN 'delete'
+       ELSE 'update' END AS op,
+  s1.v AS old_cents, s2.v AS new_cents
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.v <> s2.v
+"""
+
+
+@register("events_cdc_snapshot_diff", oracle=_CDC_ORACLE)
+def events_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture delta extraction: diff two keyed snapshots of
+    per-user state (last event value in the 7 days before each cutoff)
+    into insert / update / delete rows — the feed a MERGE consumes
+    (``merge_upsert_scd1`` is the apply side; this entry PRODUCES the
+    change set from raw history).
+
+    Single-scan shape: each event is tagged with the snapshot windows it
+    falls in via an array-``explode`` (an event in both windows
+    contributes to both states — one pass over 100 TB of history, not one
+    per snapshot), then one ``max_by`` aggregation per (user, snapshot)
+    — map-side combinable, no per-user sort — and a conditional pivot to
+    (old, new) per user. The update-vs-unchanged comparison runs on exact
+    integer cents; unchanged rows are dropped so output is the true
+    delta, bounded by changed keys, not corpus size. max_by orders by
+    struct(ts_us, event_id) so concurrent-timestamp ties resolve
+    deterministically on both engines."""
+    ev = t(spark, sf_dir, "events")
+    in1 = (F.col("ts_us") > _CDC_T1_US - _CDC_WINDOW_US) & (
+        F.col("ts_us") <= _CDC_T1_US
+    )
+    in2 = (F.col("ts_us") > _CDC_T2_US - _CDC_WINDOW_US) & (
+        F.col("ts_us") <= _CDC_T2_US
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        cents("value").alias("v"),
+        F.explode(
+            F.concat(
+                F.when(in1, F.array(F.lit(1))).otherwise(F.array().cast("array<int>")),
+                F.when(in2, F.array(F.lit(2))).otherwise(F.array().cast("array<int>")),
+            )
+        ).alias("snap"),
+    )
+    state = tagged.groupBy("user_id", "snap").agg(
+        F.max_by("v", F.struct(F.col("ts_us"), F.col("event_id"))).alias("v")
+    )
+    wide = state.groupBy("user_id").agg(
+        F.max(F.when(F.col("snap") == 1, F.col("v"))).alias("old_cents"),
+        F.max(F.when(F.col("snap") == 2, F.col("v"))).alias("new_cents"),
+    )
+    old, new = F.col("old_cents"), F.col("new_cents")
+    return wide.select(
+        "user_id",
+        F.when(old.isNull(), F.lit("insert"))
+        .when(new.isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "old_cents",
+        "new_cents",
+    ).filter(old.isNull() | new.isNull() | (old != new))
+
+
+_PATHS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us FROM events
+), r AS (
+  SELECT user_id, ts_us//{US_PER_DAY} AS day, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, ts_us//{US_PER_DAY}
+                       ORDER BY ts_us, event_id) AS rn
+  FROM ev
+), p AS (
+  SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, day
+)
+SELECT path, COUNT(*) AS cnt FROM p GROUP BY path
+ORDER BY cnt DESC, path LIMIT 10
+"""
+
+
+@register("events_session_paths", oracle=_PATHS_ORACLE)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining: the 10 most common session-opening paths
+    (first 3 event types per user-day, in event-time order) — the
+    behavioral-analytics complement of ``events_transition_matrix``
+    (which sees only adjacent pairs; paths keep order across 3 steps).
+
+    Shape: one row_number window partitioned by (user, day) — map-side
+    prunable to rank<=3 by WindowGroupLimit — then an ORDERED path
+    assembly (array_sort over (rn, type) structs → concat_ws; collect_list
+    alone is partition-order-dependent and could never hash-check) and a
+    count groupBy whose key space is bounded by |event_types|³, not
+    corpus size. Deterministic ordered LIMIT (cnt desc, path asc)."""
+    ev = t(spark, sf_dir, "events")
+    day = F.expr(f"ts_us div {US_PER_DAY}")
+    w = W.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    ranked = (
+        ev.withColumn("day", day)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(10)
+    )
+
+
+# Rolling z-score frame: the 10 events preceding the current one, per user.
+_Z_K = 10
+
+_ZSCORE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ROUND(value*100,0) AS BIGINT) AS c,
+         epoch_ns(ts)//1000 AS ts_us
+  FROM events
+), f AS (
+  SELECT user_id, event_id, c,
+    CAST(SUM(c)   OVER w AS BIGINT) AS s1,
+    CAST(SUM(c*c) OVER w AS BIGINT) AS s2,
+    COUNT(*) OVER w AS k
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN {_Z_K} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, c,
+  ROUND((c*{_Z_K} - s1) / sqrt((s2*{_Z_K} - s1*s1) * {_Z_K}.0 / {_Z_K - 1}.0), 4) AS z
+FROM f
+WHERE k = {_Z_K}
+  AND (c*{_Z_K} - s1)*(c*{_Z_K} - s1)*{_Z_K - 1} > 4 * {_Z_K} * (s2*{_Z_K} - s1*s1)
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value deviates
+    more than 2σ from the trailing 10-event window of the same user — the
+    monitoring/outlier-scrub primitive.
+
+    The whole detector is built from EXACT integers: the frame carries
+    SUM(cents) and SUM(cents²) (order-independent int64 aggregates), and
+    the |z| > 2 cut is an algebraically-cleared integer comparison
+    ((ck−S1)²(k−1) > 4k(S2k−S1²)) so no float rounding can flip a
+    marginal row between engines — ``stddev`` window aggregates use
+    different accumulation algorithms per engine and can NEVER gate a
+    hash-checked filter. The reported z is computed from those same
+    integers with an expression-identical formula, so the doubles match
+    bit-for-bit. One window per user (event-time ordered, rows frame);
+    partial windows (first 10 events) are excluded by the frame count."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", cents("value").alias("c")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-_Z_K, -1)
+    )
+    k, km1 = _Z_K, _Z_K - 1
+    f = ev.select(
+        "user_id",
+        "event_id",
+        "c",
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    dev = F.col("c") * k - F.col("s1")
+    var_num = F.col("s2") * k - F.col("s1") * F.col("s1")
+    z = dev / F.sqrt(var_num * float(k) / float(km1))
+    return (
+        f.filter(F.col("k") == k)
+        .filter(dev * dev * km1 > 4 * k * var_num)
+        .select("user_id", "event_id", "c", F.round(z, 4).alias("z"))
+    )

@@ -2015,3 +2015,191 @@ def fuzzy_match_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("id_a", "id_b", "dist", "n_a", "n_b")
     )
+
+
+_PACK_L = 512  # training sequence length in tokens
+_PACK_CHUNK = 4096  # docs per prefix-sum chunk; #chunks = N/4096 stays tiny
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+), cum AS (
+  SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS start
+  FROM toks
+), spans AS (
+  SELECT doc_id, n, start,
+    unnest(generate_series(start//{_PACK_L}, (start+n-1)//{_PACK_L})) AS seq_id
+  FROM cum WHERE n > 0
+)
+SELECT seq_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(LEAST(start+n, (seq_id+1)*{_PACK_L})
+           - GREATEST(start, seq_id*{_PACK_L})) AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq_id
+"""
+
+
+@register("pack_training_sequences", oracle=_PACK_ORACLE)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id order
+    and cut it into fixed 512-token training blocks; emit per-block doc
+    count and token occupancy (= 512 everywhere but the tail block).
+
+    The defining primitive is a GLOBAL prefix sum of token counts — the
+    one window Spark cannot parallelize as written (no partitionBy →
+    every row in one partition). This entry implements the classic
+    two-level distributed scan instead: (1) within-CHUNK running sums,
+    windowed by ``doc_id div 4096`` so all chunks scan in parallel;
+    (2) a chunk-totals prefix over #docs/4096 rows — the only global
+    window, a thousand rows where the naive plan has a billion; (3) a
+    broadcast join adds each chunk's offset back. Block membership is then
+    a distributed ``sequence``+``explode`` span (same grid pattern as
+    ``events_gapfill_resample``) and the final shuffle is one groupBy on
+    seq_id. All arithmetic stays in BIGINT (``div``): at 100 TB the token
+    offsets exceed 2^53, so double-based floor() would mis-assign blocks.
+    Oracle = the naive single-window cumsum, which DuckDB can afford at
+    test scale."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokenize("text")).cast("long").alias("n")
+    )
+    docs = docs.withColumn("chunk", F.expr(f"doc_id div {_PACK_CHUNK}"))
+    wchunk = W.partitionBy("chunk").orderBy("doc_id")
+    within = docs.withColumn("w", F.sum("n").over(wchunk) - F.col("n"))
+    offsets = (
+        docs.groupBy("chunk")
+        .agg(F.sum("n").alias("ct"))
+        .withColumn("off", F.sum("ct").over(W.orderBy("chunk")) - F.col("ct"))
+        .select("chunk", "off")
+    )
+    placed = (
+        within.join(F.broadcast(offsets), "chunk")
+        .withColumn("start", F.col("off") + F.col("w"))
+        .filter(F.col("n") > 0)
+    )
+    spans = placed.select(
+        "start",
+        "n",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {_PACK_L}"), F.expr(f"(start + n - 1) div {_PACK_L}")
+            )
+        ).alias("seq_id"),
+    )
+    occupancy = F.least(
+        F.col("start") + F.col("n"), (F.col("seq_id") + 1) * _PACK_L
+    ) - F.greatest(F.col("start"), F.col("seq_id") * _PACK_L)
+    return spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(occupancy).cast("long").alias("n_tokens"),
+    )
+
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest({_TOKS}) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w)-1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
+@register("bpe_pair_merge", oracle=_BPE_ORACLE)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-induction step: corpus-wide adjacent-symbol pair
+    frequencies at the character stage, top 20 — the inner loop of
+    tokenizer TRAINING (``text_bpe_token_count`` is the apply side; this
+    is where a vocabulary comes from).
+
+    Shape: explode tokens → per-word adjacent 2-grams via a
+    ``transform(sequence(...))`` higher-order expression (stays in
+    whole-stage codegen — no UDF) → one groupBy with map-side partial
+    counts → deterministic ordered LIMIT (count desc, pair asc so the
+    cutoff never depends on partitioning). At 100 TB the shuffle carries
+    only (pair, partial_count) rows — bounded by alphabet², not corpus
+    size. Real BPE iterates this job, re-pairing after each merge; one
+    step is the catalog-sized unit."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokenize("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)-1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+_HARDNEG_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {_EMB_DOUBLE} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS negative_id,
+    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*q.qv[i]))
+      / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS sim
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.qlabel
+)
+SELECT query_id, negative_id, "rank", ROUND(sim, 4) AS sim FROM (
+  SELECT query_id, negative_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, negative_id) AS "rank"
+  FROM pairs
+) WHERE "rank" <= 3
+"""
+
+
+@register("mine_hard_negatives", oracle=_HARDNEG_ORACLE)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data mining: for each query vector, the top-3
+    most-similar vectors with a DIFFERENT label — the "hard negatives"
+    that make embedding-model fine-tuning work (easy random negatives
+    carry no gradient).
+
+    Same scale contract as ``sim_topk_bruteforce``: queries broadcast,
+    corpus streams through a BroadcastNestedLoopJoin without shuffling,
+    and the label-mismatch predicate is applied in the SAME codegen stage
+    as the dot product, so same-label vectors are shed before the window
+    rank ever sees them. The per-query top-3 is a WindowGroupLimit —
+    map-side pruned, never a global sort. Production batching: queries
+    arrive in broadcast-sized slices (the driver loop over slices is
+    embarrassingly parallel across jobs)."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("cvec"),
+        norm(F.col("embedding")).alias("cnorm"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qnorm"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nlabel") != F.col("qlabel"))
+        .withColumn(
+            "sim", dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("negative_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "negative_id", "rank", F.round("sim", 4).alias("sim"))
+    )

@@ -220,3 +220,42 @@ def test_interval_overlap_is_binned_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_pack_sequences_prefix_sum_is_two_level(spark):
+    """pack_training_sequences: the corpus-sized cumsum must run windowed
+    by chunk (parallel), the chunk-offset table must come back via a
+    BROADCAST join (it is #docs/4096 rows), and block membership must be
+    a distributed Generate — never a driver loop."""
+    plan = _plan(spark, "pack_training_sequences")
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan
+    # exactly one single-partition window (the tiny chunk-offset prefix);
+    # the corpus-sized window is partitioned by chunk
+    assert plan.count("Window [") <= 2
+
+
+def test_hard_negatives_corpus_never_shuffles(spark):
+    """mine_hard_negatives: queries broadcast through a nested-loop join
+    (the label filter is a non-equi predicate), corpus side stays
+    shuffle-free until the per-query window rank."""
+    plan = _plan(spark, "mine_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_diff_is_single_scan(spark):
+    """events_cdc_snapshot_diff: both snapshots must come from ONE pass
+    over events (the explode-tag trick), not one scan per snapshot."""
+    plan = _plan(spark, "events_cdc_snapshot_diff")
+    assert plan.count("events.parquet") <= 1 or plan.count("Scan parquet") <= 1
+    assert "Generate explode" in plan
+
+
+def test_session_paths_rank_filter_is_group_limited(spark):
+    """events_session_paths: the rank<=3 filter must plan as a
+    WindowGroupLimit (map-side top-k pruning), and the path-frequency
+    LIMIT as TakeOrderedAndProject — never a global sort."""
+    plan = _plan(spark, "events_session_paths")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -323,6 +323,47 @@ def bm25_shape(docs):
     return top.agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
 
 
+def pack_shape(docs):
+    """pack_training_sequences' core: two-level distributed prefix sum
+    (within-chunk windows + tiny chunk-offset prefix + broadcast join)
+    then span-explode into 512-token blocks. Cost must track the linear
+    tokenize/window pass; the only global window sees #docs/4096 rows."""
+    from pyspark.sql.window import Window as W
+
+    L, CHUNK = 512, 4096
+    d = docs.select(
+        "doc_id", F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long").alias("n")
+    ).withColumn("chunk", F.expr(f"doc_id div {CHUNK}"))
+    within = d.withColumn(
+        "w", F.sum("n").over(W.partitionBy("chunk").orderBy("doc_id")) - F.col("n")
+    )
+    offsets = (
+        d.groupBy("chunk")
+        .agg(F.sum("n").alias("ct"))
+        .withColumn("off", F.sum("ct").over(W.orderBy("chunk")) - F.col("ct"))
+        .select("chunk", "off")
+    )
+    placed = (
+        within.join(F.broadcast(offsets), "chunk")
+        .withColumn("start", F.col("off") + F.col("w"))
+        .filter(F.col("n") > 0)
+    )
+    spans = placed.select(
+        "start",
+        "n",
+        F.explode(
+            F.sequence(F.expr(f"start div {L}"), F.expr(f"(start + n - 1) div {L}"))
+        ).alias("seq_id"),
+    )
+    occ = F.least(F.col("start") + F.col("n"), (F.col("seq_id") + 1) * L) - F.greatest(
+        F.col("start"), F.col("seq_id") * L
+    )
+    per_seq = spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(occ).alias("n_tokens")
+    )
+    return per_seq.agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+
+
 def run_noop(df) -> float:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
@@ -362,6 +403,7 @@ def main() -> None:
         ("merge_scd2", scd2_shape(cust1, o1), scd2_shape(cust1, o10)),
         ("fuzzy_twostage", fuzzy_shape(part1), fuzzy_shape(part10)),
         ("bm25_search", bm25_shape(docs1), bm25_shape(docs10)),
+        ("pack_sequences", pack_shape(docs1), pack_shape(docs10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
