@@ -125,6 +125,35 @@ def minhash_signatures(tokens: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, bhash) LSH band table: MinHash signatures banded into
+    ``bands`` groups of ``num_hashes // bands`` rows, each band's slice
+    hashed to one bucket key. This is the PERSISTABLE index of the LSH
+    family — write it once per corpus snapshot and incremental dedup joins
+    new batches against it (``incremental_lsh_pairs``) instead of
+    re-banding 100 TB per delta."""
+    rows = num_hashes // bands
+    sig = minhash_signature_table(df, id_col, tokens_col, num_hashes)
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -159,21 +188,7 @@ def lsh_candidate_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    rows = num_hashes // bands
-    sig = minhash_signature_table(df, id_col, tokens_col, num_hashes)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bhash"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
-
+    banded = minhash_band_table(df, id_col, tokens_col, num_hashes, bands)
     pairs = bucket_pairs(
         banded, ["band", "bhash"], max_bucket=max_bucket, drop_observation=drop_observation
     )
@@ -284,6 +299,51 @@ def verify_jaccard(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_lsh_pairs(
+    all_docs: DataFrame,
+    delta_pred,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a delta batch: delta x base and delta x
+    delta, never base x base — the incremental posture that makes dedup
+    affordable on a growing corpus (re-pairing 100 TB of settled base
+    content per ingest batch is the naive-shape cost this avoids; work
+    scales with |delta| x bucket density, not |corpus|²).
+
+    ``delta_pred`` is a Column predicate over ``all_docs`` marking the new
+    batch. The full band table stands in for the persisted index
+    (``minhash_band_table`` docstring — in production the base slice is a
+    parquet/Delta table written at last ingest, and only the delta slice
+    is computed fresh; the join below is identical either way). Candidate
+    generation is an equi-join of the delta's bands against the index on
+    (band, bhash) — same shuffle key and same recall argument as
+    ``lsh_candidate_pairs``; a delta x delta pair is found from both sides
+    and collapsed by the ordered-pair dropDuplicates.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, at least one side in
+    the delta, jaccard >= threshold.
+    """
+    banded = minhash_band_table(all_docs, id_col, tokens_col, num_hashes, bands)
+    delta_ids = all_docs.filter(delta_pred).select(F.col(id_col).alias("id"))
+    delta_bands = banded.join(delta_ids, "id").select(
+        F.col("id").alias("id_d"), "band", "bhash"
+    )
+    cand = (
+        banded.join(delta_bands, ["band", "bhash"])
+        .filter(F.col("id") != F.col("id_d"))
+        .select(
+            F.least("id", "id_d").alias("id_a"),
+            F.greatest("id", "id_d").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return verify_jaccard(cand, all_docs, id_col, tokens_col, jaccard_threshold)
 
 
 def simhash_near_dup_pairs(

@@ -2543,3 +2543,62 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(nxt).alias("valid_to"),
         F.lead("valid_from").over(nxt).isNull().alias("is_current"),
     )
+
+
+# Histogram-quantile binning: bucket width in cents ($25) and decile count.
+_QB_W = 2500
+_QB_D = 10
+
+_QBUCKET_ORACLE = f"""
+WITH r AS (
+  SELECT o_orderkey, {sql_cents('o_totalprice')} AS cents FROM orders
+), h AS (
+  SELECT cents//{_QB_W} AS bucket, COUNT(*) AS cnt FROM r GROUP BY 1
+), cum AS (
+  SELECT bucket,
+    CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT) AS cum_before,
+    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM h
+), m AS (
+  SELECT bucket, CAST(1 + ({_QB_D} * cum_before) // n AS BIGINT) AS decile FROM cum
+)
+SELECT r.o_orderkey, r.cents, r.cents//{_QB_W} AS bucket, m.decile
+FROM r JOIN m ON r.cents//{_QB_W} = m.bucket
+"""
+
+
+@register("quantile_bucket_assignment", oracle=_QBUCKET_ORACLE)
+def quantile_bucket_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass histogram-quantile binning: assign every order a price
+    DECILE without ever globally sorting the data — the scalable
+    replacement for ``ntile(10) OVER (ORDER BY price)``, whose empty
+    partitionBy moves 100 TB through one partition.
+
+    Pass 1 collapses the corpus to a fixed-width histogram (bucket =
+    cents div 2500, one map-side-combinable aggregation; thousands of
+    buckets regardless of row count). Pass 2 runs the cumulative scan
+    over the HISTOGRAM (a window over #buckets rows, not #rows) and maps
+    each bucket to ``1 + (10 * rows_before_bucket) div n`` — then a
+    broadcast join stamps the decile back onto the rows. Deciles are
+    bucket-granular (ties and co-bucketed values share a decile), which
+    is the standard accuracy trade of histogram quantiles; width is the
+    precision dial. Everything is int64 arithmetic — exact on both
+    engines by construction."""
+    orders = t(spark, sf_dir, "orders")
+    r = orders.select("o_orderkey", cents("o_totalprice").alias("cents")).withColumn(
+        "bucket", F.expr(f"cents div {_QB_W}")
+    )
+    h = r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    m = h.select(
+        "bucket",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).select(
+        "bucket",
+        F.expr(f"CAST(1 + ({_QB_D} * cum_before) div n AS BIGINT)").alias("decile"),
+    )
+    return r.join(F.broadcast(m), "bucket").select(
+        "o_orderkey", "cents", "bucket", "decile"
+    )

@@ -2203,3 +2203,46 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "negative_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+_INCR_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_BIGRAMS} AS s FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.4
+"""
+
+
+@register("dedup_incremental_batch", oracle=_INCR_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: an ingest batch (docs with doc_id % 10
+    = 0, ~10% of the corpus) is checked against the settled base WITHOUT
+    re-pairing base x base — the only affordable shape on a growing
+    corpus (operators/dedup.py incremental_lsh_pairs: the delta's bands
+    equi-join the persisted band INDEX; work scales with the batch, not
+    the archive). Oracle = exact all-pairs ground truth restricted to
+    pairs touching the delta, which the banded join reproduces because
+    candidate recall is 1 on this corpus (same measured argument as
+    dedup_minhash_lsh)."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    return incremental_lsh_pairs(
+        toks,
+        F.col("doc_id") % 10 == 0,
+        "doc_id",
+        "sh",
+        num_hashes=64,
+        bands=16,
+        jaccard_threshold=0.4,
+    )

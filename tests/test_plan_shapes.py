@@ -259,3 +259,19 @@ def test_session_paths_rank_filter_is_group_limited(spark):
     plan = _plan(spark, "events_session_paths")
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dedup_is_equi_join_on_bands(spark):
+    """dedup_incremental_batch: delta-vs-index candidates must come from
+    an equi-join on (band, bhash) — no cartesian, no nested loop."""
+    plan = _plan(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_buckets_broadcast_back(spark):
+    """quantile_bucket_assignment: the bucket->decile map (histogram-sized)
+    must come back via a broadcast join; rows never sort globally."""
+    plan = _plan(spark, "quantile_bucket_assignment")
+    assert "BroadcastHashJoin" in plan
+    assert "Sort [cents" not in plan
