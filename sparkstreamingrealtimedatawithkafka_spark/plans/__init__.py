@@ -38,11 +38,14 @@ DRIVER_WINDOW = [
     "join_anti_customers_no_urgent",
     "range_join_size_buckets",
     "events_asof_last_purchase",
-    # sorts / windows
+    # sorts / windows (order_limit_top_orders and events_window_range_frame
+    # ceded their slots to the round-5 CDC + sequence-packing families —
+    # topk/running-total keep the ordered-limit and frame evidence)
     "topk_parts_per_brand",
-    "order_limit_top_orders",
     "window_running_total",
-    "events_window_range_frame",
+    # round-5 families: CDC delta extraction; distributed-prefix-sum packing
+    "events_cdc_snapshot_diff",
+    "pack_training_sequences",
     # scalar functions / SQL surface (math fns stay out-of-window; string+
     # date evidence §2.7 and the swapped-in §2.4 surfaces need the slots)
     "date_functions_revenue",

@@ -14,7 +14,10 @@ from pyspark.sql.types import LongType, StructField, StructType, StringType, Dou
 from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import event_time_columns
-from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import ENTITY_COUNT_ORACLE
+from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+    ENTITY_COUNT_ORACLE,
+    _all_pairs_bigram_oracle,
+)
 from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
     entity_counts,
     file_stream,
@@ -491,3 +494,59 @@ def streaming_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique_docs")
     )
     return run_to_memory(counts, output_mode="complete")
+
+
+@register("streaming_incremental_dedup", oracle=_all_pairs_bigram_oracle(0.4))
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup as a CONTINUOUS ingest process: the corpus arrives
+    in three micro-batches (file source, maxFilesPerTrigger=1); each batch
+    is LSH-banded, joined against the persisted band index of everything
+    before it, verified with exact Jaccard, and appended to the index
+    (streaming/incremental.py — foreachBatch with corpus-sized lookaside
+    state in parquet, NOT the state store).
+
+    The oracle is the SAME all-pairs ground truth as ``dedup_minhash_lsh``:
+    the final pair set over a bounded stream equals the full-corpus batch
+    LSH result no matter how the input is sliced into micro-batches (each
+    pair is found exactly once, when its later member arrives) — the
+    prefix-consistency property extended to a pipeline with out-of-band
+    index state. tests/test_streaming_incremental.py additionally pins
+    slice-invariance against the batch operator directly."""
+    import tempfile
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.incremental import (
+        incremental_dedup_query,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        as_stream_dir,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ssk_incr_dedup_")
+    import glob as _glob
+
+    files = []
+    for i in range(3):
+        slice_dir = f"{work}/slice{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(slice_dir)
+        files.extend(_glob.glob(f"{slice_dir}/part-*.parquet"))
+    stream_dir = as_stream_dir(*files)
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream = raw.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    q = incremental_dedup_query(
+        spark,
+        stream,
+        work,
+        "doc_id",
+        "sh",
+        num_hashes=64,
+        bands=16,
+        jaccard_threshold=0.4,
+    ).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/pairs").select("id_a", "id_b", "jaccard")

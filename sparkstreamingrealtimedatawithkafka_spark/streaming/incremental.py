@@ -1,0 +1,106 @@
+"""Streaming incremental near-dup dedup: each micro-batch is banded and
+joined against the PERSISTED LSH band index of everything ingested before
+it, then appended to that index — near-dup detection as a continuous
+ingest-time process instead of a periodic full-corpus job.
+
+This is the streaming face of ``operators/dedup.py:incremental_lsh_pairs``
+(same band join, same verification) wired through ``foreachBatch``. The
+state is NOT in the streaming state store: the band index and token
+snapshot live as plain parquet tables, because at 100 TB they are corpus-
+sized — state-store state must stay bounded (watermarked windows, dedup
+keys), while corpus-sized lookaside state belongs in a table the batch
+join can prune and AQE can size. Cost per micro-batch scales with
+|batch| x bucket density, never with the archive.
+
+Output contract: a pair (a, b) is emitted exactly once — in the batch
+where its LATER member arrives (the earlier member is in the index by
+then; same-batch pairs are found batch-vs-batch and collapsed by the
+ordered-pair dedup). The FINAL pair set over a bounded stream therefore
+equals the full-corpus batch LSH result regardless of how files are
+sliced into micro-batches — the prefix-consistency argument, extended to
+a pipeline with out-of-band state.
+
+Exactly-once on replay: the pairs table is partitioned by batch_id and
+written with dynamic partition overwrite, so a re-run of a batch after a
+crash REPLACES its own output instead of duplicating it. The index
+appends are idempotent only per completed run; a production deployment
+stage-commits them with a manifest (the protocol demonstrated by
+``sources/pysink.py``) or uses an ACID table format.
+
+Reference ancestry: the producer-side LRUSet dedup
+(news_producer.py:30-48) keeps a bounded in-process "seen" set; this
+operator is that idea grown into engine state — durable, corpus-sized,
+and shared across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+    minhash_band_table,
+    verify_jaccard,
+)
+
+
+def incremental_dedup_query(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    work_dir: str,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+):
+    """Build the foreachBatch streaming query (caller starts/awaits it).
+
+    Layout under ``work_dir``: ``bands/`` (id, band, bhash) — the LSH
+    index; ``tokens/`` (id, tok) — verification payloads; ``pairs/`` —
+    the emitted (id_a, id_b, jaccard) partitioned by batch_id.
+    """
+    bands_dir = f"{work_dir}/bands"
+    toks_dir = f"{work_dir}/tokens"
+    pairs_dir = f"{work_dir}/pairs"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            F.col(id_col).alias("id"), F.col(tokens_col).alias("tok")
+        )
+        # One computation of the batch's bands feeds both the join and the
+        # index append; localCheckpoint cuts the double lineage.
+        bt = minhash_band_table(batch, "id", "tok", num_hashes, bands).localCheckpoint()
+        try:
+            all_bands = spark.read.parquet(bands_dir).unionByName(bt)
+            all_toks = spark.read.parquet(toks_dir).unionByName(batch)
+        except Exception:  # first batch: no index yet
+            all_bands, all_toks = bt, batch
+        cand = (
+            all_bands.join(
+                bt.select(F.col("id").alias("id_d"), "band", "bhash"),
+                ["band", "bhash"],
+            )
+            .filter(F.col("id") != F.col("id_d"))
+            .select(
+                F.least("id", "id_d").alias("id_a"),
+                F.greatest("id", "id_d").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = verify_jaccard(cand, all_toks, "id", "tok", jaccard_threshold)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        bt.write.mode("append").parquet(bands_dir)
+        batch.write.mode("append").parquet(toks_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+    )

@@ -143,6 +143,23 @@ def dedup_shape(docs):
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def incr_dedup_shape(docs):
+    """dedup_incremental_batch's core: only pairs touching the 10% delta
+    batch are expanded (delta bands vs full index), so cost must track the
+    linear banding pass plus delta-proportional pair work — the contrast
+    row for dedup_shape's full-corpus pairing under the same dup density."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    pairs = incremental_lsh_pairs(
+        sh, F.col("doc_id") % 10 == 0, "doc_id", "sh",
+        num_hashes=64, bands=16, jaccard_threshold=0.4,
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def materialize_events(spark) -> None:
     """10x events with key cardinality scaled (user_id' = user_id*10+i) and
     timestamps jittered per replica (+i minutes) so per-user series grow in
@@ -398,6 +415,7 @@ def main() -> None:
         ("q1_agg", q1_shape(li1), q1_shape(li10)),
         ("q3_join_agg", q3_shape(li1, o1), q3_shape(li10, o10)),
         ("minhash_lsh_dedup", dedup_shape(docs1), dedup_shape(docs10)),
+        ("incremental_dedup", incr_dedup_shape(docs1), incr_dedup_shape(docs10)),
         ("asof_join", asof_shape(ev1), asof_shape(ev10)),
         ("gapfill_resample", gapfill_shape(ev1), gapfill_shape(ev10)),
         ("merge_scd2", scd2_shape(cust1, o1), scd2_shape(cust1, o10)),
