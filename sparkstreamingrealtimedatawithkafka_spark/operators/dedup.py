@@ -317,30 +317,57 @@ def incremental_lsh_pairs(
     scales with |delta| x bucket density, not |corpus|²).
 
     ``delta_pred`` is a Column predicate over ``all_docs`` marking the new
-    batch. The full band table stands in for the persisted index
-    (``minhash_band_table`` docstring — in production the base slice is a
-    parquet/Delta table written at last ingest, and only the delta slice
-    is computed fresh; the join below is identical either way). Candidate
-    generation is an equi-join of the delta's bands against the index on
-    (band, bhash) — same shuffle key and same recall argument as
-    ``lsh_candidate_pairs``; a delta x delta pair is found from both sides
-    and collapsed by the ordered-pair dropDuplicates.
+    batch. Candidate generation is the SAME (band, bhash) bucket shuffle
+    and in-bucket expansion as ``lsh_candidate_pairs`` — same recall
+    argument — with a delta flag riding along and the "at least one side
+    is delta" predicate applied inside the generating stage, so settled
+    base x base pairs are never materialized. The streaming face
+    (``streaming/incremental.py``) goes further: there the base bands are
+    a PERSISTED parquet index, so base signatures are not even recomputed
+    — this batch operator is the one-shot form over a combined scan.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, at least one side in
     the delta, jaccard >= threshold.
     """
     banded = minhash_band_table(all_docs, id_col, tokens_col, num_hashes, bands)
-    delta_ids = all_docs.filter(delta_pred).select(F.col(id_col).alias("id"))
-    delta_bands = banded.join(delta_ids, "id").select(
-        F.col("id").alias("id_d"), "band", "bhash"
+    flags = all_docs.select(
+        F.col(id_col).alias("id"), delta_pred.cast("boolean").alias("is_d")
+    )
+    # One broadcast-joined delta flag per banded row, then the SAME
+    # collect_list in-bucket expansion as bucket_pairs with the pair
+    # predicate "at least one side is delta" applied inside the generating
+    # stage. Deriving delta bands as a second reference to `banded` was
+    # measured 1.7x SLOWER than full LSH at 10x data: each branch of a
+    # self-referencing plan recomputes the whole signature pipeline, and
+    # the extra band-table shuffle outweighed the skipped base pairs.
+    # flags is corpus-sized — no broadcast pin; AQE picks broadcast at
+    # test scale and sort-merge when the corpus outgrows it
+    fb = banded.join(flags, "id")
+    buckets = (
+        fb.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "is_d"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & F.exists("ms", lambda m: m["is_d"]))
     )
     cand = (
-        banded.join(delta_bands, ["band", "bhash"])
-        .filter(F.col("id") != F.col("id_d"))
-        .select(
-            F.least("id", "id_d").alias("id_a"),
-            F.greatest("id", "id_d").alias("id_b"),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.transform(
+                            F.filter(
+                                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                                lambda y: x["is_d"] | y["is_d"],
+                            ),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"), y["id"].alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return verify_jaccard(cand, all_docs, id_col, tokens_col, jaccard_threshold)

@@ -2602,3 +2602,186 @@ def quantile_bucket_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(m), "bucket").select(
         "o_orderkey", "cents", "bucket", "decile"
     )
+
+
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(o_orderkey) AS n_nonnull,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_v, CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+"""
+
+
+@register("profile_table_columns", oracle=_PROFILE_ORACLE)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile (row/non-null/distinct counts, min/max
+    rendered as strings) for four orders columns in ONE scan — the audit
+    every ingest runs before trusting a 100 TB drop.
+
+    The profile is a single groupBy-less aggregation with 4x4
+    map-side-combinable aggregates (count_distinct included — Spark plans
+    multi-distinct via Expand, still one pass over the scan), then an
+    unpivot-by-construction via a struct array explode so the result is
+    long-form (col, stats) — the shape a quality dashboard joins against
+    thresholds. A per-column loop of scans would read the table four
+    times; this reads it once."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            a
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+            for a in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_v"),
+                F.col(f"mx_{c}").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_RI_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_name, COUNT(*) AS n_violations
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orders.o_custkey -> customer', COUNT(*)
+FROM orders od LEFT JOIN customer c ON od.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', COUNT(*)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier', COUNT(*)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_suppkey IS NULL
+"""
+
+
+@register("audit_referential_integrity", oracle=_RI_ORACLE)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-count per foreign key across the
+    star schema, each as an ANTI join (the orphan-detection shape — never
+    a full outer materialization). Dimension sides broadcast or
+    sort-merge at AQE's discretion; each constraint is one join + one
+    count, unioned into the long-form report a contract checker consumes.
+    Zero rows violated is the expected fixture state — the entry proves
+    the CHECK runs, and the count columns make any future fixture drift
+    a visible nonzero, not a silent pass."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+
+    def orphans(child, ckey, parent, pkey, label):
+        return (
+            child.join(parent, child[ckey] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(label).alias("fk_name"), "n_violations")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey -> orders")
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey -> customer"))
+        .unionByName(orphans(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey -> part"))
+        .unionByName(orphans(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey -> supplier"))
+    )
+
+
+_REGR_ORACLE = f"""
+WITH r AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity*100,0) AS BIGINT) AS x,
+         {sql_cents('l_extendedprice')} AS y
+  FROM lineitem
+), s AS (
+  SELECT flag, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx
+  FROM r GROUP BY flag
+)
+SELECT flag, n,
+  ROUND(CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE), 8) AS slope,
+  ROUND((CAST(sy AS DOUBLE) - CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+         / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6)
+    AS intercept
+FROM s
+"""
+
+
+@register("agg_linear_regression", oracle=_REGR_ORACLE)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares regression per group (price vs quantity
+    slope/intercept) built from EXACT integer moment sums — the one-pass
+    distributed shape for 'fit a line per key' at 100 TB: four
+    map-side-combinable SUMs and a COUNT, no iterative solver, no
+    per-group data movement.
+
+    Spark's/DuckDB's built-in ``regr_slope`` accumulate in floats whose
+    summation order differs per engine; here Σx, Σy, Σxy, Σx² are exact
+    int64/decimal sums (cents-scaled, order-independent) and the
+    slope/intercept divisions are expression-identical doubles on both
+    sides, so the result hash-matches bit-for-bit. Sums of products use
+    128-bit accumulation (DECIMAL(38,0) / HUGEINT) because cents² x 600M
+    rows overflows int64 at scale."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents("l_quantity").alias("x"),
+        cents("l_extendedprice").alias("y"),
+    )
+    s = r.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    return s.select(
+        "flag",
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
