@@ -2785,3 +2785,42 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 8).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+_EXEC_IMM_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n, CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 150000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_execute_immediate", oracle=_EXEC_IMM_ORACLE)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized dynamic SQL (Spark 4): ``EXECUTE IMMEDIATE`` over a
+    query template with ``USING`` bind parameters, the table name bound
+    through the injection-safe ``IDENTIFIER()`` clause instead of string
+    concatenation — the surface multi-tenant query services need (the
+    tenant picks the table and thresholds; the TEXT of the statement
+    never changes, so neither can its shape).
+
+    Parameters bind at plan time — the bound predicate pushes down to the
+    scan exactly as a literal would; dynamic SQL costs nothing at
+    execution. The session variables holding the binds are declared and
+    consumed in the same session (no scripting block needed for
+    EXECUTE IMMEDIATE itself)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_exec")
+    spark.sql("DECLARE OR REPLACE VARIABLE tbl STRING DEFAULT 'orders_exec'")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_v STRING DEFAULT 'F'")
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff_v DOUBLE DEFAULT 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+           FROM IDENTIFIER(?)
+           WHERE o_orderstatus = ? AND o_totalprice >= ?
+           GROUP BY o_orderpriority'
+          USING tbl, status_v, cutoff_v
+        """
+    )

@@ -2059,39 +2059,14 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets exceed 2^53, so double-based floor() would mis-assign blocks.
     Oracle = the naive single-window cumsum, which DuckDB can afford at
     test scale."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.packing import (
+        pack_blocks,
+    )
+
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(TX.tokenize("text")).cast("long").alias("n")
     )
-    docs = docs.withColumn("chunk", F.expr(f"doc_id div {_PACK_CHUNK}"))
-    wchunk = W.partitionBy("chunk").orderBy("doc_id")
-    within = docs.withColumn("w", F.sum("n").over(wchunk) - F.col("n"))
-    offsets = (
-        docs.groupBy("chunk")
-        .agg(F.sum("n").alias("ct"))
-        .withColumn("off", F.sum("ct").over(W.orderBy("chunk")) - F.col("ct"))
-        .select("chunk", "off")
-    )
-    placed = (
-        within.join(F.broadcast(offsets), "chunk")
-        .withColumn("start", F.col("off") + F.col("w"))
-        .filter(F.col("n") > 0)
-    )
-    spans = placed.select(
-        "start",
-        "n",
-        F.explode(
-            F.sequence(
-                F.expr(f"start div {_PACK_L}"), F.expr(f"(start + n - 1) div {_PACK_L}")
-            )
-        ).alias("seq_id"),
-    )
-    occupancy = F.least(
-        F.col("start") + F.col("n"), (F.col("seq_id") + 1) * _PACK_L
-    ) - F.greatest(F.col("start"), F.col("seq_id") * _PACK_L)
-    return spans.groupBy("seq_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(occupancy).cast("long").alias("n_tokens"),
-    )
+    return pack_blocks(docs, "doc_id", "n", block=_PACK_L, chunk=_PACK_CHUNK)
 
 
 _BPE_ORACLE = f"""
