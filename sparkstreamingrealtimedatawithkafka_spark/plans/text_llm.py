@@ -2221,3 +2221,59 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         jaccard_threshold=0.4,
     )
+
+
+_OVERLAP_W, _OVERLAP_S = 32, 24  # window / stride: 8-token overlap
+
+_CHUNK_OVERLAP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), s AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk), 1), {_OVERLAP_S})) AS start
+  FROM d
+)
+SELECT doc_id,
+  CAST((start-1)//{_OVERLAP_S} AS BIGINT) AS chunk_idx,
+  CAST(start AS BIGINT) AS start,
+  CAST(least({_OVERLAP_W}, len(tk)-start+1) AS BIGINT) AS n_tokens,
+  md5(array_to_string(list_slice(tk, start, least(start+{_OVERLAP_W}-1, len(tk))), ' '))
+    AS chunk_md5
+FROM s WHERE start <= len(tk)
+"""
+
+
+@register("text_chunk_overlap", oracle=_CHUNK_OVERLAP_ORACLE)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 32-token windows at stride 24
+    (8-token overlap so retrieval never loses context at a boundary) —
+    the retrieval-index complement of ``text_chunker``'s disjoint
+    training windows, and deliberately built WITHOUT the UDTF: window
+    starts come from ``sequence``+``explode`` and the chunk text from a
+    column-level ``slice``+``concat_ws``, all inside whole-stage codegen.
+    Emits md5(chunk) rather than the chunk so output stays bounded while
+    the hash still pins every byte. Zero shuffles — a pure generate/map
+    plan that scales embarrassingly."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokenize("text").alias("tk")
+    )
+    s = d.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(_OVERLAP_S)
+            )
+        ).alias("start"),
+    ).filter(F.col("start") <= F.size("tk"))
+    return s.select(
+        "doc_id",
+        F.expr(f"(start-1) div {_OVERLAP_S}").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(_OVERLAP_W), F.size("tk") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice("tk", F.col("start"), F.lit(_OVERLAP_W)))
+        ).alias("chunk_md5"),
+    )
