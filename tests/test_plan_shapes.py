@@ -275,3 +275,11 @@ def test_quantile_buckets_broadcast_back(spark):
     plan = _plan(spark, "quantile_bucket_assignment")
     assert "BroadcastHashJoin" in plan
     assert "Sort [cents" not in plan
+
+
+def test_chunk_overlap_is_shuffle_free(spark):
+    """text_chunk_overlap claims a pure generate/map plan: no Exchange at
+    all — chunking must never shuffle the corpus."""
+    plan = _plan(spark, "text_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
