@@ -2277,3 +2277,102 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("tk", F.col("start"), F.lit(_OVERLAP_W)))
         ).alias("chunk_md5"),
     )
+
+
+_DIM = 64  # fixture embedding dimensionality (schema-contract-checked)
+
+_INT8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings
+), flat AS (
+  SELECT unnest(v) AS val, unnest(generate_series(1, len(v))) AS pos FROM e
+), mm AS (
+  SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM flat GROUP BY pos
+), mma AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM mm
+), q AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, {_DIM}), d ->
+      CASE WHEN maxs[d] = mins[d] THEN 0
+           ELSE CAST(ROUND((v[d] - mins[d]) / (maxs[d] - mins[d]) * 254) AS BIGINT) - 127
+      END) AS qv
+  FROM e CROSS JOIN mma
+), qq AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 10
+), pairs AS (
+  SELECT qq.query_id, q.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(generate_series(1, {_DIM}), d -> q.qv[d]*qq.qqv[d]))
+         AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x*x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(qq.qqv, x -> x*x)) AS DOUBLE))) AS sim
+  FROM q CROSS JOIN qq
+  WHERE q.vec_id <> qq.query_id
+)
+SELECT query_id, neighbor_id, "rank", ROUND(sim, 4) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
+  FROM pairs
+) WHERE "rank" <= 3
+"""
+
+
+@register("sim_topk_int8_quantized", oracle=_INT8_ORACLE)
+def sim_topk_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k: per-dimension affine
+    quantization to [-127, 127], then exact integer dot products over the
+    codes — at 100 TB this is the memory-bandwidth play (64 bytes/vector
+    instead of 256: a 4x smaller scan for the ranking pass, with the
+    float vectors fetched only for re-ranking the survivors; this entry
+    IS the quantized ranking stage, so its oracle replays the
+    quantization bit-for-bit rather than comparing to the float ranking).
+
+    Plan: pass 1 computes per-dim min/max as one 128-aggregate row (a
+    scalar, broadcast back via crossJoin); pass 2 quantizes inside
+    codegen (identical double expression on both engines → identical
+    rounding) and ranks with the same broadcast-queries /
+    corpus-never-shuffles shape as ``sim_topk_bruteforce``. Integer dot
+    products are exact, so ties and hashes are deterministic."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mm = emb.agg(
+        F.array(*[F.min(F.element_at("v", d + 1)) for d in range(_DIM)]).alias("mins"),
+        F.array(*[F.max(F.element_at("v", d + 1)) for d in range(_DIM)]).alias("maxs"),
+    )
+    q = emb.crossJoin(F.broadcast(mm)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, 64), d -> CASE WHEN maxs[d-1] = mins[d-1] THEN 0L "
+            "ELSE CAST(ROUND((v[d-1] - mins[d-1]) / (maxs[d-1] - mins[d-1]) * 254, 0) "
+            "AS BIGINT) - 127 END)"
+        ).alias("qv"),
+    )
+    intdot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    qnorm = lambda a: F.sqrt(intdot(a, a).cast("double"))  # noqa: E731
+    c = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("cq"),
+        qnorm(F.col("qv")).alias("cn"),
+    )
+    qq = q.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        qnorm(F.col("qv")).alias("qn"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            intdot(F.col("cq"), F.col("qq")).cast("double")
+            / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

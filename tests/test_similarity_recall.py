@@ -194,3 +194,29 @@ def test_embedding_cosine_dedup_full_recall_on_real_near_dups(spark, tmp_path):
     assert high_sim_dups <= got, (
         f"missed true near-dups: {sorted(high_sim_dups - got)}"
     )
+
+
+def test_int8_quantization_preserves_neighbors(spark):
+    """Quantized top-3 must substantially agree with the exact float
+    top-3 (the re-ranking pass only needs the true neighbors to SURVIVE
+    the quantized stage, not to be perfectly ordered)."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
+    from conftest import SF_DIR
+
+    exact = REGISTRY["sim_topk_bruteforce"].fn(spark, SF_DIR).collect()
+    quant = REGISTRY["sim_topk_int8_quantized"].fn(spark, SF_DIR).collect()
+    # exact entry returns top-5 incl. self; compare per-query top-3 non-self
+    ex = {}
+    for r in exact:
+        if r.neighbor_id != r.query_id:
+            ex.setdefault(r.query_id, []).append(r.neighbor_id)
+    qu = {}
+    for r in quant:
+        qu.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = total = 0
+    for qid, qn in qu.items():
+        truth = set(ex.get(qid, [])[:3])
+        hits += len(truth & set(qn))
+        total += len(truth)
+    assert total > 0
+    assert hits / total >= 0.6, f"recall@3 {hits}/{total}"
