@@ -1240,3 +1240,42 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dev * dev * km1 > 4 * k * var_num)
         .select("user_id", "event_id", "c", F.round(z, 4).alias("z"))
     )
+
+
+_WAU_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts)//1000)//{US_PER_DAY} AS day FROM events
+), contrib AS (
+  SELECT DISTINCT user_id, day + d AS window_end
+  FROM ev, unnest(generate_series(0, 6)) AS t(d)
+)
+SELECT window_end AS day, COUNT(DISTINCT user_id) AS wau
+FROM contrib GROUP BY window_end
+"""
+
+
+@register("events_rolling_wau", oracle=_WAU_ORACLE)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the product-analytics
+    staple that needs DISTINCT over a sliding window, which no window
+    frame can express: each event instead CONTRIBUTES to the seven
+    windows ending on days d..d+6 (a 7x ``explode`` fan-out — the
+    standard exact shape), then one distinct-count per window-end day.
+
+    The fan-out multiplies rows BEFORE the distinct, so the shuffle
+    carries (user, window_end) pairs pre-deduplicated map-side; day
+    count bounds the output. At extreme scale the fan-out swaps for the
+    mergeable HLL sketches (``agg_hll_sketch_mergeable``) with one
+    sketch per day unioned over the window — this entry is the exact
+    ground truth that approach is audited against. Edge windows (first/
+    last 6 days) are partial by construction, identically in both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    contrib = ev.select(
+        "user_id",
+        F.expr(f"ts_us div {US_PER_DAY}").alias("d0"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("d"),
+    )
+    return contrib.groupBy((F.col("d0") + F.col("d")).alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )

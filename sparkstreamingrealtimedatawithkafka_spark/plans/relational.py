@@ -2824,3 +2824,133 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING tbl, status_v, cutoff_v
         """
     )
+
+
+# RFM reference date: just past the fixture's last order (2001-08-01).
+_RFM_REF_DAY = 11_566  # 2001-09-01 as days since epoch
+
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    {_RFM_REF_DAY} - CAST(MAX(epoch(o_orderdate))//86400 AS BIGINT) AS r_days,
+    COUNT(*) AS f_orders,
+    CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+    CASE WHEN r_days <= 365 THEN 3 WHEN r_days <= 1095 THEN 2 ELSE 1 END AS r_score,
+    CASE WHEN f_orders >= 20 THEN 3 WHEN f_orders >= 10 THEN 2 ELSE 1 END AS f_score,
+    CASE WHEN m_cents >= 300000000 THEN 3 WHEN m_cents >= 150000000 THEN 2 ELSE 1 END
+      AS m_score,
+    m_cents
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse cohorting op:
+    per-customer Recency (days since last order vs a fixed reference
+    date), Frequency (order count) and Monetary (lifetime cents), each
+    bucketed 1-3, then segment-level counts and revenue.
+
+    Two map-side-combinable aggregations (per-customer roll-up, then
+    27-segment roll-up) — no window, no sort; recency stays in exact
+    integer epoch-days (``epoch div 86400`` under the pinned UTC session)
+    and money in cents, so every segment boundary is an integer
+    comparison both engines evaluate identically."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        (
+            F.lit(_RFM_REF_DAY)
+            - (F.unix_timestamp(F.max("o_orderdate")) / 86400).cast("long")
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum(cents("o_totalprice")).alias("m_cents"),
+    )
+    score = lambda c, hi, mid: (  # noqa: E731
+        F.when(c >= hi, 3).when(c >= mid, 2).otherwise(1)
+    )
+    scored = per_cust.select(
+        F.when(F.col("r_days") <= 365, 3)
+        .when(F.col("r_days") <= 1095, 2)
+        .otherwise(1)
+        .alias("r_score"),
+        score(F.col("f_orders"), 20, 10).alias("f_score"),
+        score(F.col("m_cents"), 300_000_000, 150_000_000).alias("m_score"),
+        "m_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m_cents").alias("segment_cents"),
+    )
+
+
+_PARETO_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey, CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+    ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rnk,
+    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+    COUNT(*) OVER () AS n_parts,
+    CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+  FROM rev
+)
+SELECT CAST(1 + (10*(rnk-1))//n_parts AS BIGINT) AS revenue_decile,
+       COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS decile_cents,
+       CAST(MAX(cum_cents)//(MAX(total_cents)//1000000) AS BIGINT) AS cum_share_ppm
+FROM ranked
+GROUP BY 1
+"""
+
+
+@register("revenue_pareto_curve", oracle=_PARETO_ORACLE)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration curve: rank products by revenue,
+    split the ranking into deciles, and report each decile's revenue plus
+    the CUMULATIVE share at its boundary (exact parts-per-million) — the
+    'top 10% of products make X% of revenue' report.
+
+    Scale shape: the corpus-sized work is one groupBy(l_partkey) partial
+    aggregation; the ranking window runs over the PART-LEVEL aggregate
+    (bounded by catalog size, not fact rows — same aggregate-then-window
+    principle as quantile_bucket_assignment's histogram). Cumulative
+    share is integer ppm computed as ``cum div (total div 1e6)`` — the
+    denominator is divided rather than the numerator multiplied so the
+    intermediate never overflows int64 at 100 TB revenue totals — and no
+    float accumulation can drift between engines."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("cents"))
+    wrank = W.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    wcum = wrank.rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(wrank).alias("rnk"),
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.count(F.lit(1)).over(wall).alias("n_parts"),
+        F.sum("cents").over(wall).alias("total_cents"),
+    )
+    return (
+        ranked.groupBy(
+            F.expr("CAST(1 + (10*(rnk-1)) div n_parts AS BIGINT)").alias(
+                "revenue_decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("decile_cents"),
+            F.expr("CAST(MAX(cum_cents) div (MAX(total_cents) div 1000000) AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+        )
+    )
