@@ -2954,3 +2954,77 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BASKET_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_n AS (
+  SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), part_n AS (
+  SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY 1
+), tot AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b
+)
+SELECT part_a, part_b, n_ab,
+  ROUND(CAST(n_ab AS DOUBLE) * n_orders / (pa.n * pb.n), 4) AS lift
+FROM pair_n
+JOIN part_n pa ON pa.l_partkey = part_a
+JOIN part_n pb ON pb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY n_ab DESC, part_a, part_b LIMIT 20
+"""
+
+
+@register("basket_affinity_lift", oracle=_BASKET_ORACLE)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top co-purchased part pairs with their
+    LIFT (observed co-occurrence over the independence expectation) — the
+    association-rules kernel behind 'frequently bought together'.
+
+    Scale shape: the pair expansion is a SELF-JOIN ON THE BASKET KEY, so
+    it is quadratic only in basket size (bounded by order width, ~7
+    lines), never in catalog or order count — the same bounded-block
+    principle as the LSH buckets. Per-part support is vocabulary-sized
+    and joins back small; the order total is a one-row broadcast. Counts
+    are exact integers and lift is the identical double expression on
+    both engines; the top-20 cutoff is deterministic (n_ab desc, then
+    pair ids)."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    pair_n = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("c.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    part_n = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("na") * F.col("nb")),
+        4,
+    )
+    return (
+        pair_n.join(
+            part_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na")),
+            "part_a",
+        )
+        .join(
+            part_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(20)
+    )
