@@ -381,6 +381,39 @@ def pack_shape(docs):
     return per_seq.agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
 
 
+def wau_shape(ev):
+    """events_rolling_wau's core: 7x window-membership explode then
+    per-day distinct. The fan-out is a fixed constant, so cost must track
+    data linearly; output is bounded by day count."""
+    contrib = ev.select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("d0"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("d"),
+    )
+    wau = contrib.groupBy((F.col("d0") + F.col("d")).alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return wau.agg(F.count(F.lit(1)).alias("n"), F.sum("wau").alias("s"))
+
+
+def basket_shape(li):
+    """basket_affinity_lift's core: distinct baskets, self-join on the
+    basket key (quadratic only in basket width), support joins. Pair
+    counts grow linearly with orders, so cost must too."""
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    pair_n = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return pair_n.agg(F.count(F.lit(1)).alias("n"), F.sum("n_ab").alias("s"))
+
+
 def run_noop(df) -> float:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
@@ -422,6 +455,8 @@ def main() -> None:
         ("fuzzy_twostage", fuzzy_shape(part1), fuzzy_shape(part10)),
         ("bm25_search", bm25_shape(docs1), bm25_shape(docs10)),
         ("pack_sequences", pack_shape(docs1), pack_shape(docs10)),
+        ("rolling_wau", wau_shape(ev1), wau_shape(ev10)),
+        ("basket_affinity", basket_shape(li1), basket_shape(li10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
