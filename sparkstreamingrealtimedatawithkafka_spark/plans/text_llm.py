@@ -2376,3 +2376,59 @@ def sim_topk_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+    tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, "rank", ROUND(tfidf, 4) AS tfidf FROM (
+  SELECT doc_id, term, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS "rank"
+  FROM scored
+) WHERE "rank" <= 3
+"""
+
+
+@register("text_tfidf_keywords", oracle=_TFIDF_ORACLE)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    classic summarization/labeling primitive, and the per-document
+    complement of the corpus-level ``text_docfreq_score``.
+
+    Scale shape: term frequencies shuffle on (doc, term); document
+    frequency is a VOCABULARY-sized table joined back (AQE broadcasts
+    it); the corpus size is a one-row broadcast; and the per-doc top-3 is
+    a WindowGroupLimit (map-side pruned, no per-doc sort survives to the
+    exchange). The tfidf double is the identical ``tf * ln(N/df)``
+    expression on both engines over exact integers, so ranking ties
+    resolve identically and the 4-dp round hashes bit-for-bit."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", F.round("tfidf", 4).alias("tfidf"))
+    )
