@@ -3028,3 +3028,80 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "part_a", "part_b")
         .limit(20)
     )
+
+
+_WELCH_ORACLE = f"""
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CASE WHEN l_discount >= 0.05 THEN 'A' ELSE 'B' END AS arm,
+         {sql_cents('l_extendedprice')} AS c
+  FROM lineitem
+), m AS (
+  SELECT flag, arm, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c*c) AS HUGEINT) AS s2
+  FROM x GROUP BY flag, arm
+), w AS (
+  SELECT a.flag,
+    a.n AS n_a, b.n AS n_b,
+    CAST(a.s1 AS DOUBLE)/a.n AS mean_a, CAST(b.s1 AS DOUBLE)/b.n AS mean_b,
+    (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE)*a.s1/a.n)/(a.n-1) AS var_a,
+    (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE)*b.s1/b.n)/(b.n-1) AS var_b
+  FROM m a JOIN m b ON a.flag = b.flag AND a.arm = 'A' AND b.arm = 'B'
+)
+SELECT flag, n_a, n_b,
+  ROUND((mean_a - mean_b)/100.0, 4) AS mean_diff_dollars,
+  ROUND((mean_a - mean_b)/sqrt(var_a/n_a + var_b/n_b), 4) AS t_stat
+FROM w
+"""
+
+
+@register("ab_test_welch_t", oracle=_WELCH_ORACLE)
+def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B statistical testing at scale: Welch's t-statistic per segment
+    (does a >=5% discount shift line revenue?) computed entirely from
+    exact integer moment sums — the experimentation-platform primitive.
+
+    Each arm needs only (n, Σc, Σc²): three map-side-combinable
+    aggregates, one shuffle on (segment, arm), a self-join of the tiny
+    per-arm stats table, then the mean/variance/t algebra as an
+    expression-identical double computation on both engines (the same
+    integer-moments discipline as ``agg_linear_regression`` — a
+    streaming/accumulator variance like Welford's would diverge between
+    engines in the last ulps and break the hash). At 100 TB this shape
+    is one pass over the facts regardless of how many segments or arms
+    are tested."""
+    li = t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.when(F.col("l_discount") >= 0.05, "A").otherwise("B").alias("arm"),
+        cents("l_extendedprice").alias("c"),
+    )
+    m = x.groupBy("flag", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    a = m.filter(F.col("arm") == "A").select(
+        "flag", F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    b = m.filter(F.col("arm") == "B").select(
+        "flag", F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    j = a.join(b, "flag")
+    mean_a = F.col("s1a").cast("double") / F.col("n_a")
+    mean_b = F.col("s1b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("s2a").cast("double") - F.col("s1a").cast("double") * F.col("s1a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("s2b").cast("double") - F.col("s1b").cast("double") * F.col("s1b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t_stat = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "flag",
+        "n_a",
+        "n_b",
+        F.round((mean_a - mean_b) / 100.0, 4).alias("mean_diff_dollars"),
+        F.round(t_stat, 4).alias("t_stat"),
+    )
