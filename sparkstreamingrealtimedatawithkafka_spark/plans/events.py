@@ -1279,3 +1279,59 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy((F.col("d0") + F.col("d")).alias("day")).agg(
         F.countDistinct("user_id").alias("wau")
     )
+
+
+_CHI2_ORACLE = """
+WITH x AS (
+  SELECT event_type, CASE WHEN "value" >= 50.0 THEN 1 ELSE 0 END AS hi
+  FROM events
+), o AS (
+  SELECT event_type, hi, COUNT(*) AS n FROM x GROUP BY event_type, hi
+), margins AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_n FROM o GROUP BY event_type
+), cols AS (
+  SELECT hi, CAST(SUM(n) AS BIGINT) AS col_n FROM o GROUP BY hi
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS grand FROM o
+)
+SELECT o.event_type, o.hi, o.n,
+  ROUND(CAST(row_n AS DOUBLE) * col_n / grand, 4) AS expected,
+  ROUND(POW(o.n - CAST(row_n AS DOUBLE) * col_n / grand, 2)
+        / (CAST(row_n AS DOUBLE) * col_n / grand), 4) AS chi2_term
+FROM o JOIN margins USING (event_type) JOIN cols USING (hi) CROSS JOIN tot
+"""
+
+
+@register("events_chi2_independence", oracle=_CHI2_ORACLE)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit: the event_type × high/low-value
+    contingency table with each cell's expectation and χ² contribution —
+    the categorical-testing companion of ``ab_test_welch_t`` (summing
+    chi2_term gives the statistic; cells are emitted so the analyst sees
+    WHERE the dependence lives).
+
+    One fact pass builds the observed table (integer counts); margins are
+    two tiny re-aggregations of the CELL table (5×2 rows — never a second
+    fact scan) joined back with the one-row grand total. All doubles
+    derive from exact integers through expression-identical algebra."""
+    ev = t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type", F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("hi")
+    )
+    o = x.groupBy("event_type", "hi").agg(F.count(F.lit(1)).alias("n"))
+    margins = o.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    cols = o.groupBy("hi").agg(F.sum("n").alias("col_n"))
+    tot = o.agg(F.sum("n").alias("grand"))
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("grand")
+    return (
+        o.join(margins, "event_type")
+        .join(F.broadcast(cols), "hi")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hi",
+            "n",
+            F.round(expected, 4).alias("expected"),
+            F.round(F.pow(F.col("n") - expected, 2) / expected, 4).alias("chi2_term"),
+        )
+    )

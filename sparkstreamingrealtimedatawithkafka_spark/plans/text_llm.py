@@ -2432,3 +2432,45 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "rank", F.round("tfidf", 4).alias("tfidf"))
     )
+
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+), l AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_n FROM c GROUP BY lang
+)
+SELECT c.lang, lang_n,
+  COUNT(*) AS n_sources,
+  ROUND(-SUM((CAST(n AS DOUBLE)/lang_n) * ln(CAST(n AS DOUBLE)/lang_n)), 4)
+    AS source_entropy_nats
+FROM c JOIN l USING (lang)
+GROUP BY c.lang, lang_n
+"""
+
+
+@register("corpus_source_entropy", oracle=_ENTROPY_ORACLE)
+def corpus_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source mix per language — the
+    information-theoretic diversity dial of corpus curation (entropy 0 =
+    one source dominates; ln(k) = perfectly balanced over k sources):
+    low-entropy languages are the ones a scrape refresh should diversify
+    first.
+
+    One fact pass to (lang, source) counts; the per-language total is a
+    re-aggregation of that tiny table (never a second scan); the p·ln p
+    terms derive from exact integer counts through identical expressions,
+    summed over the bounded source vocabulary so no large-cardinality
+    float accumulation exists to drift."""
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    l = c.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    p = F.col("n").cast("double") / F.col("lang_n")
+    return (
+        c.join(l, "lang")
+        .groupBy("lang", "lang_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("source_entropy_nats"),
+        )
+    )
