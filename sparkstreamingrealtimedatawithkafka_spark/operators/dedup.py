@@ -309,6 +309,8 @@ def incremental_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    drop_observation=None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING a delta batch: delta x base and delta x
     delta, never base x base — the incremental posture that makes dedup
@@ -321,7 +323,11 @@ def incremental_lsh_pairs(
     and in-bucket expansion as ``lsh_candidate_pairs`` — same recall
     argument — with a delta flag riding along and the "at least one side
     is delta" predicate applied inside the generating stage, so settled
-    base x base pairs are never materialized. The streaming face
+    base x base pairs are never materialized. ``max_bucket`` /
+    ``drop_observation`` are the same opt-in runaway guard as
+    ``bucket_pairs`` (oversized buckets dropped, drops observed — never
+    silent), so a pathological universal shingle can't expand
+    quadratically here either. The streaming face
     (``streaming/incremental.py``) goes further: there the base bands are
     a PERSISTED parquet index, so base signatures are not even recomputed
     — this batch operator is the one-shot form over a combined scan.
@@ -348,6 +354,23 @@ def incremental_lsh_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "is_d"))).alias("ms"))
         .filter((F.size("ms") >= 2) & F.exists("ms", lambda m: m["is_d"]))
     )
+    if max_bucket is not None:
+        oversize = F.size("ms") > max_bucket
+        metrics = (
+            F.sum(oversize.cast("long")).alias("buckets_dropped"),
+            F.coalesce(
+                F.sum(F.when(oversize, F.size("ms")).otherwise(0)).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("ids_in_dropped_buckets"),
+            F.max(F.size("ms")).alias("max_bucket_size"),
+        )
+        if drop_observation is not None:
+            buckets = buckets.observe(drop_observation, *metrics)
+        else:
+            buckets = buckets.observe(
+                f"incremental_lsh_bucket_drops_{max_bucket}", *metrics
+            )
+        buckets = buckets.filter(~oversize)
     cand = (
         buckets.select(
             F.explode(

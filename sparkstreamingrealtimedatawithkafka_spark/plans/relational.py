@@ -2984,30 +2984,50 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIFT (observed co-occurrence over the independence expectation) — the
     association-rules kernel behind 'frequently bought together'.
 
-    Scale shape: the pair expansion is a SELF-JOIN ON THE BASKET KEY, so
-    it is quadratic only in basket size (bounded by order width, ~7
-    lines), never in catalog or order count — the same bounded-block
-    principle as the LSH buckets. Per-part support is vocabulary-sized
-    and joins back small; the order total is a one-row broadcast. Counts
-    are exact integers and lift is the identical double expression on
-    both engines; the top-20 cutoff is deterministic (n_ab desc, then
-    pair ids)."""
+    Scale shape: ONE aggregation pass over lineitem builds per-order
+    basket arrays (collect_set on the order key — quadratic only in
+    basket width, ~7 lines, never in catalog or order count, the same
+    bounded-block principle as the LSH buckets), eagerly
+    localCheckpointed so the three consumers (pair expansion, per-part
+    support, order total) read materialized blocks instead of each
+    re-running the scan + distinct — the self-referencing-plan recompute
+    that cost 1.7x elsewhere (operators/dedup.py). Per-part support is
+    vocabulary-sized and joins back small; the order total is a one-row
+    broadcast. Counts are exact integers and lift is the identical
+    double expression on both engines; the top-20 cutoff is
+    deterministic (n_ab desc, then pair ids)."""
     li = t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = b.alias("a"), b.alias("c")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
+    )
     pair_n = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("c.l_partkey").alias("part_b")
-        )
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    part_n = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    tot = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_n = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     lift = F.round(
         F.col("n_ab").cast("double")
         * F.col("n_orders")

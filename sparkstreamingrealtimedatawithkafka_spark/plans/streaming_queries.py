@@ -549,4 +549,15 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.4,
     ).start()
     q.awaitTermination()
-    return spark.read.parquet(f"{work}/pairs").select("id_a", "id_b", "jaccard")
+    # Eager localCheckpoint materializes the (small) pair set into the
+    # block manager so the work dir — corpus slices + band/token index —
+    # can be reclaimed before returning (repeated runs otherwise leak disk).
+    import shutil
+
+    result = (
+        spark.read.parquet(f"{work}/pairs")
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -20,12 +20,14 @@ equals the full-corpus batch LSH result regardless of how files are
 sliced into micro-batches — the prefix-consistency argument, extended to
 a pipeline with out-of-band state.
 
-Exactly-once on replay: the pairs table is partitioned by batch_id and
-written with dynamic partition overwrite, so a re-run of a batch after a
-crash REPLACES its own output instead of duplicating it. The index
-appends are idempotent only per completed run; a production deployment
-stage-commits them with a manifest (the protocol demonstrated by
-``sources/pysink.py``) or uses an ACID table format.
+Exactly-once on replay: ALL THREE tables (pairs, bands, tokens) are
+partitioned by batch_id and written with dynamic partition overwrite, so
+a re-run of a batch after a crash REPLACES its own contribution instead
+of duplicating it — a replayed batch cannot double its index rows, which
+would otherwise break the verification join's distinct-token assumption
+and re-emit pairs in later batches. A production deployment could also
+stage-commit via a manifest (the protocol demonstrated by
+``sources/pysink.py``) or use an ACID table format.
 
 Reference ancestry: the producer-side LRUSet dedup
 (news_producer.py:30-48) keeps a bounded in-process "seen" set; this
@@ -35,6 +37,8 @@ and shared across executors.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,6 +46,24 @@ from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
     minhash_band_table,
     verify_jaccard,
 )
+
+
+def _index_exists(path: str) -> bool:
+    """True iff the index table has been written at least once.
+
+    An explicit existence probe (not ``try: read except: empty``): only a
+    genuinely-absent path means "first batch"; any other read failure —
+    corruption, IO, permissions — propagates, because silently treating it
+    as an empty index would emit an incomplete pair set. Local paths are
+    checked with ``os.path`` (non-empty dir); other schemes fall through to
+    True so the subsequent read raises the real error.
+    """
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if "://" not in p:
+        return os.path.isdir(p) and any(
+            not e.startswith(".") for e in os.listdir(p)
+        )
+    return True
 
 
 def incremental_dedup_query(
@@ -58,7 +80,8 @@ def incremental_dedup_query(
 
     Layout under ``work_dir``: ``bands/`` (id, band, bhash) — the LSH
     index; ``tokens/`` (id, tok) — verification payloads; ``pairs/`` —
-    the emitted (id_a, id_b, jaccard) partitioned by batch_id.
+    the emitted (id_a, id_b, jaccard). All three are partitioned by
+    batch_id and written with dynamic partition overwrite (replay-safe).
     """
     bands_dir = f"{work_dir}/bands"
     toks_dir = f"{work_dir}/tokens"
@@ -71,10 +94,21 @@ def incremental_dedup_query(
         # One computation of the batch's bands feeds both the join and the
         # index append; localCheckpoint cuts the double lineage.
         bt = minhash_band_table(batch, "id", "tok", num_hashes, bands).localCheckpoint()
-        try:
-            all_bands = spark.read.parquet(bands_dir).unionByName(bt)
-            all_toks = spark.read.parquet(toks_dir).unionByName(batch)
-        except Exception:  # first batch: no index yet
+        # The replayed batch's own partition must not join against itself:
+        # read only OTHER batches' index partitions. "First batch" is an
+        # explicit existence check, not a swallowed read error — a corrupt
+        # or unreadable index must fail loudly rather than silently run
+        # the dedup join with an empty base (incomplete pair set).
+        if _index_exists(bands_dir):
+            prior_bands = spark.read.parquet(bands_dir).filter(
+                F.col("batch_id") != F.lit(batch_id)
+            )
+            prior_toks = spark.read.parquet(toks_dir).filter(
+                F.col("batch_id") != F.lit(batch_id)
+            )
+            all_bands = prior_bands.select("id", "band", "bhash").unionByName(bt)
+            all_toks = prior_toks.select("id", "tok").unionByName(batch)
+        else:
             all_bands, all_toks = bt, batch
         cand = (
             all_bands.join(
@@ -96,8 +130,23 @@ def incremental_dedup_query(
             .partitionBy("batch_id")
             .parquet(pairs_dir)
         )
-        bt.write.mode("append").parquet(bands_dir)
-        batch.write.mode("append").parquet(toks_dir)
+        # Idempotent index writes: same dynamic-partition-overwrite
+        # posture as the pairs table, so replay replaces rather than
+        # re-appends this batch's index contribution.
+        (
+            bt.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bands_dir)
+        )
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(toks_dir)
+        )
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -6,6 +6,7 @@ state)."""
 from __future__ import annotations
 
 import glob
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -46,6 +47,7 @@ def _stream_pairs(spark, n_slices: int) -> set:
     q.awaitTermination()
     out = spark.read.parquet(f"{work}/pairs")
     rows = out.select("id_a", "id_b", "jaccard", "batch_id").collect()
+    shutil.rmtree(work, ignore_errors=True)
     # exactly-once: no pair may appear under two batch ids
     pairs = [(r.id_a, r.id_b) for r in rows]
     assert len(pairs) == len(set(pairs)), "pair emitted in more than one batch"
