@@ -2920,25 +2920,88 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CUMULATIVE share at its boundary (exact parts-per-million) — the
     'top 10% of products make X% of revenue' report.
 
-    Scale shape: the corpus-sized work is one groupBy(l_partkey) partial
-    aggregation; the ranking window runs over the PART-LEVEL aggregate
-    (bounded by catalog size, not fact rows — same aggregate-then-window
-    principle as quantile_bucket_assignment's histogram). Cumulative
-    share is integer ppm computed as ``cum div (total div 1e6)`` — the
-    denominator is divided rather than the numerator multiplied so the
-    intermediate never overflows int64 at 100 TB revenue totals — and no
-    float accumulation can drift between engines."""
+    Scale shape — exact global rank + prefix sum WITHOUT a global window
+    (the part table grows linearly with SF, so an unpartitioned
+    row_number would funnel every part through one task at 100x; the r5
+    review named this the scale killer). Two-level decomposition, the
+    ``pack_blocks``/``quantile_bucket_assignment`` composite:
+
+      1. one groupBy(l_partkey) partial aggregation (the only
+         corpus-sized shuffle);
+      2. each part lands in one of 1024 FIXED-WIDTH value buckets over
+         [min,max] cents (one-row stats broadcast). Bucket index is a
+         monotone function of cents, so the (cents desc, partkey) order
+         never straddles a bucket mid-tie — ties share a cents value and
+         therefore a bucket;
+      3. per-bucket counts/sums -> prefix offsets via a window over the
+         1024-row bucket table (fixed size, NOT SF-proportional — the
+         quantile-histogram posture), broadcast back;
+      4. within-bucket rank/cumsum via windows PARTITIONED BY bucket —
+         parallel across buckets; global rank/cumsum = bucket offset +
+         local.
+
+    Cumulative share is integer ppm computed as ``cum div (total div
+    1e6)`` — the denominator is divided rather than the numerator
+    multiplied so the intermediate never overflows int64 at 100 TB
+    revenue totals — and no float accumulation can drift between
+    engines."""
+    NBKT = 1024
     li = t(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("cents"))
-    wrank = W.orderBy(F.desc("cents"), F.asc("l_partkey"))
-    wcum = wrank.rowsBetween(W.unboundedPreceding, 0)
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(wrank).alias("rnk"),
-        F.sum("cents").over(wcum).alias("cum_cents"),
-        F.count(F.lit(1)).over(wall).alias("n_parts"),
-        F.sum("cents").over(wall).alias("total_cents"),
+    # rev feeds three consumers (stats, bucketing, bucket offsets);
+    # localCheckpoint materializes the catalog-sized aggregate once so the
+    # fact scan runs once, not per-branch (self-referencing-plan recompute).
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("cents"))
+        .localCheckpoint()
+    )
+    stats = rev.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("total_cents"),
+    )
+    # bucket 0 = highest revenue; (mx - cents) * NBKT stays < 2^63 because
+    # cents spans are per-part revenues (~1e13 at 100 TB), not corpus sums.
+    bucketed = rev.join(F.broadcast(stats)).withColumn(
+        "bkt",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            ((F.col("mx") - F.col("cents")) * NBKT)
+            / (F.col("mx") - F.col("mn") + 1)
+        ).cast("long"),
+    )
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cents").alias("s_b"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("n_b").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("rnk_off"),
+            F.coalesce(
+                F.sum("s_b").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("cum_off"),
+        )
+    )
+    wb = W.partitionBy("bkt").orderBy(F.desc("cents"), F.asc("l_partkey"))
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .select(
+            "cents",
+            "n_parts",
+            "total_cents",
+            (F.col("rnk_off") + F.row_number().over(wb)).alias("rnk"),
+            (
+                F.col("cum_off")
+                + F.sum("cents").over(wb.rowsBetween(W.unboundedPreceding, 0))
+            ).alias("cum_cents"),
+        )
     )
     return (
         ranked.groupBy(

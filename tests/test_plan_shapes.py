@@ -277,6 +277,25 @@ def test_quantile_buckets_broadcast_back(spark):
     assert "Sort [cents" not in plan
 
 
+def test_pareto_rank_window_is_bucket_partitioned(spark):
+    """revenue_pareto_curve: the rank/cumsum window over the
+    SF-proportional part aggregate must be PARTITIONED BY the histogram
+    bucket (parallel across 1024 buckets); the only unpartitioned window
+    allowed is the fixed-size bucket-offset prefix, which must sit behind
+    a broadcast. A bare `windowspecdefinition(cents DESC...)` (no
+    partition key) over part rows is the single-partition funnel the r5
+    review flagged."""
+    import re
+
+    plan = _plan(spark, "revenue_pareto_curve")
+    # part-level window carries bkt as its partition spec
+    assert re.search(r"windowspecdefinition\(bkt#\d+L, cents#\d+L DESC", plan)
+    # no unpartitioned window ordered by cents (the old global-rank shape)
+    assert not re.search(r"windowspecdefinition\(cents#\d+L DESC", plan)
+    # bucket offsets come back via broadcast, not a corpus shuffle
+    assert "BroadcastHashJoin" in plan
+
+
 def test_chunk_overlap_is_shuffle_free(spark):
     """text_chunk_overlap claims a pure generate/map plan: no Exchange at
     all — chunking must never shuffle the corpus."""
