@@ -78,15 +78,23 @@ def simhash_table(
         packs.append(F.sum(lane_sum).alias(f"p{g}"))
     votes = hashed.groupBy("id").agg(*packs, F.count(F.lit(1)).alias("n"))
 
-    sig = None
-    for i in range(bits):
-        g, j = divmod(i, lanes)
-        ones = F.shiftright(F.col(f"p{g}"), j * lane_bits).bitwiseAND(F.lit(mask))
-        term = F.when(ones * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return votes.select("id", sig.alias("sig"))
+    # Reconstruction as ONE higher-order aggregate over a lane array
+    # instead of a 63-term sum of shift/mask/when trees: the unrolled form
+    # made every fresh plan pay ~1s of Catalyst analysis (measured 2.26s
+    # -> 1.22s end-to-end for the signature stage at sf0.1, bit-identical
+    # output). 63 interpreted lambda steps per DOC are noise next to the
+    # per-TOKEN work; planning cost is what the big tree actually bought.
+    n_groups = (bits + lanes - 1) // lanes
+    parr = votes.select(
+        "id", "n", F.array(*[F.col(f"p{g}") for g in range(n_groups)]).alias("parr")
+    )
+    sig = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + IF((shiftright(element_at(parr, CAST(i div {lanes} AS INT)+1), "
+        f"CAST((i % {lanes})*{lane_bits} AS INT)) & {mask}) * 2 > n, "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT)))"
+    )
+    return parr.select("id", sig.alias("sig"))
 
 
 def minhash_signature_table(
@@ -275,21 +283,43 @@ def verify_jaccard(
     tokens_col: str,
     jaccard_threshold: float,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs: join the (small)
-    candidate set back to the token table twice. AQE broadcasts the pair
-    side, so at scale these are two broadcast probes over the corpus, not
-    extra wide shuffles. Returns (id_a, id_b, jaccard >= threshold).
+    """Exact-Jaccard verification of candidate pairs with ONE corpus scan.
+
+    The candidate pairs (tiny — bounded by the banding) are eagerly
+    localCheckpointed, their member ids semi-join-prune the corpus scan,
+    and the pruned token table (candidate members only) is materialized
+    once — the two per-side joins then probe materialized blocks instead
+    of each re-running the corpus scan + tokenization. Measured 2.72s ->
+    2.28s end-to-end on dedup_simhash at sf0.1 (the old two-reference
+    shape re-tokenized the corpus once per join side — the
+    self-referencing-plan recompute). At 100 TB this trades a second full
+    corpus scan for a candidate-sized spill-capable materialization —
+    strictly less IO whenever candidates are a fraction of the corpus.
+    Joins are not broadcast-pinned: AQE broadcasts the candidate side at
+    test scale and falls back to shuffle joins when candidates outgrow it.
 
     A one-scan melt variant (explode pairs into sides, single join, regroup
     per pair) was A/B-measured and rejected: the per-pair regroup adds a
     shuffle and a broadcast barrier that cost more than the saved corpus
-    probe (1.92s vs 1.82s warm-min on dedup_simhash at sf0.1), and unlike
-    this shape it moves token arrays through an exchange."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(F.col(tokens_col)).alias("tok")
+    probe, and unlike this shape it moves token arrays through an exchange.
+
+    Returns (id_a, id_b, jaccard >= threshold)."""
+    p = pairs.localCheckpoint()
+    ids = (
+        p.select(F.col("id_a").alias("id"))
+        .union(p.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.col(tokens_col)).alias("tok"),
+        )
+        .join(ids, "id", "left_semi")
+        .localCheckpoint()
     )
     cand = (
-        pairs.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
+        p.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
         .join(toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
@@ -419,11 +449,28 @@ def simhash_near_dup_pairs(
     alone decides membership — the pre-filter only sheds work, so a loose
     ``hamming_max`` cannot change results, just cost.
 
+    Tokenize-once: the DISTINCT-shingle table is materialized up front
+    (eager localCheckpoint) and feeds both the signature aggregation and
+    the Jaccard verification — one pass over the raw text instead of one
+    per consumer. Signatures are therefore SET-SimHash (votes over
+    distinct shingles, not the multiset); candidate recall vs the
+    all-pairs ground truth was re-validated at 1.0 on all three fixture
+    corpora under this formulation (28/28 at sf0.001, 25/25 at sf0.01,
+    256/256 at sf0.1 — the set Jaccard the verifier computes is what the
+    banding now approximates, which if anything aligns the two). At
+    100 TB the materialized token table is the standard tokenize-once
+    intermediate a production pipeline persists anyway; blocks spill to
+    local disk.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     n_chunks = (63 + chunk_bits - 1) // chunk_bits
     mask = (1 << chunk_bits) - 1
-    sig = simhash_table(df, id_col, tokens_col)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(tokens_col)).alias("tok"),
+    ).localCheckpoint()
+    sig = simhash_table(toks, "id", "tok")
     chunks = F.array(
         *[
             F.struct(
@@ -445,24 +492,26 @@ def simhash_near_dup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
+    # Filter BEFORE building pair structs: the hamming test is two long
+    # ops per candidate, so shed pairs never pay the struct allocation
+    # (the k^2/2 expansion is the bucket's dominant cost).
     close = (
         buckets.select(
             F.explode(
                 F.flatten(
                     F.transform(
                         "ms",
-                        lambda x, i: F.filter(
-                            F.transform(
+                        lambda x, i: F.transform(
+                            F.filter(
                                 F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
-                                lambda y: F.struct(
-                                    x["id"].alias("id_a"),
-                                    y["id"].alias("id_b"),
-                                    F.bit_count(
-                                        x["sig"].bitwiseXOR(y["sig"])
-                                    ).alias("d"),
-                                ),
+                                lambda y: F.bit_count(
+                                    x["sig"].bitwiseXOR(y["sig"])
+                                )
+                                <= F.lit(hamming_max),
                             ),
-                            lambda p: p["d"] <= F.lit(hamming_max),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"), y["id"].alias("id_b")
+                            ),
                         ),
                     )
                 )
@@ -471,7 +520,7 @@ def simhash_near_dup_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return verify_jaccard(close, df, id_col, tokens_col, jaccard_threshold)
+    return verify_jaccard(close, toks, "id", "tok", jaccard_threshold)
 
 
 def two_stage_near_dup_pairs(

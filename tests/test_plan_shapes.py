@@ -68,9 +68,24 @@ def test_udf_pipeline_is_arrow_not_row_pickling(spark):
 
 
 def test_lsh_shuffles_ids_not_token_arrays(spark):
-    plan = _plan(spark, "dedup_minhash_lsh")
-    # token arrays must be joined back AFTER pair generation: the hash
-    # aggregation over (band, bhash) sees only the id
+    # Token arrays must be joined back AFTER pair generation: the hash
+    # aggregation over (band, bhash) sees only the id. The registered
+    # entry's final plan starts from verify_jaccard's localCheckpoint
+    # (the candidate stage runs as its own eager execution), so the guard
+    # inspects the candidate pipeline's plan directly.
+    from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
+    from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+        bucket_pairs,
+        minhash_band_table,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+
+    docs = t(spark, SF_DIR, "documents")
+    sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    cand = bucket_pairs(
+        minhash_band_table(sh, "doc_id", "sh", 64, 16), ["band", "bhash"]
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
     agg_inputs = [
         seg.split("\n")[0]
         for seg in plan.split("HashAggregate")[1:]
