@@ -28,11 +28,12 @@ DRIVER_WINDOW = [
     "flagship_entity_count",
     "output_json_messages",
     "pipeline_parity_udf",
-    # relational core: scans/filters/aggs
+    # relational core: scans/filters/aggs (q13's five-times-recertified
+    # slot ceded to the round-5 BM25 family — r5 verdict rotation ask)
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q5_regional_revenue",
-    "q13_customer_distribution",
+    "search_bm25_topk",
     # joins
     "join_semi_orders_bigqty",
     "join_anti_customers_no_urgent",
@@ -59,13 +60,16 @@ DRIVER_WINDOW = [
     "setop_union_intersect_except",
     "agg_grouping_multi",
     "agg_distinct_counts",
-    "agg_approx_sketches",
     "agg_stats_distribution",
-    "pivot_status_by_flag",
-    # event-time semantics (batch twins)
+    # r6 rotation: approx-sketch and pivot slots (multi-round green) ceded
+    # to the round-5 quantile-histogram and reproducible-split families
+    "quantile_bucket_assignment",
+    "split_train_valid_test",
+    # event-time semantics (batch twins; sliding-window slot ceded to the
+    # interval-overlap join — r6 rotation)
     "events_from_json_struct",
     "events_tumbling_daily",
-    "events_sliding_24h_12h",
+    "events_interval_overlap",
     "events_session_window",
     # structured streaming (real streaming queries, availableNow)
     "streaming_entity_count",
@@ -79,7 +83,6 @@ DRIVER_WINDOW = [
     "text_quality",
     "text_lang_source_stats",
     "text_langid",
-    "text_rolling_fingerprint",
     "text_chunker",
     "pipeline_corpus_clean",
     # dedup family (the bounded-block ngram kernel stays out-of-window;
@@ -89,10 +92,15 @@ DRIVER_WINDOW = [
     "pipeline_full_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    # similarity + multimodal
+    # r6 rotation: embedding-cosine LSH (multi-round green) cedes to the
+    # incremental band-index dedup — the r5 flagship family
+    "dedup_incremental_batch",
+    # similarity + multimodal (rolling-fingerprint slot from the text
+    # family went to int8-quantized ranking, completing the ANN ladder
+    # brute-force -> IVF -> int8 inside the window)
     "sim_topk_bruteforce",
     "sim_ivf_topk",
+    "sim_topk_int8_quantized",
     "multimodal_pipeline",
 ]
 

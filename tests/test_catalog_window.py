@@ -23,26 +23,42 @@ def test_every_windowed_entry_has_an_oracle():
 
 
 def test_window_covers_every_operator_family():
+    """Every operator family must keep AT LEAST ``need`` members inside the
+    window. Membership is a pool, not a pinned list — the r5 verdict asked
+    for round-over-round rotation of multi-round-green slots, so the guard
+    protects family coverage while letting individual slots rotate."""
     window = set(list(plans.queries())[:50])
     families = {
-        "parity": {"flagship_entity_count", "pipeline_parity_udf"},
-        "joins": {"join_semi_orders_bigqty", "join_anti_customers_no_urgent",
-                  "range_join_size_buckets", "events_asof_last_purchase"},
-        "grouping": {"agg_grouping_multi"},
-        "setops": {"setop_union_intersect_except"},
-        "sketches": {"agg_approx_sketches"},
-        "event_time": {"events_tumbling_daily", "events_sliding_24h_12h",
-                       "events_session_window"},
-        "streaming": {"streaming_entity_count", "streaming_windowed_counts",
-                      "streaming_session_window", "streaming_stream_stream_join",
-                      "streaming_dedup_within_watermark",
-                      "streaming_stateful_user_stats"},
-        "text": {"text_token_stats", "text_quality", "text_langid",
-                 "text_chunker", "pipeline_corpus_clean"},
-        "dedup": {"dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
-                  "dedup_embedding_cosine"},
-        "similarity": {"sim_topk_bruteforce", "sim_ivf_topk"},
-        "multimodal": {"multimodal_pipeline"},
+        "parity": ({"flagship_entity_count", "pipeline_parity_udf"}, 2),
+        "joins": ({"join_semi_orders_bigqty", "join_anti_customers_no_urgent",
+                   "range_join_size_buckets", "events_asof_last_purchase",
+                   "events_interval_overlap"}, 4),
+        "grouping": ({"agg_grouping_multi", "agg_distinct_counts",
+                      "agg_stats_distribution"}, 2),
+        "setops": ({"setop_union_intersect_except"}, 1),
+        "sketches_quantiles": ({"agg_approx_sketches",
+                                "quantile_bucket_assignment",
+                                "agg_distinct_counts"}, 1),
+        "event_time": ({"events_tumbling_daily", "events_sliding_24h_12h",
+                        "events_session_window", "events_interval_overlap"}, 3),
+        "streaming": ({"streaming_entity_count", "streaming_windowed_counts",
+                       "streaming_session_window", "streaming_stream_stream_join",
+                       "streaming_dedup_within_watermark",
+                       "streaming_stateful_user_stats"}, 6),
+        "text": ({"text_token_stats", "text_quality", "text_langid",
+                  "text_chunker", "pipeline_corpus_clean",
+                  "text_rolling_fingerprint"}, 5),
+        "search": ({"search_bm25_topk", "text_tfidf_keywords"}, 1),
+        "dedup": ({"dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
+                   "dedup_embedding_cosine", "dedup_incremental_batch",
+                   "pipeline_full_dedup"}, 5),
+        "splits": ({"split_train_valid_test"}, 1),
+        "similarity": ({"sim_topk_bruteforce", "sim_ivf_topk",
+                        "sim_topk_int8_quantized"}, 3),
+        "multimodal": ({"multimodal_pipeline"}, 1),
     }
-    for family, members in families.items():
-        assert members <= window, f"family {family} fell out of the driver window"
+    for family, (members, need) in families.items():
+        got = len(members & window)
+        assert got >= need, (
+            f"family {family}: {got} members in window, need >= {need}"
+        )
