@@ -2,20 +2,28 @@
 
 Design (SURVEY.md §2.10): image/audio/video travel as ``binary`` columns
 with struct metadata; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages so the heavy codec work happens
-vectorized in the Python worker, partition-parallel, with no driver
-involvement. The codec libraries (PIL/ffmpeg/librosa) are NOT in this
-environment, so the decoders are explicit stubs: the Spark-side plumbing
-(schema, batch iteration, partitioning) is real and tested; the codec body
-is either a deterministic fake (``decode_binary_features``) or a
-clearly-marked ``NotImplementedError`` (``decode_image``).
+as Arrow-batched ``mapInPandas`` / ``mapInArrow`` stages so the heavy
+codec work happens vectorized in the Python worker, partition-parallel,
+with no driver involvement.
+
+Decode is REAL for the formats a pure-Python codec can own end-to-end:
+PGM (P5 binary graymap — full header parse incl. comments, pixel stats,
+nearest-neighbor resize with re-encode) and WAV (RIFF/WAVE PCM16 — chunk
+walk, fmt parse, sample stats). Formats that genuinely need an external
+codec library (JPEG/PNG/FLAC/...) dispatch on magic bytes to a
+clearly-marked ``NotImplementedError`` — optional capability, loud
+failure, never a silent wrong answer. ``decode_binary_features`` keeps
+the format-agnostic fake for the generic plumbing tests.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 BINARY_FEATURES_SCHEMA = "doc_id bigint, byte_len bigint, first_byte int"
@@ -93,6 +101,92 @@ def sample_frames(
     return df.mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs: PGM (P5) images, WAV (RIFF PCM16) audio.
+# ---------------------------------------------------------------------------
+
+
+def parse_pgm(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary PGM (P5) image: (width, height, maxval, pixels).
+
+    Full header grammar: magic, then three whitespace-separated decimal
+    fields (width, height, maxval), with ``#``-comments allowed anywhere
+    whitespace is, then EXACTLY ONE whitespace byte before the raster.
+    Pure function of the bytes — replayable by an oracle that knows the
+    construction. Maxval > 255 (2-byte samples) and non-P5 magics raise.
+    """
+    if b[:2] != b"P5":
+        raise NotImplementedError(
+            f"unsupported image magic {b[:2]!r}: only PGM/P5 has a built-in "
+            "codec; JPEG/PNG need an external library (PIL/opencv)"
+        )
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # the single whitespace byte terminating the header
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("2-byte-per-sample PGM not supported")
+    if len(b) - pos < w * h:
+        raise ValueError(f"truncated PGM raster: need {w*h}, have {len(b)-pos}")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos)
+    return w, h, maxval, px
+
+
+def encode_pgm(w: int, h: int, maxval: int, px: np.ndarray) -> bytes:
+    return f"P5\n{w} {h}\n{maxval}\n".encode() + px.astype(np.uint8).tobytes()
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, maxval int, sum_luma bigint, "
+    "mean_luma double"
+)
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """REAL image decode for PGM/P5 via ``mapInArrow``: header parse +
+    exact integer pixel sum (+ the derived mean as a double — exact when
+    w*h is a power of two, which the catalog constructions guarantee so
+    both engines round identically). Non-PGM magics raise
+    ``NotImplementedError`` loudly — optional-format contract."""
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
+            ws, hs, mvs, sums, means = [], [], [], [], []
+            for b in blobs:
+                w, h, mv, px = parse_pgm(bytes(b))
+                s = int(px.sum())
+                ws.append(w)
+                hs.append(h)
+                mvs.append(mv)
+                sums.append(s)
+                means.append(s / (w * h))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(mvs, pa.int32()),
+                    pa.array(sums, pa.int64()),
+                    pa.array(means, pa.float64()),
+                ],
+                names=["doc_id", "width", "height", "maxval", "sum_luma", "mean_luma"],
+            )
+
+    return df.mapInArrow(op, schema=IMAGE_FEATURES_SCHEMA)
+
+
 RESIZED_IMAGE_SCHEMA = "doc_id bigint, width int, height int, data binary"
 
 
@@ -103,39 +197,130 @@ def resize_image(
     id_col: str = "doc_id",
     blob_col: str = "blob",
 ) -> DataFrame:
-    """STUB — real resize needs an image codec (PIL/opencv), absent here.
+    """REAL nearest-neighbor resize for PGM/P5: decode, index-sample the
+    pixel grid at ``src_idx = floor(dst_idx * src_dim / dst_dim)`` on both
+    axes (numpy advanced indexing — vectorized per image), re-encode PGM.
+    Deterministic, replayable: output pixel (x, y) is input pixel
+    (x*src_w//w, y*src_h//h)."""
 
-    The mapInPandas wiring is the production shape (same contract as
-    ``decode_image``); only the codec body raises.
-    """
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
+            out = []
+            for b in blobs:
+                w, h, mv, px = parse_pgm(bytes(b))
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                resized = px.reshape(h, w)[np.ix_(ys, xs)]
+                out.append(encode_pgm(width, height, mv, resized.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([width] * len(ids), pa.int32()),
+                    pa.array([height] * len(ids), pa.int32()),
+                    pa.array(out, pa.binary()),
+                ],
+                names=["doc_id", "width", "height", "data"],
+            )
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Raise at call time (not first-next time) so the worker surfaces
-        # NotImplementedError instead of a generator-protocol type error.
-        raise NotImplementedError(
-            f"resize to {width}x{height} requires an image codec library "
-            "(PIL/opencv); not available in this environment"
-        )
-
-    return df.mapInPandas(op, schema=RESIZED_IMAGE_SCHEMA)
+    return df.mapInArrow(op, schema=RESIZED_IMAGE_SCHEMA)
 
 
-IMAGE_FEATURES_SCHEMA = "doc_id bigint, width int, height int, mean_luma double"
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE container, PCM16 mono little-endian."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
 
 
-def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
-    """STUB — real image decode needs PIL/opencv, absent in this container.
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, sum_abs bigint, "
+    "max_abs int"
+)
 
-    The mapInPandas wiring below is the production shape; only the codec
-    call raises.
-    """
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Raise at call time (not first-next time) so the worker surfaces
-        # NotImplementedError instead of a generator-protocol type error.
-        raise NotImplementedError(
-            "image decode requires an image codec library (PIL/opencv); "
-            "not available in this environment"
-        )
+def encode_audio_pcm16(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    samples_col: str = "samples",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Pack an int array column into a real WAV blob per row (mapInArrow):
+    the encode half of the codec round-trip."""
 
-    return df.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            arrs = batch.column(batch.schema.get_field_index(samples_col)).to_pylist()
+            blobs = [
+                encode_wav_pcm16(np.asarray(a, dtype=np.int64), sample_rate)
+                for a in arrs
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(blobs, pa.binary())],
+                names=["doc_id", "blob"],
+            )
+
+    return df.mapInArrow(op, schema="doc_id bigint, blob binary")
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """REAL audio decode for RIFF/WAVE PCM16 via ``mapInArrow``: walks the
+    chunk list (tolerating extra chunks before ``data``), parses ``fmt ``,
+    and reduces samples to exact integer stats (n, sum|x|, max|x|) — no
+    float accumulation, so the oracle replay is hash-exact. Compressed
+    formats (non-PCM ``fmt``, non-WAVE containers) raise
+    ``NotImplementedError`` loudly."""
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
+            rates, ns, sums, maxs = [], [], [], []
+            for raw in blobs:
+                b = bytes(raw)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        f"unsupported audio container {b[:4]!r}: only "
+                        "RIFF/WAVE has a built-in codec"
+                    )
+                pos, rate, bits, channels, data = 12, None, None, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+                        (bits,) = struct.unpack("<H", body[14:16])
+                        if fmt_tag != 1 or bits != 16:
+                            raise NotImplementedError(
+                                f"only PCM16 supported (fmt={fmt_tag}, bits={bits})"
+                            )
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if data is None or rate is None:
+                    raise ValueError("WAV missing fmt/data chunk")
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                rates.append(rate)
+                ns.append(len(samples))
+                sums.append(int(np.abs(samples).sum()))
+                maxs.append(int(np.abs(samples).max()) if len(samples) else 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(rates, pa.int32()),
+                    pa.array(ns, pa.int64()),
+                    pa.array(sums, pa.int64()),
+                    pa.array(maxs, pa.int32()),
+                ],
+                names=["doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs"],
+            )
+
+    return df.mapInArrow(op, schema=AUDIO_FEATURES_SCHEMA)

@@ -19,7 +19,11 @@ from pyspark.sql.window import Window as W
 
 from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
 from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
+    decode_audio,
     decode_binary_features,
+    decode_image,
+    encode_audio_pcm16,
+    resize_image,
     sample_frames,
 )
 from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
@@ -955,6 +959,131 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_fp").cast("int").alias("fp"),
     )
     return meta.union(frames)
+
+
+def _pgm_blobs(docs: DataFrame) -> DataFrame:
+    """Deterministic 16x8 PGM/P5 images: header + 128 raster bytes drawn
+    from repeat(md5(doc_id), 4) — every pixel is an ASCII hex char code,
+    so a SQL oracle can replay the raster without a binary type."""
+    px = F.repeat(F.md5(F.col("doc_id").cast("string")), 4)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5\n16 8\n255\n"), "utf-8"), F.encode(px, "utf-8")
+        ).alias("blob"),
+    )
+
+
+_PGM_PX = "repeat(md5(CAST(doc_id AS VARCHAR)), 4)"
+
+_DECODE_PGM_ORACLE = f"""
+WITH img AS (SELECT doc_id, {_PGM_PX} AS px FROM documents),
+s AS (
+  SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 128),
+         i -> unicode(substr(px, CAST(i AS INT), 1)))) AS BIGINT) AS sum_luma
+  FROM img
+)
+SELECT doc_id, 16 AS width, 8 AS height, 255 AS maxval, sum_luma,
+       CAST(sum_luma AS DOUBLE) / 128 AS mean_luma
+FROM s
+"""
+
+
+@register("multimodal_decode_pgm", oracle=_DECODE_PGM_ORACLE)
+def multimodal_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: 16x8 PGM/P5 blobs are built JVM-side (header +
+    md5-derived raster — pure column exprs, zero shuffle), then
+    ``decode_image`` (functions/multimodal.py) parses the full P5 header
+    grammar and reduces pixels to exact integer luma stats inside an
+    Arrow-batched ``mapInArrow`` worker. The oracle replays the raster
+    from the same construction (every pixel is an ASCII hex char), so the
+    decoder's parse + stats are hash-checked, not just smoke-run. The
+    mean divides by 128 = 2^7 — exact in binary, hash-safe on both
+    engines. Closes the r5 'multimodal decode is a stub' gap."""
+    docs = t(spark, sf_dir, "documents")
+    return decode_image(_pgm_blobs(docs)).select(
+        "doc_id",
+        "width",
+        "height",
+        "maxval",
+        "sum_luma",
+        (F.col("sum_luma").cast("double") / 128).alias("mean_luma"),
+    )
+
+
+_RESIZE_PGM_ORACLE = f"""
+WITH img AS (SELECT doc_id, {_PGM_PX} AS px FROM documents),
+s AS (
+  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
+         k -> unicode(substr(px,
+              CAST((k // 8) * 32 + (k % 8) * 2 + 1 AS INT), 1)))) AS BIGINT)
+         AS sum_luma
+  FROM img
+)
+SELECT doc_id, 8 AS width, 4 AS height, sum_luma,
+       CAST(sum_luma AS DOUBLE) / 32 AS mean_luma
+FROM s
+"""
+
+
+@register("multimodal_resize_pgm", oracle=_RESIZE_PGM_ORACLE)
+def multimodal_resize_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: the 16x8 PGM corpus is nearest-neighbor
+    downsampled to 8x4 (``resize_image``: decode -> numpy grid index
+    -> re-encode PGM), then decoded AGAIN — a two-stage codec round-trip
+    whose output raster the oracle replays pixel-by-pixel (dst (x,y) =
+    src (2x, 2y), i.e. raster char (y*2)*16 + x*2 + 1). Exercises both
+    the encoder and the parser on worker-produced (not driver-produced)
+    bytes."""
+    docs = t(spark, sf_dir, "documents")
+    resized = resize_image(_pgm_blobs(docs), width=8, height=4, blob_col="blob")
+    return decode_image(resized.select("doc_id", F.col("data").alias("blob"))).select(
+        "doc_id",
+        "width",
+        "height",
+        "sum_luma",
+        (F.col("sum_luma").cast("double") / 32).alias("mean_luma"),
+    )
+
+
+_WAV_N = "(200 + doc_id % 56)"
+_WAV_SAMPLE = "((doc_id * 31 + i * 7919) % 65536) - 32768"
+
+_DECODE_WAV_ORACLE = f"""
+WITH syn AS (
+  SELECT doc_id, list_transform(generate_series(0, {_WAV_N} - 1),
+         i -> {_WAV_SAMPLE}) AS s
+  FROM documents
+)
+SELECT doc_id, 8000 AS sample_rate,
+  CAST(len(s) AS BIGINT) AS n_samples,
+  CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS max_abs
+FROM syn
+"""
+
+
+@register("multimodal_decode_wav", oracle=_DECODE_WAV_ORACLE)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip: deterministic PCM16 samples are
+    synthesized JVM-side (sequence/transform — a varying-length waveform
+    per doc), packed into genuine RIFF/WAVE containers by
+    ``encode_audio_pcm16``, then ``decode_audio`` walks the chunk list,
+    parses ``fmt ``, and reduces samples to exact integer stats. The
+    oracle replays the closed-form waveform, so the whole container
+    format (headers, alignment, little-endian int16) is hash-verified.
+    Both codec halves are Arrow-batched ``mapInArrow`` stages —
+    partition-parallel, zero driver involvement, no shuffle anywhere."""
+    docs = t(spark, sf_dir, "documents")
+    syn = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_WAV_N} - 1), i -> "
+            f"CAST({_WAV_SAMPLE} AS INT))"
+        ).alias("samples"),
+    )
+    wav = encode_audio_pcm16(syn, sample_rate=8000)
+    return decode_audio(wav)
 
 
 @register(

@@ -1,16 +1,26 @@
-"""Multimodal plumbing contract (functions/multimodal.py).
+"""Multimodal codec contract (functions/multimodal.py).
 
-The codec libraries are absent by design (SURVEY.md §2.10); these tests pin
-(a) the fan-out frame-sampling shape against a hand computation and
-(b) that the stubbed codecs fail loudly (NotImplementedError through the
-Python worker), not silently.
+PGM/P5 and RIFF/WAVE PCM16 have REAL pure-Python codecs (r6 — closing the
+r5 'decode is a stub' gap); these tests pin
+(a) the fan-out frame-sampling shape against a hand computation,
+(b) PGM parse (incl. comment-bearing headers) and nearest-neighbor resize
+    against hand-computed pixels,
+(c) WAV encode->decode round-trip stats against numpy on the same samples,
+(d) that genuinely-optional formats (JPEG magic, non-PCM audio) still fail
+    loudly through the Python worker, never silently.
 """
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
+    decode_audio,
     decode_image,
+    encode_audio_pcm16,
+    encode_pgm,
+    encode_wav_pcm16,
+    parse_pgm,
     resize_image,
     sample_frames,
 )
@@ -43,8 +53,83 @@ def test_sample_frames_short_and_null_payloads_yield_no_frames(spark):
     assert sample_frames(df, every=1, frame_chars=16).count() == 0
 
 
-@pytest.mark.parametrize("op", [decode_image, lambda df: resize_image(df, 64, 64)])
-def test_codec_stubs_fail_loudly(spark, op):
-    df = _blobs(spark, ["some payload bytes"])
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
-        op(df).collect()
+def test_parse_pgm_header_grammar_and_comments():
+    px = np.arange(12, dtype=np.uint8)
+    # comment between fields, multi-whitespace — the full P5 grammar
+    b = b"P5\n# a comment\n4   3\n# another\n255\n" + px.tobytes()
+    w, h, mv, got = parse_pgm(b)
+    assert (w, h, mv) == (4, 3, 255)
+    assert np.array_equal(got, px)
+    # round-trip through the encoder
+    w2, h2, mv2, got2 = parse_pgm(encode_pgm(4, 3, 255, px))
+    assert (w2, h2, mv2) == (4, 3, 255) and np.array_equal(got2, px)
+
+
+def test_decode_image_real_pgm_stats(spark):
+    px = np.arange(64, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_pgm(8, 8, 255, px)))], "doc_id long, blob binary"
+    )
+    row = decode_image(df).collect()[0]
+    assert (row.width, row.height, row.maxval) == (8, 8, 255)
+    assert row.sum_luma == int(px.sum())
+    assert row.mean_luma == px.sum() / 64
+
+
+def test_resize_image_nearest_neighbor_hand_check(spark):
+    # 4x2 image -> 2x1: output pixels are src (0,0) and (2,0)
+    px = np.array([10, 20, 30, 40, 50, 60, 70, 80], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_pgm(4, 2, 255, px)))], "doc_id long, blob binary"
+    )
+    row = resize_image(df, width=2, height=1).collect()[0]
+    w, h, mv, got = parse_pgm(bytes(row.data))
+    assert (w, h) == (2, 1)
+    assert got.tolist() == [10, 30]
+
+
+def test_wav_roundtrip_stats_match_numpy(spark):
+    samples = np.array([0, 100, -200, 32767, -32768, 5], dtype=np.int64)
+    df = spark.createDataFrame(
+        [(3, [int(x) for x in samples])], "doc_id long, samples array<int>"
+    )
+    row = decode_audio(encode_audio_pcm16(df, sample_rate=44100)).collect()[0]
+    assert row.sample_rate == 44100
+    assert row.n_samples == len(samples)
+    assert row.sum_abs == int(np.abs(samples).sum())
+    assert row.max_abs == 32768
+
+
+def test_wav_tolerates_extra_chunks(spark):
+    import struct
+
+    samples = np.array([1, -1, 7], dtype=np.int64)
+    b = encode_wav_pcm16(samples, 8000)
+    # splice a LIST chunk (odd size -> exercises word-alignment) before fmt
+    extra = b"LIST\x05\x00\x00\x00INFOx\x00"
+    b2 = b[:12] + extra + b[12:]
+    b2 = b2[:4] + struct.pack("<I", len(b2) - 8) + b2[8:]
+    df = spark.createDataFrame([(9, bytearray(b2))], "doc_id long, blob binary")
+    row = decode_audio(df).collect()[0]
+    assert row.n_samples == 3 and row.sum_abs == 9 and row.max_abs == 7
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"\xff\xd8\xff\xe0 jpeg-ish payload",  # JPEG magic
+        b"P6\n2 2\n255\n" + b"\x00" * 12,  # PPM (color) magic
+    ],
+)
+def test_optional_image_formats_fail_loudly(spark, blob):
+    df = spark.createDataFrame([(0, bytearray(blob))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="NotImplementedError|unsupported"):
+        decode_image(df).collect()
+
+
+def test_non_wave_audio_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"fLaC some flac payload"))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|unsupported"):
+        decode_audio(df).collect()
