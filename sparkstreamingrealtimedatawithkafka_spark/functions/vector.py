@@ -36,3 +36,35 @@ def norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def int8_codes_expr(dim: int) -> Column:
+    """Per-dimension affine int8 quantization of column ``v`` given
+    one-row-broadcast ``mins``/``maxs`` array columns: code d =
+    round((v[d]-mins[d])/(maxs[d]-mins[d]) * 254) - 127 in [-127, 127];
+    constant dimensions (mins[d] == maxs[d]) map to 0. The rounding runs
+    as the identical double expression on any ANSI-SQL engine, so a
+    replay oracle is bit-exact."""
+    return F.expr(
+        f"transform(sequence(1, {dim}), d -> "
+        "CASE WHEN maxs[d-1] = mins[d-1] THEN 0L "
+        "ELSE CAST(ROUND((v[d-1] - mins[d-1]) / (maxs[d-1] - mins[d-1]) * 254, 0) "
+        "AS BIGINT) - 127 END)"
+    )
+
+
+def quantize_int8(df, vec_col: str, dim: int, id_col: str = "vec_id"):
+    """(id, qv) int8 codes for an embedding table: pass 1 reduces per-dim
+    min/max to ONE row (2*dim aggregates, map-side combinable), broadcast
+    back; pass 2 quantizes inside codegen. The corpus never shuffles."""
+    emb = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    mm = emb.agg(
+        F.array(*[F.min(F.element_at("v", d + 1)) for d in range(dim)]).alias("mins"),
+        F.array(*[F.max(F.element_at("v", d + 1)) for d in range(dim)]).alias("maxs"),
+    )
+    return emb.crossJoin(F.broadcast(mm)).select(
+        "vec_id", int8_codes_expr(dim).alias("qv")
+    )

@@ -2461,21 +2461,11 @@ def sim_topk_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding) and ranks with the same broadcast-queries /
     corpus-never-shuffles shape as ``sim_topk_bruteforce``. Integer dot
     products are exact, so ties and hashes are deterministic."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    from sparkstreamingrealtimedatawithkafka_spark.functions.vector import (
+        quantize_int8,
     )
-    mm = emb.agg(
-        F.array(*[F.min(F.element_at("v", d + 1)) for d in range(_DIM)]).alias("mins"),
-        F.array(*[F.max(F.element_at("v", d + 1)) for d in range(_DIM)]).alias("maxs"),
-    )
-    q = emb.crossJoin(F.broadcast(mm)).select(
-        "vec_id",
-        F.expr(
-            "transform(sequence(1, 64), d -> CASE WHEN maxs[d-1] = mins[d-1] THEN 0L "
-            "ELSE CAST(ROUND((v[d-1] - mins[d-1]) / (maxs[d-1] - mins[d-1]) * 254, 0) "
-            "AS BIGINT) - 127 END)"
-        ).alias("qv"),
-    )
+
+    q = quantize_int8(t(spark, sf_dir, "embeddings"), "embedding", _DIM)
     intdot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )

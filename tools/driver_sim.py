@@ -8,6 +8,9 @@ a final summary line.
 
 Usage: python tools/driver_sim.py [sf_dir] [--only SUBSTRING]
 
+Set LOCALGATE_OUT=/path/LOCALGATE_rN.json to also write the per-entry
+gate results as a committed artifact (full runs only; --only skips it).
+
 ``--only`` runs just the catalog entries whose name contains SUBSTRING
 (skips the entry() smoke) — the quick loop for iterating on one query.
 """
@@ -60,6 +63,7 @@ def main() -> int:
     # local coverage but flagged OUT-OF-WINDOW.
     DRIVER_WINDOW = 50
     failed, inexact = [], []
+    gate: dict[str, dict] = {}
     for pos, name in enumerate(qs, start=1):
         if only is not None and only not in name:
             continue
@@ -72,6 +76,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"  ERROR #{pos} {name}: {type(e).__name__}: {str(e)[:200]}")
             failed.append(name)
+            gate[name] = {"ok": False, "error": f"{type(e).__name__}: {str(e)[:200]}"}
             continue
         status = "ok" if res.ok else "MISMATCH"
         extra = f" [{res.detail}]" if res.detail else ""
@@ -81,6 +86,12 @@ def main() -> int:
             inexact.append((name, res.inexact_float_cols))
             extra += f" INEXACT-FLOATS={res.inexact_float_cols}"
         print(f"  {status} #{pos} {name} ({time.time()-t0:.1f}s){extra}")
+        gate[name] = {
+            "ok": res.ok,
+            "sec": round(time.time() - t0, 2),
+            "in_window": in_window,
+            "detail": res.detail or "",
+        }
         if not res.ok:
             failed.append(name)
 
@@ -92,6 +103,26 @@ def main() -> int:
         print("failed:", failed)
     if inexact:
         print("inexact:", inexact)
+    import os
+
+    gate_out = os.environ.get("LOCALGATE_OUT")
+    if gate_out and only is None:
+        import json
+
+        with open(gate_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(gate),
+                    "failed": len(failed),
+                    "inexact": len(inexact),
+                    "entries": gate,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {gate_out}")
     spark.stop()
     return 1 if (failed or inexact) else 0
 
