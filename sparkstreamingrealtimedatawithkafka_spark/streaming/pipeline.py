@@ -141,6 +141,26 @@ def windowed_event_counts(
 # ---------------------------------------------------------------------------
 
 
+def kafka_broker_addr(timeout: float = 0.25) -> str | None:
+    """Bootstrap address of a reachable Kafka broker, or None.
+
+    Probes ``$KAFKA_BOOTSTRAP_SERVERS`` (default ``localhost:9092``) with
+    a short TCP connect — the same auto-gating posture as
+    ``stateful.has_tws_runtime``: environment-blocked surfaces register
+    themselves the moment the environment provides them, with zero config
+    edits. A broker deployment is assumed to carry the Kafka connector
+    JAR on the Spark classpath (they ship together in every distro)."""
+    import socket
+
+    addr = os.environ.get("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092")
+    host, _, port = addr.rpartition(":")
+    try:
+        with socket.create_connection((host or "localhost", int(port)), timeout=timeout):
+            return addr
+    except (OSError, ValueError):
+        return None
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,

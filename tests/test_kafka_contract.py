@@ -108,3 +108,40 @@ def test_kafka_sink_builds_reference_plan():
     }
     assert rec.output_mode == "complete"
     assert rec.trigger_kwargs == {"processingTime": "30 seconds"}
+
+
+def test_broker_probe_gates_registration():
+    """The live-Kafka entries self-register ONLY when a broker answers
+    (the TWS auto-gating pattern): in this sandbox the probe must return
+    None quickly and the round-trip entry must be absent; with a local
+    listener bound, the probe must find it."""
+    import socket
+    import threading
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        kafka_broker_addr,
+    )
+
+    assert kafka_broker_addr() is None
+    assert "kafka_roundtrip_lang_counts" not in REGISTRY
+
+    # bind an ephemeral listener and point the probe at it
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    t = threading.Thread(target=lambda: srv.accept(), daemon=True)
+    t.start()
+    import os
+
+    old = os.environ.get("KAFKA_BOOTSTRAP_SERVERS")
+    os.environ["KAFKA_BOOTSTRAP_SERVERS"] = f"127.0.0.1:{port}"
+    try:
+        assert kafka_broker_addr() == f"127.0.0.1:{port}"
+    finally:
+        if old is None:
+            os.environ.pop("KAFKA_BOOTSTRAP_SERVERS", None)
+        else:
+            os.environ["KAFKA_BOOTSTRAP_SERVERS"] = old
+        srv.close()
