@@ -331,6 +331,48 @@ def verify_jaccard(
     )
 
 
+def verify_containment(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    containment_threshold: float,
+) -> DataFrame:
+    """Exact max-containment verification: C(a,b) = |A∩B| / min(|A|,|B|)
+    >= threshold — the sub-document-duplication decision (a short quote
+    embedded in a long doc scores high containment but LOW Jaccard, so a
+    Jaccard cut would keep exactly the copies a contamination audit needs
+    to find). Same one-scan shape as ``verify_jaccard``: checkpointed
+    pairs, semi-pruned corpus scan, materialized once, two block probes.
+
+    Returns (id_a, id_b, containment >= threshold)."""
+    p = pairs.localCheckpoint()
+    ids = (
+        p.select(F.col("id_a").alias("id"))
+        .union(p.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.col(tokens_col)).alias("tok"),
+        )
+        .join(ids, "id", "left_semi")
+        .localCheckpoint()
+    )
+    cand = (
+        p.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    denom = F.least(F.size("tok_a"), F.size("tok_b"))
+    return (
+        cand.withColumn("containment", inter.cast("double") / denom)
+        .filter(F.col("containment") >= containment_threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def incremental_lsh_pairs(
     all_docs: DataFrame,
     delta_pred,

@@ -1335,3 +1335,61 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.col("n") - expected, 2) / expected, 4).alias("chi2_term"),
         )
     )
+
+
+_EWMA_ORACLE = """
+WITH x AS (
+  SELECT user_id,
+         list(CAST(CAST(ROUND("value"*100,0) AS BIGINT) AS DOUBLE)
+              ORDER BY epoch_ns(ts)//1000, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       list_reduce(vs, (acc, x) -> acc/2 + x/2) AS ewma_cents
+FROM x
+"""
+
+
+@register("events_ewma_smoothing", oracle=_EWMA_ORACLE)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each user's
+    event values in time order — the recursive smoother behind monitoring
+    baselines, which no window FRAME can express (every prefix value
+    contributes with geometrically decaying weight).
+
+    Hash-exactness discipline for a recursive float: both engines run the
+    IDENTICAL left fold ``acc/2 + x/2`` over the IDENTICAL sequence —
+    Spark as ``aggregate`` over an ``array_sort``-ordered per-user array
+    (sorted on (ts, event_id) structs, because bare collect_list order is
+    partition-dependent and could never hash-check), DuckDB as
+    ``list_reduce`` over ``list(... ORDER BY ts, event_id)``. IEEE-754
+    double ops are deterministic given the same operand order, so the
+    results are bit-identical even where rounding occurs — the same
+    sequential-fold argument as ``vector.dot``. Inputs are exact cents.
+
+    Scale: one shuffle on user_id; per-user arrays are bounded by user
+    activity (the same per-key-series posture as sessionization); the
+    fold is O(events) inside the aggregation stage, no window, no second
+    pass."""
+    ev = t(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts_us").alias("t"),
+            F.col("event_id").alias("e"),
+            F.expr('CAST(ROUND(value*100,0) AS BIGINT)').cast("double").alias("c"),
+        ).alias("r"),
+    )
+    per = rows.groupBy("user_id").agg(
+        F.transform(F.array_sort(F.collect_list("r")), lambda r: r["c"]).alias("vs")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at("vs", 1),
+        lambda acc, x: acc / 2 + x / 2,
+    )
+    return per.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        ewma.alias("ewma_cents"),
+    )

@@ -3188,3 +3188,59 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean_a - mean_b) / 100.0, 4).alias("mean_diff_dollars"),
         F.round(t_stat, 4).alias("t_stat"),
     )
+
+
+_WINDOW_SUITE_ORACLE = """
+WITH h AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey % 100 = 0
+)
+SELECT o_custkey, o_orderkey,
+  date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+  date_diff('day', o_orderdate, LEAD(o_orderdate) OVER w) AS days_to_next,
+  ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+        ORDER BY cents, o_orderkey), 6) AS price_pct_rank,
+  ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+        ORDER BY cents, o_orderkey), 6) AS price_cume_dist,
+  NTILE(4) OVER (PARTITION BY o_custkey
+        ORDER BY cents, o_orderkey) AS price_quartile
+FROM h
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_function_suite", oracle=_WINDOW_SUITE_ORACLE)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigation/distribution window-function surface in one plan:
+    LAG/LEAD (inter-order day gaps), PERCENT_RANK / CUME_DIST / NTILE
+    (within-customer price position) — the §2.9 window families not yet
+    evidenced by the running-total/top-k entries.
+
+    Scale: every window is PARTITIONED BY customer (parallel across the
+    key space — the unpartitioned-window funnel the Pareto fix removed is
+    structurally impossible here); both orderings share the customer
+    partitioning so one Exchange feeds both Sort+Window pairs.
+    PERCENT_RANK and CUME_DIST are exact integer ratios ((r-1)/(n-1),
+    r_peers/n) evaluated as identical double divisions; ties are killed
+    by the orderkey tiebreak so NTILE is deterministic. The %100 filter
+    keeps the oracle comparison set small while exercising full groups."""
+    o = t(spark, sf_dir, "orders")
+    h = o.filter(F.col("o_custkey") % 100 == 0).select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents("o_totalprice").alias("cents")
+    )
+    wd = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("cents", "o_orderkey")
+    return h.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(wd)).alias(
+            "days_since_prev"
+        ),
+        F.datediff(F.lead("o_orderdate").over(wd), "o_orderdate").alias(
+            "days_to_next"
+        ),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cume_dist"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+    )

