@@ -75,3 +75,52 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select(F.col("lnode").alias("node"), "label")
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    base_ppm: int = 150_000,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """PageRank with EXACT INTEGER arithmetic (ppm-scaled), fixed
+    iteration count: r'(v) = base_ppm + damp_pct% * Σ_{u→v} (r(u) div
+    deg(u)), all in int64 ``div`` — so the result is bit-identical on any
+    engine and hash-checkable, where float PageRank's cross-engine sum
+    order never is. The standard damping algebra survives: truncating
+    div loses < deg(u) ppm per term, identically on both engines.
+
+    Same scale hygiene as ``connected_components``: the symmetric edge
+    list + out-degrees materialize ONCE (one localCheckpoint, pairs-only
+    rows); each iteration is one join + one shuffle on the destination
+    key with per-round localCheckpoint lineage cuts. Fixed iterations
+    (not convergence-tested) keep the oracle replayable as an unrolled
+    SQL CTE chain. Returns (node, rank_ppm) for every node in an edge.
+    """
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = sym.join(deg, "src").localCheckpoint()
+    ranks = ed.select(F.col("src").alias("node")).distinct().withColumn(
+        "r", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(iterations):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            F.col("dst"), F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(base_ppm)
+                    + F.expr(f"({damp_pct} * sum(c)) div 100")
+                ).alias("r")
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppm"))

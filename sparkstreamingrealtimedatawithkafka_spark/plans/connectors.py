@@ -427,3 +427,54 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+_ZORDER_ORACLE = """
+SELECT l_suppkey, COUNT(*) AS n_lines,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey BETWEEN 500 AND 1500 AND l_suppkey BETWEEN 10 AND 60
+GROUP BY 1
+"""
+
+
+@register("sink_zorder_clustered_parquet", oracle=_ZORDER_ORACLE)
+def sink_zorder_clustered_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered parquet layout: the 16-bit
+    interleave of (l_partkey, l_suppkey) — computed as ONE compact
+    ``aggregate(sequence(...))`` higher-order expression, the same
+    planning-cost lesson as the SimHash reconstruction — drives
+    ``repartitionByRange`` + ``sortWithinPartitions``, then a TWO-DIM
+    box query runs over the read-back.
+
+    Why this layout at 100 TB: range-clustering on one column
+    (``sink_range_clustered_parquet``) gives file-stat pruning on that
+    column only; Z-ordering gives every file a narrow min/max box on
+    BOTH dimensions, so parquet row-group statistics prune a 2-D
+    predicate — the layout Delta OPTIMIZE ZORDER / Iceberg sort orders
+    productize, built here from primitives. The oracle is the plain
+    2-D box aggregate on the source table: layout must never change
+    results, only cost."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zcol = F.expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc"
+        " + shiftleft((l_partkey >> b) & 1, CAST(2*b AS INT))"
+        " + shiftleft((l_suppkey >> b) & 1, CAST(2*b+1 AS INT)))"
+    )
+    out = _scratch("lineitem_zorder_clustered")
+    (
+        li.withColumn("z", zcol)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("l_partkey").between(500, 1500) & F.col("l_suppkey").between(10, 60)
+    )
+    return back.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )

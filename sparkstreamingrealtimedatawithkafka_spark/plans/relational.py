@@ -3244,3 +3244,178 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(wp), 6).alias("price_cume_dist"),
         F.ntile(4).over(wp).alias("price_quartile"),
     )
+
+
+_PIT_ORACLE = """
+WITH chg AS (
+  SELECT o_custkey AS k, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS eff,
+         SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS delta_cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY 1, 2
+),
+versions AS (
+  SELECT c_custkey AS k, TIMESTAMP '1990-01-01' AS valid_from,
+         CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_cents
+  FROM customer
+  UNION ALL
+  SELECT c.c_custkey, chg.eff,
+         CAST(ROUND(c.c_acctbal*100,0) AS BIGINT)
+           + SUM(chg.delta_cents) OVER (PARTITION BY chg.k ORDER BY chg.eff
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  FROM chg JOIN customer c ON c.c_custkey = chg.k
+),
+iv AS (
+  SELECT k, valid_from,
+         lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from) AS valid_to,
+         bal_cents
+  FROM versions
+),
+probes AS (
+  SELECT o_orderkey, o_custkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d
+  FROM orders WHERE o_custkey % 50 = 0 AND o_orderpriority <> '1-URGENT'
+)
+SELECT p.o_orderkey, p.o_custkey, iv.valid_from, iv.bal_cents/100.0 AS balance_asof
+FROM probes p JOIN iv ON iv.k = p.o_custkey
+  AND iv.valid_from <= p.d AND (iv.valid_to IS NULL OR p.d < iv.valid_to)
+"""
+
+
+@register("scd2_point_in_time_lookup", oracle=_PIT_ORACLE)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against SCD-2 history: each
+    non-urgent order joins the customer-balance VERSION that was valid on
+    its order date — the time-travel query every versioned dimension
+    exists to answer, completing the SCD family (type 1 overwrite, type 2
+    history, and now the consuming lookup).
+
+    Scale: the version table is keyed and interval-assigned per key (the
+    ``merge_scd2_history`` construction); the lookup is an EQUI-join on
+    the customer key with the interval predicate evaluated inside the
+    join — per-key version lists are small (change-count per key), so no
+    interval binning is needed, unlike ``events_interval_overlap`` where
+    intervals span keys. Balances stay exact integer cents until the
+    final division."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = t(spark, sf_dir, "orders")
+    chg = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("eff"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("delta_cents"))
+    )
+    cum = W.partitionBy("k").orderBy("eff").rowsBetween(W.unboundedPreceding, 0)
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.lit("1990-01-01").cast("timestamp_ntz").alias("valid_from"),
+        cents("c_acctbal").alias("bal_cents"),
+    )
+    changed = chg.join(cust, chg.k == cust.c_custkey).select(
+        "k",
+        F.col("eff").alias("valid_from"),
+        (cents("c_acctbal") + F.sum("delta_cents").over(cum)).alias("bal_cents"),
+    )
+    nxt = W.partitionBy("k").orderBy("valid_from")
+    iv = (
+        base.unionByName(changed)
+        .select(
+            "k",
+            "valid_from",
+            F.lead("valid_from").over(nxt).alias("valid_to"),
+            "bal_cents",
+        )
+    )
+    probes = orders.filter(
+        (F.col("o_custkey") % 50 == 0) & (F.col("o_orderpriority") != "1-URGENT")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("d"),
+    )
+    return probes.join(
+        iv,
+        (iv.k == probes.o_custkey)
+        & (iv.valid_from <= probes.d)
+        & (iv.valid_to.isNull() | (probes.d < iv.valid_to)),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "valid_from",
+        (F.col("bal_cents") / F.lit(100.0)).alias("balance_asof"),
+    )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    head = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT pa AS src, pb AS dst FROM p WHERE n >= 2
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM p WHERE n >= 2
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+), r0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+)"""
+    steps = "".join(
+        f""", r{i} AS (
+  SELECT e.dst AS node, 150000 + (85 * SUM(r{i-1}.r // deg.d)) // 100 AS r
+  FROM e JOIN r{i-1} ON r{i-1}.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+        for i in range(1, iters + 1)
+    )
+    return head + steps + f"""
+SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM r{iters}"""
+
+
+@register("graph_pagerank_copurchase", oracle=_pagerank_oracle(5))
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph (parts co-occurring
+    in >= 2 baskets, undirected): which products sit at the center of the
+    purchase network — the iterative-algorithm family member beyond
+    connected components, with the same engine discipline: EXACT INTEGER
+    ppm ranks (``operators/graph.py pagerank_int``), so five distributed
+    iterations hash-check against five unrolled SQL CTE steps — float
+    PageRank could never be oracle-gated, because cross-engine float sum
+    order diverges.
+
+    Scale: edges come from the bounded-basket pair expansion (quadratic
+    only in basket width); the edge+degree table materializes once; each
+    iteration is one equi-join + one shuffle on the destination key —
+    the textbook Pregel round as DataFrame ops, with per-round
+    localCheckpoint lineage cuts (the CC lesson)."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import pagerank_int
+
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    return pagerank_int(pairs, "pa", "pb", iterations=5)
