@@ -478,3 +478,53 @@ def sink_zorder_clustered_parquet(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),
     )
+
+
+_EVOLUTION_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN quality_milli IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy,
+       CAST(SUM(COALESCE(quality_milli, 0)) AS BIGINT) AS sum_quality_milli
+FROM (
+  SELECT lang, CAST(NULL AS BIGINT) AS quality_milli
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, (doc_id * 37) % 1000 AS quality_milli
+  FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+"""
+
+
+@register("source_schema_evolution_union", oracle=_EVOLUTION_ORACLE)
+def source_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across dataset generations: a v1 parquet written
+    WITHOUT a column and a v2 written WITH it (``quality_milli``, added
+    mid-pipeline) read back together via ``mergeSchema`` — Spark fills
+    the missing column with NULLs for v1 files — then aggregated with
+    explicit legacy-row accounting. This is the data-lake reality every
+    100 TB corpus hits: columns arrive over time, and the engine must
+    read old and new files through ONE evolved schema instead of
+    rewriting petabytes.
+
+    The scratch datasets are deterministic projections of the fixture
+    (even doc_ids = v1, odd = v2 with a synthetic quality score), so the
+    oracle replays the construction exactly."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    v1_dir = _scratch("docs_schema_v1")
+    v2_dir = _scratch("docs_schema_v2")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(v1_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("quality_milli", (F.col("doc_id") * 37) % 1000)
+        .write.mode("overwrite")
+        .parquet(v2_dir)
+    )
+    evolved = spark.read.option("mergeSchema", "true").parquet(v1_dir, v2_dir)
+    return evolved.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("quality_milli").isNull().cast("long")).alias("n_legacy"),
+        F.sum(F.coalesce("quality_milli", F.lit(0))).cast("long").alias(
+            "sum_quality_milli"
+        ),
+    )

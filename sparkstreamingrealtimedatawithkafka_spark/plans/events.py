@@ -1393,3 +1393,73 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vs").cast("long").alias("n_events"),
         ewma.alias("ewma_cents"),
     )
+
+
+_GOLDEN_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_type, "value", epoch_ns(ts)//1000 AS ts_us, event_id
+  FROM events
+), freq AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM base GROUP BY 1, 2
+), modal AS (
+  SELECT user_id, event_type AS modal_type FROM (
+    SELECT user_id, event_type,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY n DESC, event_type DESC) AS rk
+    FROM freq
+  ) WHERE rk = 1
+), lastv AS (
+  SELECT user_id, CAST(ROUND("value"*100,0) AS BIGINT) AS last_value_cents FROM (
+    SELECT user_id, "value",
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts_us DESC, event_id DESC) AS rk
+    FROM base
+  ) WHERE rk = 1
+), agg AS (
+  SELECT b.user_id, COUNT(*) AS n_events,
+         MIN(b.ts_us) AS first_us, MAX(b.ts_us) AS last_us,
+         MAX(l.last_value_cents) AS last_value_cents
+  FROM base b JOIN lastv l ON b.user_id = l.user_id
+  GROUP BY b.user_id
+)
+SELECT a.user_id, n_events, first_us, last_us, last_value_cents, m.modal_type
+FROM agg a JOIN modal m USING (user_id)
+"""
+
+
+@register("events_user_golden_record", oracle=_GOLDEN_ORACLE)
+def events_user_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record assembly (survivorship rules) per user: event count,
+    first/last seen, the LATEST value (most-recent-wins survivorship via
+    ``max_by`` on the (ts, event_id) composite — the deterministic-
+    tiebreak discipline from ``agg_argmax_minby``), and the MODAL event
+    type (most-frequent-wins, ties to the lexicographically larger type
+    via the (count, type) composite). The entity-resolution output stage:
+    after dedup/linkage decides which rows are the same entity, this is
+    how their fields merge into one profile.
+
+    Scale: two aggregations — one over events keyed by user (map-side
+    combinable max_by/min/max state), one vocabulary-bounded frequency
+    table reduced by the same composite-max_by — joined on the user key.
+    No windows, no sorts, no per-user arrays."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.expr('CAST(ROUND(value*100,0) AS BIGINT)').alias("cents"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.max_by("cents", F.struct("ts_us", "event_id")).alias("last_value_cents"),
+    )
+    freq = base.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    modal = freq.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("n", "event_type")).alias("modal_type")
+    )
+    return agg.join(modal, "user_id").select(
+        "user_id", "n_events", "first_us", "last_us", "last_value_cents", "modal_type"
+    )

@@ -3419,3 +3419,53 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return pagerank_int(pairs, "pa", "pb", iterations=5)
+
+
+_INCR_AGG_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS rev_cents,
+       CAST(MAX({sql_cents('l_extendedprice')}) AS BIGINT) AS max_cents
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register("incremental_agg_maintenance", oracle=_INCR_AGG_ORACLE)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the settled BASE (94% of the
+    fact table) is pre-aggregated to mergeable partial state
+    (count/sum/max per group), a DELTA batch (6%) aggregates separately,
+    and the two STATE tables merge group-wise — the incremental-view
+    update that turns a 100 TB nightly recompute into a delta-sized one.
+    The oracle is the full recompute, so the entry PROVES
+    merge(agg(base), agg(delta)) == agg(base ∪ delta) — exactly the
+    algebraic property (commutative-monoid state) that makes count/sum/
+    max maintainable and, by its absence, makes naive median NOT.
+
+    Scale: base state is group-cardinality-sized (tiny, persists as a
+    table in production); the per-batch cost is one aggregation of the
+    delta + a group-keyed merge — the same mergeable-partial-state
+    discipline as ``agg_hll_sketch_mergeable`` and the band-index
+    incremental dedup, applied to plain relational aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    c = cents("l_extendedprice")
+
+    def state(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(c).alias("rev_cents"),
+            F.max(c).alias("max_cents"),
+        )
+
+    base = state(li.filter(F.col("l_orderkey") % 16 != 0)).localCheckpoint()
+    delta = state(li.filter(F.col("l_orderkey") % 16 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    return merged
