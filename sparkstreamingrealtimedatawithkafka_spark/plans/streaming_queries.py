@@ -627,3 +627,44 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "streaming_ewma_stateful",
+    oracle="""
+WITH x AS (
+  SELECT user_id,
+         list(CAST(CAST(ROUND("value"*100,0) AS BIGINT) AS DOUBLE)
+              ORDER BY epoch_ns(ts)//1000, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       list_reduce(vs, (acc, x) -> acc/2 + x/2) AS ewma_cents
+FROM x
+""",
+)
+def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of ``events_ewma_smoothing``: per-user EWMA as
+    a CUSTOM STATEFUL operator (``applyInPandasWithState`` — the carried
+    state is (ewma, n), two scalars per key, exactly the bounded state
+    the store is for, where the batch operator's per-user array would be
+    unbounded under continuous ingest). Same oracle as the batch entry:
+    the fold is the identical IEEE sequence in the Python worker, the
+    JVM batch operator, and DuckDB — bit-identical three ways. Update
+    mode emits the latest smoothed value per user; over this bounded
+    single-batch source that is the full-input EWMA; cross-batch state
+    continuation is pinned by tests/test_streaming_ewma.py under a
+    2-way time-sliced stream."""
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.stateful import (
+        user_ewma,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.expr("CAST(ROUND(value*100,0) AS BIGINT)").alias("cents"),
+    )
+    out = run_to_memory(user_ewma(ev), output_mode="update")
+    return out.select("user_id", "n_events", "ewma_cents")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -176,6 +177,67 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         _update_user_stats,
         outputStructType=USER_STATS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# (ewma double, n long) — the recursive smoother's carried state
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_cents", DoubleType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Continue the per-user EWMA fold (alpha = 1/2) from carried state.
+
+    Within a batch, rows are sorted by (ts_us, event_id) before folding —
+    Spark does not order rows inside a key group, and EWMA is
+    order-sensitive. Across batches, correctness requires time-ordered
+    arrival (later batches carry later events), which is how ingestion
+    pipelines deliver and what the parity test constructs. Python floats
+    ARE IEEE-754 doubles, and the fold ``acc/2 + x/2`` is the identical
+    operation sequence as the batch operator's JVM ``aggregate`` and the
+    oracle's DuckDB ``list_reduce`` — bit-identical results across all
+    three."""
+    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    if state.exists:
+        ewma, n = state.get
+    else:
+        ewma, n = 0.0, 0
+    for c in rows["cents"]:
+        x = float(c)
+        ewma = x if n == 0 else ewma / 2 + x / 2
+        n += 1
+    state.update((ewma, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_cents": [ewma]}
+    )
+
+
+def user_ewma(events: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA (alpha = 1/2) as a custom stateful
+    operator; ``events`` must carry ``user_id``, ``event_id``, ``ts_us``,
+    ``cents``. Update mode: the new smoothed value per user per batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
