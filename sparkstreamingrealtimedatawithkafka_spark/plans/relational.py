@@ -3469,3 +3469,99 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+_CORRMAT_ORACLE = """
+WITH x AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS p,
+         CAST(ROUND(l_discount*100,0) AS BIGINT) AS d
+  FROM lineitem
+), m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(p) AS HUGEINT) AS sp,
+    CAST(SUM(d) AS HUGEINT) AS sd,
+    CAST(SUM(q*q) AS HUGEINT) AS sqq, CAST(SUM(p*p) AS HUGEINT) AS spp,
+    CAST(SUM(d*d) AS HUGEINT) AS sdd,
+    CAST(SUM(q*p) AS HUGEINT) AS sqp, CAST(SUM(q*d) AS HUGEINT) AS sqd,
+    CAST(SUM(p*d) AS HUGEINT) AS spd
+  FROM x
+)
+SELECT pair, ROUND(
+  (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+  / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+     * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS corr
+FROM (
+  SELECT 'qty_price' AS pair, n,
+         CAST(sqp AS DOUBLE) AS sxy, CAST(sq AS DOUBLE) AS sx,
+         CAST(sp AS DOUBLE) AS sy, CAST(sqq AS DOUBLE) AS sxx,
+         CAST(spp AS DOUBLE) AS syy FROM m
+  UNION ALL
+  SELECT 'qty_discount', n, CAST(sqd AS DOUBLE), CAST(sq AS DOUBLE),
+         CAST(sd AS DOUBLE), CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE) FROM m
+  UNION ALL
+  SELECT 'price_discount', n, CAST(spd AS DOUBLE), CAST(sp AS DOUBLE),
+         CAST(sd AS DOUBLE), CAST(spp AS DOUBLE), CAST(sdd AS DOUBLE) FROM m
+)
+"""
+
+
+@register("agg_correlation_matrix", oracle=_CORRMAT_ORACLE)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX (quantity/price/discount) from
+    ONE fact pass: ten exact integer moment aggregates (n, three sums,
+    three squares, three cross-products in decimal(38,0) — int64 would
+    overflow on the squared cents at 100 TB), then the correlation
+    algebra on the one-row moment table, unpivoted to long form. The
+    profiling companion to ``agg_covariance``: all pairs, one scan,
+    mergeable state — where built-in ``corr`` accumulates per-engine
+    floats that can never hash-check, and per-pair passes would scan the
+    fact table three times."""
+    li = t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        cents("l_extendedprice").alias("p"),
+        cents("l_discount").alias("d"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("sq"),
+        F.sum("p").cast("decimal(38,0)").alias("sp"),
+        F.sum("d").cast("decimal(38,0)").alias("sd"),
+        F.sum(dec("q") * F.col("q")).alias("sqq"),
+        F.sum(dec("p") * F.col("p")).alias("spp"),
+        F.sum(dec("d") * F.col("d")).alias("sdd"),
+        F.sum(dec("q") * F.col("p")).alias("sqp"),
+        F.sum(dec("q") * F.col("d")).alias("sqd"),
+        F.sum(dec("p") * F.col("d")).alias("spd"),
+    ).localCheckpoint()  # one row; three unpivot branches read blocks,
+    # not three fact scans (the self-referencing-plan recompute)
+    rows = []
+    for pair, sxy, sx, sy, sxx, syy in (
+        ("qty_price", "sqp", "sq", "sp", "sqq", "spp"),
+        ("qty_discount", "sqd", "sq", "sd", "sqq", "sdd"),
+        ("price_discount", "spd", "sp", "sd", "spp", "sdd"),
+    ):
+        corr = F.round(
+            (
+                F.col("n").cast("double") * F.col(sxy).cast("double")
+                - F.col(sx).cast("double") * F.col(sy).cast("double")
+            )
+            / (
+                F.sqrt(
+                    F.col("n").cast("double") * F.col(sxx).cast("double")
+                    - F.col(sx).cast("double") * F.col(sx).cast("double")
+                )
+                * F.sqrt(
+                    F.col("n").cast("double") * F.col(syy).cast("double")
+                    - F.col(sy).cast("double") * F.col(sy).cast("double")
+                )
+            ),
+            6,
+        )
+        rows.append(m.select(F.lit(pair).alias("pair"), corr.alias("corr")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
