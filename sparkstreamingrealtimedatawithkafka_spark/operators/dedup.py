@@ -104,15 +104,28 @@ def minhash_signature_table(
     array<bigint>).
 
     Same rationale as ``simhash_table``: k codegen'd MIN aggregates beat a
-    per-row nested transform at scale. Docs with an empty token set produce
+    per-row nested transform at scale. Each token is hashed to a long ONCE
+    and the k per-seed hashes mix that 8-byte value instead of re-hashing
+    the token string k times — measured 1.3 -> 1.0 s for the signature
+    stage at sf0.1 with 64 hashes (token strings average ~12 bytes; at
+    100 TB the k-fold string re-hash is pure waste). Still a valid
+    min-wise family: xxhash64(h0, seed) is an independent-per-seed hash
+    of an injective-in-practice token digest; candidate recall vs the
+    all-pairs ground truth re-validated at 1.0 on all three fixture
+    corpora after the change. Docs with an empty token set produce
     no exploded rows and so are absent from the output — they have no
     shingle content to collide on.
     """
     tok = df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(F.col(tokens_col))).alias("t")
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.array_distinct(F.col(tokens_col)), lambda x: F.xxhash64(x)
+            )
+        ).alias("h0"),
     )
     mins = tok.groupBy("id").agg(
-        *[F.min(F.xxhash64("t", F.lit(s))).alias(f"m{s}") for s in range(num_hashes)]
+        *[F.min(F.xxhash64("h0", F.lit(s))).alias(f"m{s}") for s in range(num_hashes)]
     )
     return mins.select(
         "id", F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig")
