@@ -1463,3 +1463,82 @@ def events_user_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(modal, "user_id").select(
         "user_id", "n_events", "first_us", "last_us", "last_value_cents", "modal_type"
     )
+
+
+_LIFECYCLE_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, (epoch_ns(ts)//1000) // 604800000000 AS week
+  FROM events
+), first_w AS (
+  SELECT user_id, MIN(week) AS w0 FROM uw GROUP BY user_id
+), classified AS (
+  SELECT uw.user_id, uw.week,
+    CASE WHEN uw.week = f.w0 THEN 'new'
+         WHEN prev.user_id IS NOT NULL THEN 'retained'
+         ELSE 'resurrected' END AS klass
+  FROM uw JOIN first_w f USING (user_id)
+  LEFT JOIN uw prev ON prev.user_id = uw.user_id AND prev.week = uw.week - 1
+), churned AS (
+  SELECT a.week + 1 AS week, 'churned' AS klass, COUNT(*) AS n
+  FROM uw a LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + 1
+  WHERE b.user_id IS NULL AND a.week < (SELECT MAX(week) FROM uw)
+  GROUP BY a.week + 1
+)
+SELECT week, klass, n FROM (
+  SELECT week, klass, COUNT(*) AS n FROM classified GROUP BY week, klass
+  UNION ALL
+  SELECT week, klass, n FROM churned
+)
+"""
+
+
+@register("events_growth_accounting", oracle=_LIFECYCLE_ORACLE)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every (user, week) of activity classified as
+    NEW (first-ever week), RETAINED (also active the prior week) or
+    RESURRECTED (returning after a gap), plus per-week CHURNED counts
+    (active in w-1, absent in w) — the DAU/WAU decomposition every
+    growth team reports.
+
+    Scale: distinct (user, week) is one shuffle; first-week is a MIN
+    aggregate per user; prior-week membership is a SELF-EQUI-JOIN on
+    (user, week-1) — never a window over a user's full history, so a
+    years-long user costs rows, not sort width. Churn is the same
+    anti-join shape grouped by week. All counts exact integers."""
+    ev = t(spark, sf_dir, "events")
+    wk = 604_800_000_000
+    uw = ev.select(
+        "user_id", F.expr(f"ts_us div {wk}").alias("week")
+    ).distinct().localCheckpoint()
+    first_w = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
+    prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("had_prev"))
+    classified = (
+        uw.join(first_w, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("week") == F.col("w0"), "new")
+            .when(F.col("had_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("klass"),
+        )
+        .groupBy("week", "klass")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    max_week = uw.agg(F.max("week").alias("mx"))
+    # churn via anti join: users active in w with no activity in w+1
+    churned = (
+        uw.alias("a")
+        .join(
+            uw.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_week))
+        .filter(F.col("a.week") < F.col("mx"))
+        .select((F.col("a.week") + 1).alias("week"), F.lit("churned").alias("klass"))
+        .groupBy("week", "klass")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return classified.unionByName(churned)
