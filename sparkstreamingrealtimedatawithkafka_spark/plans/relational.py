@@ -3565,3 +3565,65 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_PPS_ORACLE = f"""
+WITH r AS (
+  SELECT o_orderkey, {sql_cents('o_totalprice')} AS w FROM orders
+), c AS (
+  SELECT o_orderkey, w,
+    SUM(w) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(w) OVER () AS total
+  FROM r
+)
+SELECT o_orderkey, w AS weight_cents
+FROM c
+WHERE (cum * 1000) // total > ((cum - w) * 1000) // total
+"""
+
+
+@register("sample_weighted_systematic", oracle=_PPS_ORACLE)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (probability proportional to
+    size): systematic PPS over the revenue-weighted order stream — a row
+    is selected whenever its weight interval [cum-w, cum) crosses one of
+    1000 equally-spaced thresholds of the total weight. Exactly the
+    estimator survey statistics and data-pipeline downsampling use when
+    heavy rows must be overrepresented, and REPRODUCIBLE (pure integer
+    arithmetic on a deterministic key order) where exponential-key A-ES
+    sampling needs ``pow``/``ln`` whose libm bits differ per engine.
+
+    Scale: the running weight sum is the ONE global prefix sum in the
+    repo's inventory, so it uses the ``pack_blocks`` two-level
+    decomposition — per-chunk windows in parallel, a chunk-offset prefix
+    over the tiny chunk table, broadcast back — never a single-partition
+    window over the fact table. Threshold crossing is then a pure
+    per-row expression. int64 ``div`` throughout: cum*1000 at 100 TB
+    revenue (~1e13 cents) stays under 2^63."""
+    o = t(spark, sf_dir, "orders")
+    r = o.select("o_orderkey", cents("o_totalprice").alias("w"))
+    # two-level prefix sum keyed on o_orderkey div CHUNK (the pack_blocks
+    # composite): chunk-local cumsum windows run parallel per chunk
+    CHUNK = 4096
+    chunked = r.withColumn("chunk", F.expr(f"o_orderkey div {CHUNK}"))
+    wloc = W.partitionBy("chunk").orderBy("o_orderkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = chunked.select(
+        "o_orderkey", "w", "chunk", F.sum("w").over(wloc).alias("cum_local")
+    )
+    per_chunk = local.groupBy("chunk").agg(F.sum("w").alias("chunk_w"))
+    woff = W.orderBy("chunk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_chunk.select(
+        "chunk", F.coalesce(F.sum("chunk_w").over(woff), F.lit(0)).alias("off")
+    )
+    total = r.agg(F.sum("w").alias("total"))
+    picked = (
+        local.join(F.broadcast(offsets), "chunk")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum", F.col("off") + F.col("cum_local"))
+        .filter(
+            F.expr("(cum * 1000) div total > ((cum - w) * 1000) div total")
+        )
+    )
+    return picked.select("o_orderkey", F.col("w").alias("weight_cents"))

@@ -317,3 +317,41 @@ def test_chunk_overlap_is_shuffle_free(spark):
     plan = _plan(spark, "text_chunk_overlap")
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """graph_pagerank_copurchase: every propagation round must be an
+    equi-join on the rank key — no cartesian, no nested loop, and the
+    edge table must come from checkpointed blocks (one materialization),
+    so the final plan holds no basket re-expansion."""
+    plan = _plan(spark, "graph_pagerank_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sampling_prefix_sum_is_two_level(spark):
+    """sample_weighted_systematic: the order-stream cumsum must run
+    windowed by chunk (parallel) with the chunk offsets broadcast back;
+    the only unpartitioned window is over the tiny chunk table."""
+    import re
+
+    plan = _plan(spark, "sample_weighted_systematic")
+    assert re.search(r"windowspecdefinition\(chunk#\d+L, o_orderkey", plan)
+    assert not re.search(r"windowspecdefinition\(o_orderkey#\d+L ASC", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_growth_accounting_is_join_shaped_not_windowed(spark):
+    """events_growth_accounting: lifecycle classification must come from
+    keyed self-joins, never a window over each user's full history."""
+    plan = _plan(spark, "events_growth_accounting")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_fold_has_no_window_or_second_pass(spark):
+    """events_ewma_smoothing: one shuffle on user_id, the fold inside the
+    aggregation's project — no window operator, no join."""
+    plan = _plan(spark, "events_ewma_smoothing")
+    assert "Window" not in plan
+    assert "Join" not in plan
