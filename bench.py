@@ -71,6 +71,14 @@ BENCH_QUERIES = [
     "fuzzy_match_twostage",
     "pack_training_sequences",
     "events_cdc_snapshot_diff",
+    # round-6 additions (keys above stay fixed for comparability)
+    "revenue_pareto_curve",
+    "multimodal_decode_pgm",
+    "sim_topk_int8_quantized",
+    "graph_pagerank_copurchase",
+    "sample_weighted_systematic",
+    "events_ewma_smoothing",
+    "dedup_containment",
 ]
 
 

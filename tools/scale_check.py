@@ -562,6 +562,56 @@ def tfidf_shape(docs):
 _SPARK = None
 
 
+def pps_shape(o):
+    """sample_weighted_systematic's core: two-level prefix sum over the
+    weighted stream, threshold crossing as a per-row expression. Linear."""
+    from pyspark.sql.window import Window as W
+
+    r = o.select("o_orderkey", cents("o_totalprice").alias("w"))
+    chunked = r.withColumn("chunk", F.expr("o_orderkey div 4096"))
+    wloc = W.partitionBy("chunk").orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, 0)
+    local = chunked.select("o_orderkey", "w", "chunk", F.sum("w").over(wloc).alias("cl"))
+    per_chunk = local.groupBy("chunk").agg(F.sum("w").alias("cw"))
+    woff = W.orderBy("chunk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_chunk.select("chunk", F.coalesce(F.sum("cw").over(woff), F.lit(0)).alias("off"))
+    total = r.agg(F.sum("w").alias("total"))
+    picked = (local.join(F.broadcast(offsets), "chunk").crossJoin(F.broadcast(total))
+              .withColumn("cum", F.col("off") + F.col("cl"))
+              .filter(F.expr("(cum * 1000) div total > ((cum - w) * 1000) div total")))
+    return picked.agg(F.count(F.lit(1)).alias("n"))
+
+
+def pagerank_shape(li):
+    """graph_pagerank_copurchase's core: bounded pair expansion to edges,
+    then 5 equi-join + shuffle rounds with per-round checkpoints. Edge
+    count grows ~linearly with orders, so rounds must too."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import pagerank_int
+
+    baskets = (li.select("l_orderkey", "l_partkey").groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts")))
+    pairs = (baskets.select(F.explode(F.flatten(F.transform("parts",
+        lambda x, i: F.transform(F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+        lambda y: F.struct(x.alias("pa"), y.alias("pb")))))).alias("p"))
+        .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2).select("pa", "pb"))
+    pr = pagerank_int(pairs, "pa", "pb", iterations=5)
+    return pr.agg(F.count(F.lit(1)).alias("n"), F.sum("rank_ppm").alias("s"))
+
+
+def growth_shape(ev):
+    """events_growth_accounting's core: distinct (user, week), keyed
+    self-joins for prior-week membership and churn. Linear in activity."""
+    wk = 604_800_000_000
+    uw = ev.select("user_id", F.expr(f"ts_us div {wk}").alias("week")).distinct().localCheckpoint()
+    first_w = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
+    prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("hp"))
+    classified = (uw.join(first_w, "user_id").join(prev, ["user_id", "week"], "left")
+        .select("week", F.when(F.col("week") == F.col("w0"), "new")
+                .when(F.col("hp").isNotNull(), "retained").otherwise("resurrected").alias("k"))
+        .groupBy("week", "k").agg(F.count(F.lit(1)).alias("n")))
+    return classified.agg(F.count(F.lit(1)).alias("n"), F.sum("n").alias("s"))
+
+
 def run_noop(mk) -> float:
     """mk is a THUNK: the clock starts before construction so shapes with
     eager localCheckpoints (which execute at construction) are charged
@@ -625,6 +675,9 @@ def main() -> None:
         ("welch_t", lambda: welch_shape(li1), lambda: welch_shape(li10)),
         ("chi2_cells", lambda: chi2_shape(ev1), lambda: chi2_shape(ev10)),
         ("tfidf_topk", lambda: tfidf_shape(docs1), lambda: tfidf_shape(docs10)),
+        ("pps_sampling", lambda: pps_shape(o1), lambda: pps_shape(o10)),
+        ("pagerank_5iter", lambda: pagerank_shape(li1), lambda: pagerank_shape(li10)),
+        ("growth_accounting", lambda: growth_shape(ev1), lambda: growth_shape(ev10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
