@@ -1542,3 +1542,58 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return classified.unionByName(churned)
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, (epoch_ns(ts)//1000) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT a.event_type, a.day, a.cents, p.cents AS pred_cents
+  FROM daily a JOIN daily p
+    ON p.event_type = a.event_type AND p.day = a.day - 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(cents - pred_cents)) AS BIGINT) AS abs_err_cents,
+       CAST(SUM(ABS(cents - pred_cents)) // COUNT(*) AS BIGINT) AS mae_cents
+FROM scored GROUP BY event_type
+"""
+
+
+@register("events_seasonal_naive_backtest", oracle=_SEASONAL_ORACLE)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting with the seasonal-naive baseline: predict
+    each (event_type, day)'s revenue as the SAME WEEKDAY one week
+    earlier, score by MAE — the benchmark every production forecast must
+    beat before it ships, and the standard first rung of the M-competition
+    ladder. The whole evaluation is exact integer cents (sum, abs-diff,
+    integer-div MAE), so it hash-checks; a float MAPE never would.
+
+    Scale: facts reduce to the (type, day) daily grid FIRST (one
+    shuffle, map-side combinable), so the lag join runs on the
+    series-sized grid, not events; the 7-day lag is a keyed EQUI-join on
+    (type, day-7) — never a window over a series' full history, the same
+    discipline as ``events_growth_accounting``. Scoring is one final
+    vocabulary-sized aggregation."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.expr("CAST(ROUND(value*100,0) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint()
+    )
+    pred = daily.select(
+        "event_type", (F.col("day") + 7).alias("day"), F.col("cents").alias("pred_cents")
+    )
+    scored = daily.join(pred, ["event_type", "day"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("pred_cents"))).alias("abs_err_cents"),
+        F.expr("CAST(sum(abs(cents - pred_cents)) div count(1) AS BIGINT)").alias("mae_cents"),
+    )

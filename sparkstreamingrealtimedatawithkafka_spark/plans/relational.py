@@ -3627,3 +3627,428 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return picked.select("o_orderkey", F.col("w").alias("weight_cents"))
+
+
+_TRIANGLE_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT pa, pb FROM p WHERE n >= 2
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pa ELSE e.pb END AS u,
+         CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pb ELSE e.pa END AS v
+  FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+), tri AS (
+  SELECT w1.u AS a, w1.v AS b, w2.v AS c
+  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+  WHERE EXISTS (SELECT 1 FROM o x
+                WHERE (x.u = w1.v AND x.v = w2.v) OR (x.u = w2.v AND x.v = w1.v))
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT a AS node FROM tri UNION ALL
+  SELECT b AS node FROM tri UNION ALL
+  SELECT c AS node FROM tri
+) GROUP BY node
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (parts
+    co-occurring in >= 2 baskets) — the clustering-coefficient numerator
+    and the third graph-family member after connected components and
+    PageRank.
+
+    Algorithm: degree-oriented wedge enumeration (the "compact-forward"
+    scheme from Latapy, "Main-memory triangle computations for very large
+    graphs", TCS 2008 — the standard distributed formulation): every edge
+    is oriented from its LOWER (degree, id) endpoint to its higher one,
+    wedges are enumerated by self-joining oriented edges on their SOURCE,
+    and a wedge (u->v, u->w) closes iff the oriented edge v->w or w->v
+    exists (left-semi probe). Orienting by degree bounds each node's
+    out-degree by O(sqrt(|E|)) on any graph, so the wedge join can never
+    blow up on a hub the way a naive undirected enumeration does — THE
+    load-bearing trick at 100 TB, where celebrity nodes are guaranteed.
+    The (degree, id) composite makes the orientation total and
+    deterministic, so the oracle replays it exactly.
+
+    Scale: pair expansion is quadratic only in basket width; the oriented
+    edge list materializes once (localCheckpoint) and feeds the wedge
+    self-join, the closure probe, and the final explode — three consumers,
+    one lineage cut (the self-referencing-plan lesson). Each triangle is
+    found exactly once (w1.v < w2.v dedups wedge symmetry), then exploded
+    to its three member nodes for the per-node count: one final shuffle
+    on the node key."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        pairs.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "u").filter(F.col("b") < F.col("c"))
+    closures = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    ).unionAll(oriented.select(F.col("v").alias("b"), F.col("u").alias("c")))
+    tri = wedges.join(closures, ["b", "c"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("u", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+_BLOOM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit BLOOM-FILTER pre-prune built from
+    DataFrame primitives: the dim side's keys are folded into an m-bit
+    bitmap (two xxhash64 lanes -> word index + bit mask, bit_or per word
+    — 2048 bigint words for m=2^17), the bitmap BROADCASTS, and the fact
+    side sheds rows whose probe bits miss BEFORE the exact semi-join runs.
+    The final semi-join restores exactness, so bloom false positives cost
+    only wasted probe rows, never wrong rows — which is why the oracle is
+    the plain IN-subquery: the filter is performance-shaping, not
+    semantics-bearing.
+
+    This is the runtime-filter pattern Spark applies automatically when
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` fires, built
+    manually so the engine controls WHEN it applies: at 100 TB the win is
+    shedding the fact table's non-matching rows at the SCAN (no shuffle of
+    dead rows into the semi-join exchange), for the price of one tiny
+    broadcast. The bitmap is ~16 KB regardless of fact size; its word
+    join is a broadcast hash join on the word index (2 probes/row), and
+    both probes stay in whole-stage codegen.
+
+    Scale: dim aggregation is word-count-bounded (2048 rows); the two
+    probe joins broadcast; the only full shuffle left is the final
+    group-by — the semi-join's build side is the (SF-proportional) dim
+    but its probe side is already bloom-thinned."""
+    m_bits = 1 << 17
+    n_words = m_bits >> 6
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    # Two independent hash lanes (different seeds); each key sets one bit
+    # per lane. shiftrightunsigned before pmod keeps the sign bit out.
+    # shiftleft's amount must be a literal in the Python API, so the mask
+    # builds as a SQL expression over the key column name.
+    def _lane(name, seed):
+        bit = f"pmod(shiftrightunsigned(xxhash64({name}, {seed}), 1), {m_bits})"
+        word = F.expr(f"CAST({bit} div 64 AS BIGINT)").alias("word")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({bit} % 64 AS INT))").alias("mask")
+        return word, mask
+
+    w1, m1 = _lane("c_custkey", 101)
+    w2, m2 = _lane("c_custkey", 202)
+    bitmap = (
+        cust.select(F.explode(F.array(F.struct(w1, m1), F.struct(w2, m2))).alias("s"))
+        .select("s.word", "s.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", cents("o_totalprice").alias("cents")
+    )
+    ow1, om1 = _lane("o_custkey", 101)
+    ow2, om2 = _lane("o_custkey", 202)
+    b1 = bitmap.select(F.col("word").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bitmap.select(F.col("word").alias("w2"), F.col("bits").alias("bits2"))
+    candidates = (
+        orders.withColumn("w1", ow1).withColumn("m1", om1)
+        .withColumn("w2", ow2).withColumn("m2", om2)
+        .join(F.broadcast(b1), "w1", "left")
+        .join(F.broadcast(b2), "w2", "left")
+        .filter(
+            F.col("bits1").isNotNull()
+            & F.col("bits2").isNotNull()
+            & F.expr("(bits1 & m1) != 0")
+            & F.expr("(bits2 & m2) != 0")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "cents")
+    )
+    exact = candidates.join(cust, candidates.o_custkey == cust.c_custkey, "left_semi")
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+
+
+_ITEM_COSINE_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), co AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), item AS (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS c_i FROM b GROUP BY 1
+), sym AS (
+  SELECT pa AS item, pb AS partner, c_ab FROM co WHERE c_ab >= 2
+  UNION ALL
+  SELECT pb AS item, pa AS partner, c_ab FROM co WHERE c_ab >= 2
+), scored AS (
+  SELECT s.item, s.partner,
+         (s.c_ab * s.c_ab * 1000000) // (ia.c_i * ib.c_i) AS cos2_ppm
+  FROM sym s JOIN item ia ON ia.item = s.item JOIN item ib ON ib.item = s.partner
+), ranked AS (
+  SELECT item, partner, cos2_ppm,
+         ROW_NUMBER() OVER (PARTITION BY item ORDER BY cos2_ppm DESC, partner DESC) AS rk
+  FROM scored
+)
+SELECT item, partner, cos2_ppm, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 3
+"""
+
+
+@register("rec_item_item_cosine", oracle=_ITEM_COSINE_ORACLE)
+def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 most-similar parts per
+    part by co-occurrence cosine over baskets — the "customers also
+    bought" recommender. Cosine over binary basket vectors is
+    c_ab / sqrt(c_a * c_b); to stay hash-checkable the entry ranks by the
+    SQUARED cosine in exact integer ppm — c_ab^2 * 1e6 div (c_a * c_b) —
+    which is order-equivalent (all terms nonneg) and bit-identical on any
+    engine, where a float sqrt never is. Ties break on the partner id so
+    the top-3 cut is total.
+
+    Scale: co-occurrence counts come from the bounded basket pair
+    expansion (quadratic in basket width only); the >= 2 support filter
+    sheds the long noise tail BEFORE symmetrization; per-item degree is
+    one aggregation; the final top-3 is a rank-<=k window partitioned by
+    item — planned as WindowGroupLimit, so each shuffle group prunes
+    map-side. c_ab^2*1e6 fits int64 while c_ab < 3e6 (a part co-bought
+    with one partner 3M times) — far past any per-item basket count."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
+    )
+    co = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    item = (
+        baskets.select(F.explode("parts").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c_i"))
+    )
+    sym = co.select(
+        F.col("pa").alias("item"), F.col("pb").alias("partner"), "c_ab"
+    ).unionAll(
+        co.select(F.col("pb").alias("item"), F.col("pa").alias("partner"), "c_ab")
+    )
+    ia = item.select(F.col("item"), F.col("c_i").alias("ci_a"))
+    ib = item.select(F.col("item").alias("partner"), F.col("c_i").alias("ci_b"))
+    scored = (
+        sym.join(ia, "item")
+        .join(ib, "partner")
+        .select(
+            "item",
+            "partner",
+            F.expr("(c_ab * c_ab * 1000000) div (ci_a * ci_b)").alias("cos2_ppm"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("item").orderBy(F.desc("cos2_ppm"), F.desc("partner"))
+    )
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("item", "partner", "cos2_ppm", "rk")
+    )
+
+
+_CHECKSUM_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+         CAST(ROUND(o_totalprice*100,0) AS BIGINT)
+           + CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000 AS k, 'N' AS status,
+         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 211 = 0
+)
+SELECT COALESCE(a.k, b.k) AS k,
+       CASE WHEN a.k IS NULL THEN 'insert'
+            WHEN b.k IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       b.status AS new_status, b.cents AS new_cents
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.status != b.status OR a.cents != b.cents
+"""
+
+
+@register("reconcile_checksum_diff", oracle=_CHECKSUM_DIFF_ORACLE)
+def reconcile_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-pruned table reconciliation: diff two snapshots of a
+    100 TB table WITHOUT full-outer-joining every row. Stage 1 reduces
+    each snapshot to 4096 bucket checksums (bucket = xxhash64(key) pmod
+    4096; checksum = XOR of a row-content hash — xor is order-independent,
+    mergeable and overflow-free under ANSI mode, so each side is ONE
+    aggregation) and joins the two
+    4096-row summaries to find buckets whose checksum OR row-count
+    differs. Stage 2 full-outer-joins ONLY the rows of those buckets —
+    at 100 TB with a 0.1% drift, ~every bucket with changes is a tiny
+    fraction of the table and the expensive join runs on ~0.1% of rows.
+    The emitted diff (insert/update/delete per key) is EXACT, which is
+    why the oracle is the direct full-outer diff: checksums only decide
+    where to look, a masked change would need two 64-bit hash xor-deltas
+    to cancel exactly.
+
+    The "modified" snapshot B derives deterministically from A in-query
+    (drop keys %97, mutate status+cents on %101, insert shifted keys
+    %211), standing in for yesterday's replica; in production B is the
+    other table and stage-1 cost is two scans + two 4096-row exchanges.
+
+    Scale: both sides localCheckpoint their snapshot projection once
+    (each feeds its checksum agg AND the drill-down join — the
+    self-referencing-plan lesson); the changed-bucket set broadcasts
+    back as a semi-join filter on both sides."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents("o_totalprice").alias("cents"),
+    )
+    snap_a = orders.localCheckpoint()
+    snap_b = (
+        orders.filter(F.expr("k % 97 != 0"))
+        .select(
+            "k",
+            F.when(F.expr("k % 101 = 0"), F.lit("X")).otherwise(F.col("status")).alias("status"),
+            (F.col("cents") + F.when(F.expr("k % 101 = 0"), 1).otherwise(0)).alias("cents"),
+        )
+        .unionByName(
+            orders.filter(F.expr("k % 211 = 0")).select(
+                (F.col("k") + 1_000_000_000).alias("k"),
+                F.lit("N").alias("status"),
+                F.col("cents"),
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def summary(df):
+        return (
+            df.withColumn("bkt", F.expr("pmod(xxhash64(k), 4096)"))
+            .withColumn("rh", F.xxhash64("k", "status", "cents"))
+            .groupBy("bkt")
+            .agg(F.bit_xor("rh").alias("chk"), F.count(F.lit(1)).alias("n"))
+        )
+
+    sa = summary(snap_a).select("bkt", F.col("chk").alias("chk_a"), F.col("n").alias("n_a"))
+    sb = summary(snap_b).select("bkt", F.col("chk").alias("chk_b"), F.col("n").alias("n_b"))
+    changed = (
+        sa.join(sb, "bkt", "full_outer")
+        .filter(
+            F.col("chk_a").isNull()
+            | F.col("chk_b").isNull()
+            | (F.col("chk_a") != F.col("chk_b"))
+            | (F.col("n_a") != F.col("n_b"))
+        )
+        .select("bkt")
+    )
+    a_rows = snap_a.withColumn("bkt", F.expr("pmod(xxhash64(k), 4096)")).join(
+        F.broadcast(changed), "bkt", "left_semi"
+    )
+    b_rows = snap_b.withColumn("bkt", F.expr("pmod(xxhash64(k), 4096)")).join(
+        F.broadcast(changed), "bkt", "left_semi"
+    )
+    a2 = a_rows.select(F.col("k").alias("ka"), F.col("status").alias("sa"), F.col("cents").alias("ca"))
+    b2 = b_rows.select(F.col("k").alias("kb"), F.col("status").alias("sb"), F.col("cents").alias("cb"))
+    diff = a2.join(b2, a2.ka == b2.kb, "full_outer").filter(
+        F.col("ka").isNull()
+        | F.col("kb").isNull()
+        | (F.col("sa") != F.col("sb"))
+        | (F.col("ca") != F.col("cb"))
+    )
+    return diff.select(
+        F.coalesce(F.col("ka"), F.col("kb")).alias("k"),
+        F.when(F.col("ka").isNull(), "insert")
+        .when(F.col("kb").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("sb").alias("new_status"),
+        F.col("cb").alias("new_cents"),
+    )

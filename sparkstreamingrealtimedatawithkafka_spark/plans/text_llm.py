@@ -2832,3 +2832,88 @@ def emb_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_docs"),
         F.sum("cos_ppm").cast("long").alias("cohesion_ppm_sum"),
     )
+
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform({_TOKS}, (x, i) -> struct_pack(tok := x, pos := i))) AS u
+  FROM documents
+), m AS (
+  SELECT doc_id, u.pos FROM toks WHERE u.tok = 'merge'
+), j AS (
+  SELECT doc_id, u.pos FROM toks WHERE u.tok = 'join'
+)
+SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM m JOIN j ON j.doc_id = m.doc_id AND j.pos = m.pos + 1
+GROUP BY m.doc_id
+"""
+
+
+@register("search_phrase_positional", oracle=_PHRASE_ORACLE)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("merge join") via POSITIONAL postings — the
+    capability BM25's bag-of-words ranking can't express: tokens must be
+    ADJACENT. Classic positional-inverted-index query: posting lists for
+    each query term carry (doc, position); the phrase matches where the
+    second term's posting sits at pos+1 of the first's.
+
+    Scale: the load-bearing move is the same as ``search_bm25_topk`` —
+    each side of the adjacency join filters to ITS query term at the
+    scan (predicate on the exploded token, fused into the generate
+    stage), so the shuffle carries only the two terms' postings —
+    vocabulary-frequency-sized, never corpus-sized. The adjacency test
+    rides the (doc_id, pos) equi-join key: hash join, no range probe. A
+    k-term phrase chains k-1 such joins, each shrinking the candidate
+    set."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokenize("text")).alias("pos", "tok")
+    )
+    m = toks.filter(F.col("tok") == "merge").select("doc_id", "pos")
+    j = toks.filter(F.col("tok") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        m.join(j, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+_RESERVOIR_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("sample_reservoir_per_key", oracle=_RESERVOIR_ORACLE)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group reservoir sample (k=5 docs per language),
+    REPRODUCIBLE: rows rank by md5(doc_id) within their group — a
+    uniform-random but deterministic order, the same engine-portable
+    keyed randomness as ``split_train_valid_test`` — and the top 5 win.
+    Bernoulli sampling (``sample_hash_bernoulli``) can't promise exact
+    group sizes; this is the "give me exactly 5 examples of every
+    language" sampler an eval-set builder needs.
+
+    Scale: one shuffle on the group key; the rank-<=k window plans as
+    WindowGroupLimit, so each task keeps a 5-row heap per group map-side
+    and the exchange carries survivors, not the corpus. Skewed groups
+    (one language = 90% of a 100 TB corpus) cost a bounded heap, not a
+    sort."""
+    docs = t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
