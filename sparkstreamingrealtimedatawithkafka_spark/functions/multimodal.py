@@ -324,3 +324,76 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
             )
 
     return df.mapInArrow(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def parse_bmp(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed 24bpp BMP (BITMAPINFOHEADER): returns
+    (width, height, pixels[h, w, 3] BGR, top-down). Real-format grammar
+    the toy codecs skip: rows are stored PADDED to 4-byte multiples and
+    BOTTOM-UP unless height is negative (top-down flag). Palette, RLE,
+    16/32bpp and BITMAPCOREHEADER dispatch to ``NotImplementedError``
+    loudly — same optional-format contract as JPEG/PNG in ``parse_pgm``.
+    Pure function of the bytes, so an oracle that knows the construction
+    replays it exactly.
+    """
+    if b[:2] != b"BM":
+        raise NotImplementedError(
+            f"unsupported image magic {b[:2]!r}: only BMP/PGM have built-in codecs"
+        )
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (hdr_size,) = struct.unpack("<I", b[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER (OS/2 BMP) not supported")
+    w, h_raw = struct.unpack("<ii", b[18:26])
+    _planes, bpp = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24bpp BMP supported (bpp={bpp}, compression={compression})"
+        )
+    top_down, h = h_raw < 0, abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3  # 4-byte row alignment — the BMP trap
+    if len(b) - data_off < row_bytes * h:
+        raise ValueError(f"truncated BMP raster: need {row_bytes*h}, have {len(b)-data_off}")
+    px = np.zeros((h, w, 3), np.uint8)
+    for r in range(h):
+        row = np.frombuffer(b, np.uint8, w * 3, data_off + r * row_bytes).reshape(w, 3)
+        px[r if top_down else h - 1 - r] = row
+    return w, h, px
+
+
+BMP_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, sum_b bigint, sum_g bigint, sum_r bigint"
+)
+
+
+def decode_bmp(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """REAL BMP decode via ``mapInArrow``: full header walk (both header
+    layers, padding, bottom-up flip) + exact per-channel integer sums —
+    no float accumulation, so the replay oracle hash-checks."""
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
+            ws, hs, sb, sg, sr = [], [], [], [], []
+            for raw in blobs:
+                w, h, px = parse_bmp(bytes(raw))
+                ws.append(w)
+                hs.append(h)
+                sb.append(int(px[:, :, 0].sum()))
+                sg.append(int(px[:, :, 1].sum()))
+                sr.append(int(px[:, :, 2].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(sb, pa.int64()),
+                    pa.array(sg, pa.int64()),
+                    pa.array(sr, pa.int64()),
+                ],
+                names=["doc_id", "width", "height", "sum_b", "sum_g", "sum_r"],
+            )
+
+    return df.mapInArrow(op, schema=BMP_FEATURES_SCHEMA)

@@ -2917,3 +2917,65 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", rk.cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+# 6x3 24bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER (data
+# offset 54, image size 60 = 3 rows x (18 raster + 2 pad) bytes), built
+# once at plan time with struct.pack and shipped as an unhex literal.
+_BMP_HDR_HEX = (
+    "424D72000000000000003600000028000000060000000300000001001800"
+    "000000003C000000130B0000130B00000000000000000000"
+)
+
+_BMP_SUM = (
+    "CAST(list_sum(list_transform("
+    "list_filter(generate_series(0, 53), k -> (k % 18) % 3 = {c}), "
+    "k -> unicode(substr(px, CAST(k + 1 AS INT), 1)))) AS BIGINT)"
+)
+
+_DECODE_BMP_ORACLE = f"""
+WITH img AS (SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 2) AS px FROM documents)
+SELECT doc_id, 6 AS width, 3 AS height,
+       {_BMP_SUM.format(c=0)} AS sum_b,
+       {_BMP_SUM.format(c=1)} AS sum_g,
+       {_BMP_SUM.format(c=2)} AS sum_r
+FROM img
+"""
+
+
+@register("multimodal_decode_bmp", oracle=_DECODE_BMP_ORACLE)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, the third codec family (after PGM and WAV) and
+    the one with genuine container traps: 6x3 24bpp images are built
+    JVM-side — a constant two-layer header (unhex literal) + an
+    md5-derived raster where each 18-byte row is followed by TWO padding
+    bytes (6px * 3ch = 18, aligned up to 20 — the 4-byte row-alignment
+    rule), rows stored BOTTOM-UP per the positive-height convention.
+    ``decode_bmp`` (functions/multimodal.py) walks both headers, strips
+    padding, flips the rows, and reduces each BGR channel to an exact
+    integer sum in an Arrow-batched ``mapInArrow`` worker.
+
+    The oracle replays the construction: channel sums depend only on a
+    byte's offset within its row (k % 18 % 3), not on row order — so the
+    bottom-up storage is verified BY the padding arithmetic: mis-stride
+    the rows by even one pad byte and every channel sum shifts.
+
+    Scale: blob construction and decode are zero-shuffle map stages;
+    the codec batch shape is the production JPEG/PNG shape with the
+    external-library decode swapped behind the same magic-byte
+    dispatch."""
+    docs = t(spark, sf_dir, "documents")
+    px = F.repeat(F.md5(F.col("doc_id").cast("string")), 2)
+    pad = F.unhex(F.lit("0000"))
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(_BMP_HDR_HEX)),
+            F.encode(F.substring(px, 1, 18), "utf-8"), pad,
+            F.encode(F.substring(px, 19, 18), "utf-8"), pad,
+            F.encode(F.substring(px, 37, 18), "utf-8"), pad,
+        ).alias("blob"),
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import decode_bmp
+
+    return decode_bmp(blobs)

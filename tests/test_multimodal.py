@@ -10,16 +10,20 @@ r5 'decode is a stub' gap); these tests pin
     loudly through the Python worker, never silently.
 """
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
     decode_audio,
+    decode_bmp,
     decode_image,
     encode_audio_pcm16,
     encode_pgm,
     encode_wav_pcm16,
+    parse_bmp,
     parse_pgm,
     resize_image,
     sample_frames,
@@ -133,3 +137,65 @@ def test_non_wave_audio_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|unsupported"):
         decode_audio(df).collect()
+
+
+def _bmp_bytes(w, h, rows_bgr, top_down=False):
+    """Build a 24bpp BMP from rows of (b, g, r) tuples, top image row
+    first; rows are stored bottom-up unless top_down."""
+    row_bytes = (w * 3 + 3) & ~3
+    data_off = 14 + 40
+    raster = b""
+    stored = rows_bgr if top_down else list(reversed(rows_bgr))
+    for row in stored:
+        line = b"".join(bytes(p) for p in row)
+        raster += line + b"\x00" * (row_bytes - len(line))
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return hdr + info + raster
+
+
+def test_parse_bmp_bottom_up_padding_and_channels():
+    # 2x2 image, distinct channels per pixel; width 2 -> 6 raster bytes
+    # padded to 8 per row: padding must be stripped, rows flipped.
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    w, h, px = parse_bmp(_bmp_bytes(2, 2, rows))
+    assert (w, h) == (2, 2)
+    assert px[0, 0].tolist() == [1, 2, 3] and px[1, 1].tolist() == [10, 11, 12]
+
+
+def test_parse_bmp_top_down_flag():
+    rows = [[(1, 1, 1)], [(2, 2, 2)]]
+    _, _, px = parse_bmp(_bmp_bytes(1, 2, rows, top_down=True))
+    assert px[0, 0, 0] == 1 and px[1, 0, 0] == 2
+
+
+def test_parse_bmp_truncated_raster_raises():
+    b = _bmp_bytes(2, 2, [[(0, 0, 0), (0, 0, 0)], [(0, 0, 0), (0, 0, 0)]])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_bmp(b[:-5])
+
+
+def test_parse_bmp_unsupported_variants_fail_loudly(spark):
+    # PNG magic routed to BMP decode; 32bpp; OS/2 core header
+    with pytest.raises(NotImplementedError, match="magic"):
+        parse_bmp(b"\x89PNG\r\n\x1a\n rest")
+    b32 = bytearray(_bmp_bytes(1, 1, [[(0, 0, 0)]]))
+    b32[28:30] = struct.pack("<H", 32)
+    with pytest.raises(NotImplementedError, match="24bpp"):
+        parse_bmp(bytes(b32))
+    core = bytearray(_bmp_bytes(1, 1, [[(0, 0, 0)]]))
+    core[14:18] = struct.pack("<I", 12)
+    with pytest.raises(NotImplementedError, match="OS/2"):
+        parse_bmp(bytes(core))
+
+
+def test_decode_bmp_channel_sums(spark):
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    df = spark.createDataFrame(
+        [(5, bytearray(_bmp_bytes(2, 2, rows)))], "doc_id long, blob binary"
+    )
+    r = decode_bmp(df).collect()[0]
+    assert (r.sum_b, r.sum_g, r.sum_r) == (1 + 4 + 7 + 10, 2 + 5 + 8 + 11, 3 + 6 + 9 + 12)
