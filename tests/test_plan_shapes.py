@@ -355,3 +355,70 @@ def test_ewma_fold_has_no_window_or_second_pass(spark):
     plan = _plan(spark, "events_ewma_smoothing")
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_triangle_count_is_degree_oriented_hash_joins(spark):
+    """graph_triangle_count: wedge enumeration and closure check must be
+    hash equi-joins over the checkpointed oriented edge list — no
+    cartesian, no nested loop, no basket re-expansion in the final plan
+    (the oriented list materializes once)."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # closure probe is a left-semi hash join
+    assert "LeftSemi" in plan
+
+
+def test_bloom_prefilter_bitmap_broadcasts(spark):
+    """join_bloom_prefilter: both bitmap probes must be BROADCAST hash
+    joins (the 2048-word bitmap is tiny by construction); the exact
+    verification is the only non-broadcast join allowed."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_item_item_topk_is_group_limited(spark):
+    """rec_item_item_cosine: the per-item top-3 must plan as
+    WindowGroupLimit so shuffle groups prune map-side."""
+    plan = _plan(spark, "rec_item_item_cosine")
+    assert "WindowGroupLimit" in plan
+
+
+def test_reservoir_sample_is_group_limited(spark):
+    """sample_reservoir_per_key: rank-<=k over md5 order must plan as
+    WindowGroupLimit — a bounded per-group heap, never a full sort of a
+    skewed group."""
+    plan = _plan(spark, "sample_reservoir_per_key")
+    assert "WindowGroupLimit" in plan
+
+
+def test_phrase_search_filters_terms_at_the_generate_stage(spark):
+    """search_phrase_positional: each posting side must filter to ITS
+    query term before any exchange — the shuffle carries two terms'
+    postings, not the exploded corpus."""
+    plan = _plan(spark, "search_phrase_positional")
+    import re
+
+    # the term predicates appear as filters on the exploded token column
+    assert re.search(r"Filter.*= merge", plan) or "merge)" in plan
+    assert re.search(r"Filter.*= join", plan) or "join)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_checksum_diff_drilldown_buckets_broadcast(spark):
+    """reconcile_checksum_diff: the changed-bucket set must broadcast
+    back as semi-join filters on both snapshots; only pruned rows reach
+    the full-outer diff."""
+    plan = _plan(spark, "reconcile_checksum_diff")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "FullOuter" in plan
+
+
+def test_seasonal_backtest_joins_on_daily_grid(spark):
+    """events_seasonal_naive_backtest: the lag join must run on the
+    aggregated (type, day) grid, not raw events — the plan reads the
+    checkpointed daily grid, so no second events scan appears."""
+    plan = _plan(spark, "events_seasonal_naive_backtest")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0  # grid is checkpointed RDD blocks
