@@ -397,3 +397,53 @@ def decode_bmp(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") ->
             )
 
     return df.mapInArrow(op, schema=BMP_FEATURES_SCHEMA)
+
+
+def resample_audio(
+    df: DataFrame,
+    factor: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """REAL audio downsample for RIFF/WAVE PCM16 via ``mapInArrow``:
+    decode (full chunk walk), decimate by taking every ``factor``-th
+    sample (output i = input i*factor — deterministic, replayable; no
+    anti-alias filter, the nearest-neighbor of audio, matching
+    ``resize_image``'s contract), re-encode at rate/factor. The
+    decode->transform->re-encode round trip on worker-produced bytes is
+    the audio twin of ``resize_image``."""
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
+            out = []
+            for raw in blobs:
+                b = bytes(raw)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        f"unsupported audio container {b[:4]!r}"
+                    )
+                pos, rate, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        fmt_tag, _ch, rate = struct.unpack("<HHI", body[:8])
+                        (bits,) = struct.unpack("<H", body[14:16])
+                        if fmt_tag != 1 or bits != 16:
+                            raise NotImplementedError("only PCM16 supported")
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)
+                if data is None or rate is None:
+                    raise ValueError("WAV missing fmt/data chunk")
+                samples = np.frombuffer(data, dtype="<i2")[::factor]
+                out.append(encode_wav_pcm16(samples.astype(np.int64), rate // factor))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(out, pa.binary())],
+                names=["doc_id", "blob"],
+            )
+
+    return df.mapInArrow(op, schema="doc_id bigint, blob binary")

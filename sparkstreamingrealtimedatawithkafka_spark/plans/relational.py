@@ -4052,3 +4052,59 @@ def reconcile_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sb").alias("new_status"),
         F.col("cb").alias("new_cents"),
     )
+
+
+_SALTED_JOIN_ORACLE = f"""
+WITH tier AS (
+  SELECT CAST(q AS BIGINT) AS qty_key,
+         CASE WHEN q <= 10 THEN 'small' WHEN q <= 30 THEN 'mid' ELSE 'bulk' END AS tier,
+         CAST(q * 7 % 25 AS BIGINT) AS rebate_bp
+  FROM generate_series(1, 50) AS t(q)
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({sql_cents('l_extendedprice')} * rebate_bp) AS BIGINT) AS rebate_scaled
+FROM lineitem JOIN tier ON CAST(ROUND(l_quantity, 0) AS BIGINT) = qty_key
+GROUP BY tier
+"""
+
+
+@register("join_salted_replicated", oracle=_SALTED_JOIN_ORACLE)
+def join_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join (operators/skew.py replicate_broadcast_join):
+    lineitem joins a 50-row quantity-tier dim on the rounded quantity — a
+    key with 50 distinct values across the whole fact table, so a plain
+    shuffle join would hand each reducer ~2% of ALL facts and a hot
+    quantity lands one monster partition. The mitigation salts the fact
+    side (deterministic row-hash salt, retry-safe) over 8 lanes and
+    explodes the dim 8x, joining on (key, salt): every hot key now
+    spreads over 8 partitions. AQE's skew split handles sort-merge skew
+    when stats see it; this is the explicit operator for when the
+    engine must GUARANTEE the spread (or the dim is too big to broadcast
+    but small enough to replicate). Salting is semantics-neutral — the
+    oracle is the plain join, bit for bit.
+
+    Scale: dim replication costs n_salts x 50 rows (nothing); the fact
+    side shuffles once on (key, salt); the rebate aggregation is exact
+    integer basis-point arithmetic riding the same exchange."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
+        replicate_broadcast_join,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("qty_key"),
+        cents("l_extendedprice").alias("price_cents"),
+    )
+    tier = spark.range(1, 51).select(
+        F.col("id").alias("qty_key"),
+        F.when(F.col("id") <= 10, "small")
+        .when(F.col("id") <= 30, "mid")
+        .otherwise("bulk")
+        .alias("tier"),
+        (F.col("id") * 7 % 25).alias("rebate_bp"),
+    )
+    joined = replicate_broadcast_join(li, tier, on=["qty_key"], n_salts=8)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("price_cents") * F.col("rebate_bp")).alias("rebate_scaled"),
+    )

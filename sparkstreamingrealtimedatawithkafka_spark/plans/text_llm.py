@@ -2979,3 +2979,114 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import decode_bmp
 
     return decode_bmp(blobs)
+
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), spans AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 7),
+                i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS span
+  FROM toks WHERE len(tk) >= 8
+)
+SELECT md5(span) AS span_fp,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM spans
+GROUP BY md5(span)
+HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+
+@register("dedup_repeated_spans", oracle=_SPAN_ORACLE)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level duplication detection: every 8-token span in
+    the corpus, fingerprinted and counted across documents; spans hitting
+    >= 3 distinct docs are the memorization-risk boilerplate (license
+    headers, navigation chrome, templated text) that document-level dedup
+    can never see — the operator behind "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al., ACL 2022), re-expressed as
+    a shingle aggregation instead of a suffix array: a suffix array finds
+    arbitrary-length repeats, but fixed-k shingles find every repeat of
+    length >= k (any such repeat contains a repeated k-span) in ONE
+    group-by, which is the right trade for a distributed engine.
+
+    Scale: span generation is a zero-shuffle generate stage (sequence +
+    slice over the token array — k-1 extra rows per token, the standard
+    shingling cost); spans leave the stage as 32-char md5 fingerprints +
+    doc ids, so the ONE shuffle carries bounded-width rows, never raw
+    text (the MinHash lesson); count + count-distinct ride the same
+    exchange (doc_id is the distinct key, partial-aggregated map-side).
+    The >= 3 support cut drops the unique-span long tail at the reducer,
+    emitting only the boilerplate table — eval-set-sized, broadcastable
+    to the cleaning pass that strips the spans back out."""
+    docs = t(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    spans = (
+        docs.filter(F.size(tk) >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 7),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, 8)),
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("span_fp"))
+    )
+    return (
+        spans.groupBy("span_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+_RESAMPLE_WAV_ORACLE = f"""
+WITH syn AS (
+  SELECT doc_id, list_transform(generate_series(0, {_WAV_N} - 1),
+         i -> {_WAV_SAMPLE}) AS s
+  FROM documents
+), dec AS (
+  SELECT doc_id, list_transform(
+           generate_series(1, (len(s) + 2) // 3),
+           k -> s[(k - 1) * 3 + 1]) AS d
+  FROM syn
+)
+SELECT doc_id, 2666 AS sample_rate,
+  CAST(len(d) AS BIGINT) AS n_samples,
+  CAST(list_sum(list_transform(d, x -> abs(x))) AS BIGINT) AS sum_abs,
+  CAST(list_max(list_transform(d, x -> abs(x))) AS INT) AS max_abs
+FROM dec
+"""
+
+
+@register("multimodal_resample_wav", oracle=_RESAMPLE_WAV_ORACLE)
+def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample round trip: the synthesized PCM16 corpus is
+    packed into WAV containers, DECIMATED 3x (``resample_audio``: decode
+    -> every-3rd-sample -> re-encode at 8000//3 Hz), then decoded AGAIN
+    for stats — so the parser runs on worker-produced containers, the
+    audio twin of ``multimodal_resize_pgm``'s two-stage contract. The
+    oracle replays the closed-form waveform at the decimated indices
+    (output k = sample 3k), hash-exact integer stats.
+
+    Scale: three chained ``mapInArrow`` stages, zero shuffle anywhere —
+    codec pipelines are embarrassingly parallel and the engine keeps
+    them that way."""
+    docs = t(spark, sf_dir, "documents")
+    syn = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_WAV_N} - 1), i -> "
+            f"CAST({_WAV_SAMPLE} AS INT))"
+        ).alias("samples"),
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import resample_audio
+
+    wav = encode_audio_pcm16(syn, sample_rate=8000)
+    return decode_audio(resample_audio(wav, factor=3))
