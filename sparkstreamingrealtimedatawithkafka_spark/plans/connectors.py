@@ -528,3 +528,51 @@ def source_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame
             "sum_quality_milli"
         ),
     )
+
+
+_COMPACT_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("sink_compacted_parquet", oracle=_COMPACT_ORACLE)
+def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a deliberately fragmented table (documents
+    written as 64 shard files — the classic streaming-ingest residue) is
+    compacted to size-targeted files and read back for the verification
+    aggregate. The oracle proves compaction is data-identical; the file
+    counts before/after are asserted in tests/test_plan_shapes.py's
+    sibling (a compaction that loses or duplicates rows is corruption,
+    not optimization).
+
+    The compaction sizing is the 100 TB-relevant part: target file count
+    = ceil(bytes / 128 MB) computed from the actual input size (here the
+    fixture is small so it clamps to 1), applied via ``coalesce`` —
+    coalesce, NOT repartition, because compaction must not pay a shuffle:
+    it narrows existing partitions into fewer write tasks. Repartition
+    is only correct when output SORT or cluster keys matter (that is
+    ``sink_range_clustered_parquet``'s job). In production this runs per
+    partition-directory of an ingest table on a schedule, replacing
+    thousands of kilobyte files from micro-batches with hundreds of
+    full-block files — the difference between a namenode that lists a
+    directory in milliseconds and one that melts."""
+    docs = t(spark, sf_dir, "documents")
+    frag_path = _scratch("docs_fragmented")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(frag_path).glob("*.parquet")
+    )
+    target_files = max(1, -(-total_bytes // (128 << 20)))
+    compact_path = _scratch("docs_compacted")
+    frag.coalesce(int(target_files)).write.mode("overwrite").parquet(compact_path)
+    back = spark.read.parquet(compact_path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

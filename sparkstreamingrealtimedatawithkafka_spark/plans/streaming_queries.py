@@ -668,3 +668,52 @@ def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(user_ewma(ev), output_mode="update")
     return out.select("user_id", "n_events", "ewma_cents")
+
+
+_STREAM_TRENDING_ORACLE = f"""
+WITH e AS (SELECT epoch_ns(ts)//1000 AS us, event_type FROM events),
+counts AS (
+  SELECT us//{US_PER_DAY}*{US_PER_DAY} AS win_start_us, event_type, COUNT(*) AS n
+  FROM e GROUP BY 1, 2
+  HAVING us//{US_PER_DAY}*{US_PER_DAY} + {US_PER_DAY}
+         <= (SELECT MAX(us) FROM e) - {US_PER_HOUR}
+), ranked AS (
+  SELECT win_start_us, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY win_start_us
+                            ORDER BY n DESC, event_type DESC) AS rk
+  FROM counts
+)
+SELECT win_start_us, event_type, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("streaming_topk_trending", oracle=_STREAM_TRENDING_ORACLE)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per day, STREAMING: the watermarked
+    tumbling-window count runs in the stream (bounded state, append mode
+    — only watermark-closed windows emit), and the per-window RANK runs
+    as a batch window over the streamed-out counts table. That split is
+    the production architecture, not a workaround: rank-within-window
+    needs the window CLOSED (a top-3 that could still be overtaken is
+    not a top-3), so ranking belongs downstream of the append-mode
+    emission — any in-stream ranking would either hold windows open
+    forever (complete mode's unbounded state) or emit retractions.
+
+    Scale: stream state is windows x types (bounded by the watermark);
+    the downstream rank is a rank-<=k window over the COUNTS table
+    (windows x types rows, not events), WindowGroupLimit-planned, with
+    (n DESC, type DESC) as the deterministic tiebreak."""
+    stream = _events_stream(spark, sf_dir)
+    windowed = windowed_event_counts(stream, ts_col="ts", delay="1 hour", window_len="1 day")
+    counts = run_to_memory(windowed, output_mode="append")
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("win_start_us").orderBy(F.desc("n"), F.desc("event_type"))
+    )
+    return (
+        counts.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("win_start_us", "event_type", "n", "rk")
+    )

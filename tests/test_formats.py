@@ -74,3 +74,27 @@ def test_streaming_file_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination()
     out2 = read_files(spark, out_dir, fmt="parquet", schema=CUSTOMER_SCHEMA)
     assert out2.count() == src.count()
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    """sink_compacted_parquet's contract: coalesce-based compaction must
+    collapse the 64-shard fragmentation to the size-targeted count (1 at
+    fixture scale) without losing or duplicating a row."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
+    from conftest import SF_DIR
+
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") % 7)
+    frag = str(tmp_path / "frag")
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_frag == 64
+    compact = str(tmp_path / "compact")
+    spark.read.parquet(frag).coalesce(1).write.mode("overwrite").parquet(compact)
+    n_compact = len(list((tmp_path / "compact").glob("*.parquet")))
+    assert n_compact == 1
+    back = spark.read.parquet(compact)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    # and the catalog entry end-to-end at the fixture dir
+    out = REGISTRY["sink_compacted_parquet"].fn(spark, SF_DIR)
+    assert out.count() > 0
