@@ -1597,3 +1597,96 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.abs(F.col("cents") - F.col("pred_cents"))).alias("abs_err_cents"),
         F.expr("CAST(sum(abs(cents - pred_cents)) div count(1) AS BIGINT)").alias("mae_cents"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, (epoch_ns(ts)//1000) AS pus,
+         CAST(ROUND(value*100,0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, event_type AS channel, event_id AS tid,
+         (epoch_ns(ts)//1000) AS tus
+  FROM events WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT p.pid, p.cents, t.channel, t.tus, t.tid
+  FROM purchases p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.tus < p.pus AND t.tus >= p.pus - 604800000000
+), ranked AS (
+  SELECT pid, cents, channel,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tus, tid) AS rk,
+         COUNT(*) OVER (PARTITION BY pid) AS k
+  FROM joined
+), credited AS (
+  SELECT channel, cents,
+    CASE WHEN k = 1 THEN 10000
+         WHEN k = 2 THEN 5000
+         WHEN rk = 1 OR rk = k THEN 4000
+         ELSE 2000 // (k - 2) END AS bp
+  FROM ranked
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(cents * bp) AS BIGINT) AS credited_cents_bp
+FROM credited GROUP BY channel
+"""
+
+
+@register("events_attribution_position", oracle=_ATTRIBUTION_ORACLE)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    distributes credit over the user's click/view touches in the prior
+    7 days — 40% to the first touch, 40% to the last, 20% split across
+    the middles (100% / 50-50 for 1- and 2-touch paths). Credit stays in
+    exact integer cents x basis points (the middle split uses integer
+    div with the deterministic drop-the-remainder rule both engines
+    replay), so the channel totals hash-check — float credit shares
+    never would.
+
+    Scale: purchases and touches join on the USER key (keyed equi-join;
+    the 7-day predicate evaluates inside it — per-user event lists are
+    session-scale, the ``scd2_point_in_time_lookup`` argument); the
+    first/last/middle classification is a rank + count window
+    PARTITIONED BY purchase — conversion-path-sized partitions, never a
+    user's full history. One final vocabulary-sized channel
+    aggregation."""
+    ev = t(spark, sf_dir, "events")
+    wk = 604_800_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts_us").alias("pus"),
+        F.expr("CAST(ROUND(value*100,0) AS BIGINT)").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tid"),
+        F.col("ts_us").alias("tus"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("tus") < F.col("pus")) & (F.col("tus") >= F.col("pus") - wk)
+    )
+    wp = W.partitionBy("pid")
+    ranked = joined.select(
+        "pid",
+        "cents",
+        "channel",
+        F.row_number().over(wp.orderBy("tus", "tid")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+    )
+    bp = (
+        F.when(F.col("k") == 1, 10000)
+        .when(F.col("k") == 2, 5000)
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("k")), 4000)
+        .otherwise(F.expr("2000 div (k - 2)"))
+    )
+    return (
+        ranked.withColumn("bp", bp)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.col("cents") * F.col("bp")).alias("credited_cents_bp"),
+        )
+    )

@@ -4108,3 +4108,57 @@ def join_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("price_cents") * F.col("rebate_bp")).alias("rebate_scaled"),
     )
+
+
+_TARGET_ENC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS y_cents
+  FROM orders
+), stats AS (
+  SELECT cat, CAST(SUM(y_cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY cat
+)
+SELECT o_orderkey, cat,
+       CAST(((s - y_cents) * 100) // (n - 1) AS BIGINT) AS te_loo_centicents
+FROM base JOIN stats USING (cat)
+WHERE o_orderkey % 20 = 0
+"""
+
+
+@register("feature_target_encoding_loo", oracle=_TARGET_ENC_ORACLE)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: replace a categorical feature with
+    the mean target of its category EXCLUDING the row itself —
+    (sum_cat - y_i) / (n_cat - 1) — the standard high-cardinality
+    encoder that avoids the self-leakage a plain category mean commits.
+    Emitted in exact integer centi-cents (scaled integer division), so
+    the encoding hash-checks; float means would diverge per engine.
+
+    Scale: ONE aggregation builds the per-category (sum, n) state —
+    vocabulary-sized, mergeable, the same incremental-maintenance shape
+    as ``incremental_agg_maintenance`` (production recomputes it per
+    delta, not per epoch) — then one equi-join streams the facts past
+    it. No window, no per-row second scan: LOO is algebra over the
+    category total, not a per-row re-aggregation. The %20 projection
+    keeps the emitted sample driver-checkable; the encoder itself runs
+    over every row."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        cents("o_totalprice").alias("y_cents"),
+    )
+    stats = orders.groupBy("cat").agg(
+        F.sum("y_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        orders.join(stats, "cat")
+        .filter(F.expr("o_orderkey % 20 = 0"))
+        .select(
+            "o_orderkey",
+            "cat",
+            F.expr("CAST(((s - y_cents) * 100) div (n - 1) AS BIGINT)").alias(
+                "te_loo_centicents"
+            ),
+        )
+    )

@@ -717,3 +717,52 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("win_start_us", "event_type", "n", "rk")
     )
+
+
+_STREAM_UNIQUE_ORACLE = f"""
+WITH e AS (SELECT epoch_ns(ts)//1000 AS us, user_id FROM events),
+uu AS (
+  SELECT DISTINCT us//{US_PER_DAY}*{US_PER_DAY} AS win_start_us, user_id FROM e
+)
+SELECT win_start_us, CAST(COUNT(*) AS BIGINT) AS unique_users
+FROM uu
+GROUP BY win_start_us
+HAVING win_start_us + {US_PER_DAY} <= (SELECT MAX(us) FROM e) - {US_PER_HOUR}
+"""
+
+
+@register("streaming_window_unique_users", oracle=_STREAM_UNIQUE_ORACLE)
+def streaming_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT unique users per day, streaming — the aggregate Structured
+    Streaming refuses as a one-liner (COUNT(DISTINCT) has no bounded
+    incremental state), built the supported way: stage 1 is a
+    watermarked ``dropDuplicates`` on (window-day, user) — keyed state,
+    one row per (day, user), expired by the watermark; stage 2 is a
+    plain windowed COUNT over the deduped stream. State is bounded by
+    active (day, user) pairs inside the watermark horizon, and the
+    result is exact — where ``approx_count_distinct`` would trade error
+    for state, this trades one extra keyed stage for truth. Append mode:
+    only watermark-closed days emit, which the oracle's HAVING replays.
+
+    At 100 TB the same split governs: the dedup stage's state is the
+    day's active-user set (exactly what an exact answer requires —
+    information-theoretically irreducible); sketch variants
+    (``agg_hll_sketch_mergeable``) are the documented escape hatch when
+    the user set itself stops fitting."""
+    stream = _events_stream(spark, sf_dir)
+    day_user = (
+        stream.withWatermark("ts", "1 hour")
+        .select(
+            F.window("ts", "1 day").alias("win"), "user_id", F.col("ts")
+        )
+        .dropDuplicates(["win", "user_id"])
+    )
+    counts = (
+        day_user.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("unique_users"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "unique_users",
+        )
+    )
+    return run_to_memory(counts, output_mode="append")
