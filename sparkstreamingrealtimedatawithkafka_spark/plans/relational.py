@@ -3711,6 +3711,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
+        # pairs feeds the degree table AND both sides of the orientation
+        # join; without a lineage cut each branch re-runs the basket
+        # expansion (the self-referencing-plan recompute trap).
+        .localCheckpoint()
     )
     deg = (
         pairs.select(F.col("pa").alias("node"))
@@ -3901,11 +3905,15 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.pa", "p.pb")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
+        # both symmetrization branches read co; both degree joins read
+        # item — cut lineage once each or every branch re-expands baskets
+        .localCheckpoint()
     )
     item = (
         baskets.select(F.explode("parts").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("c_i"))
+        .localCheckpoint()
     )
     sym = co.select(
         F.col("pa").alias("item"), F.col("pb").alias("partner"), "c_ab"
