@@ -422,3 +422,23 @@ def test_seasonal_backtest_joins_on_daily_grid(spark):
     plan = _plan(spark, "events_seasonal_naive_backtest")
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0  # grid is checkpointed RDD blocks
+
+
+def test_target_encoding_is_one_agg_one_join(spark):
+    """feature_target_encoding_loo: LOO must be algebra over the category
+    totals — one aggregation + one equi-join, no window, no second fact
+    aggregation."""
+    plan = _plan(spark, "feature_target_encoding_loo")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") <= 4  # partial+final of ONE agg (+AQE variants)
+
+
+def test_attribution_rank_windows_are_purchase_partitioned(spark):
+    """events_attribution_position: the first/last/middle classification
+    windows must partition by the purchase id — conversion-path-sized
+    partitions, never unpartitioned."""
+    import re
+
+    plan = _plan(spark, "events_attribution_position")
+    assert re.search(r"windowspecdefinition\(pid#", plan)
+    assert "CartesianProduct" not in plan
