@@ -61,7 +61,13 @@ def _python_bm25(docs):
             if tf == 0:
                 continue
             idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
-            s += idf * (tf * (K1 + 1)) / (tf + K1 * (1.0 - B + B * (len(v) / avgdl)))
+            # Mirror the Spark expression tree EXACTLY: tf_part is one
+            # subexpression (num/denom) multiplied by idf afterwards.
+            # (idf*num)/denom differs in the last ulp and flips rank on
+            # true ties — hypothesis found docs scoring identically in
+            # exact arithmetic where association decided the rank.
+            tf_part = (tf * (K1 + 1)) / (tf + K1 * (1.0 - B + B * (len(v) / avgdl)))
+            s += idf * tf_part
         if s > 0:
             scores[d] = s
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
