@@ -14,6 +14,7 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
     events,
     streaming_queries,
     connectors,
+    ml,
 )
 
 # The driver hash-checks exactly the FIRST 50 queries() entries in

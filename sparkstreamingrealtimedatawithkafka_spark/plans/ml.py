@@ -1,0 +1,579 @@
+"""Model-inference, web-curation, privacy, and graph-traversal entries.
+
+Four operator families a production corpus/feature pipeline needs beyond
+the relational+text core already in the catalog:
+
+* **Model scoring as expressions** (``ml_*``): logistic and tree-ensemble
+  inference compiled into pure column expressions — the features and the
+  class decision are exact integers, so inference stays inside
+  whole-stage codegen (no UDF, no model server round-trip) and the
+  entries hash-check. This is how fleet-scale batch scoring actually
+  ships: the model is small, the data is 100 TB, so the model travels to
+  the data as an expression tree.
+* **Web-corpus curation** (``web_*``): URL canonicalization (the first
+  dedup key of any crawl pipeline) and per-domain quotas (crawl
+  balancing). The fixture has no URL column, so URLs are synthesized
+  deterministically from doc fields — the same injected-input posture as
+  ``text_pii_redact`` (the fixture corpus is URL-free by construction).
+* **Privacy accounting** (``privacy_*``): k-anonymity group-size audit
+  (exact integers end-to-end) and deterministic-seed Laplace noisy
+  counts (the DP release shape; the uniform comes from md5 so both
+  engines derive bit-identical noise — production would swap the hash
+  for a CSPRNG draw, the dataflow is unchanged).
+* **Bounded graph traversal** (``graph_khop_reach``): 3-hop BFS frontier
+  expansion over the co-purchase graph — the "blast radius" query.
+
+Reference ancestry: the reference's only pipeline is score-with-a-model
+(NER over text, spark_entity_counter.py:84-87) — the ``ml_*`` entries are
+that idea with the model small enough to compile into the plan instead
+of crossing into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
+from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import _TOKS, _STOP_SQL
+
+US_PER_DAY = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# ml_score_logistic — logistic-regression inference as a column expression
+# ---------------------------------------------------------------------------
+
+# Integer micro-logit weights (micro-units so the whole logit is BIGINT
+# arithmetic: w·x exact at any corpus size; doubles appear only in the
+# monotone sigmoid, which never gates the class decision).
+_W0, _W_TOK, _W_UNIQ, _W_STOP = -2_400_000, 22_000, 58_000, -41_000
+
+_LOGISTIC_ORACLE = f"""
+WITH f AS (
+  SELECT
+    CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+    CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_uniq,
+    CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+  FROM documents
+), s AS (
+  SELECT ({_W0} + {_W_TOK}*n_tok + {_W_UNIQ}*n_uniq + {_W_STOP}*n_stop) AS logit_micro
+  FROM f
+)
+SELECT logit_micro >= 0 AS pred_positive,
+       COUNT(*) AS n_docs,
+       CAST(SUM(logit_micro) AS BIGINT) AS sum_logit_micro,
+       ROUND(AVG(1.0 / (1.0 + exp(-(CAST(logit_micro AS DOUBLE) / 1000000.0)))), 4)
+         AS avg_prob
+FROM s
+GROUP BY pred_positive
+"""
+
+
+@register("ml_score_logistic", oracle=_LOGISTIC_ORACLE)
+def ml_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality scoring compiled into the plan: the
+    document features (token count, distinct-token count, stopword count)
+    and the logit ``w·x`` are exact BIGINT arithmetic in micro-logit
+    units; the sigmoid is applied only to report a probability, and the
+    class decision is the exact integer test ``logit >= 0`` — monotone
+    transforms never gate grouping, so the entry hash-checks.
+
+    Scale: zero joins, zero UDFs — feature extraction and inference are
+    one map stage inside whole-stage codegen followed by a 2-group
+    aggregate. At 100 TB this is the shape that matters: the model (4
+    weights) is a constant folded into the expression tree; the
+    alternative (a Python UDF calling a model object) pays the Arrow
+    boundary for no capability. The reference crosses into Python only
+    because its model is a 400 MB transformer (spark_entity_counter.py:
+    84-87); a linear head never should."""
+    docs = t(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    f = docs.select(
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_uniq"),
+        F.size(F.filter(tk, lambda x: x.isin(*TX.STOPWORDS))).cast("long").alias("n_stop"),
+    )
+    logit = (
+        F.lit(_W0)
+        + F.lit(_W_TOK) * F.col("n_tok")
+        + F.lit(_W_UNIQ) * F.col("n_uniq")
+        + F.lit(_W_STOP) * F.col("n_stop")
+    ).alias("logit_micro")
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("logit_micro").cast("double") / F.lit(1_000_000.0)))
+    )
+    return (
+        f.select(logit)
+        .groupBy((F.col("logit_micro") >= 0).alias("pred_positive"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logit_micro").alias("sum_logit_micro"),
+            F.round(F.avg(prob), 4).alias("avg_prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_tree_ensemble_score — GBT-style ensemble inference as CASE expressions
+# ---------------------------------------------------------------------------
+
+_TREE_ORACLE = """
+WITH f AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS disc_bp,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+  FROM lineitem
+), scored AS (
+  SELECT l_returnflag,
+    (CASE WHEN qty <= 25 THEN CASE WHEN disc_bp <= 500 THEN 12 ELSE -7 END
+          ELSE CASE WHEN price_c <= 3000000 THEN 3 ELSE -11 END END)
+  + (CASE WHEN disc_bp <= 300 THEN CASE WHEN qty <= 40 THEN 8 ELSE -2 END
+          ELSE CASE WHEN price_c <= 1500000 THEN -5 ELSE 14 END END)
+  + (CASE WHEN price_c <= 2000000 THEN CASE WHEN disc_bp <= 700 THEN 6 ELSE -9 END
+          ELSE CASE WHEN qty <= 10 THEN 10 ELSE -4 END END) AS score
+  FROM f
+)
+SELECT score, l_returnflag, COUNT(*) AS n_rows
+FROM scored GROUP BY score, l_returnflag
+"""
+
+
+@register("ml_tree_ensemble_score", oracle=_TREE_ORACLE)
+def ml_tree_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree-ensemble inference (the GBT/XGBoost serving shape)
+    compiled to nested CASE expressions: three depth-2 trees over exact
+    integer features (quantity, discount basis points, price cents), leaf
+    scores summed per row, output as the exact (score, flag) histogram.
+
+    Scale: tree inference is the canonical "model to the data" case — a
+    trained ensemble is a few KB of thresholds, and compiling it into
+    CASE expressions keeps scoring inside whole-stage codegen at full
+    scan bandwidth (no Arrow hop, no inference service). The output
+    vocabulary is bounded by leaf-combination count (≤27 scores × 3
+    flags), so the aggregate is map-side combinable into a tiny result
+    no matter the fact-table size."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    disc = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    tree1 = F.when(qty <= 25, F.when(disc <= 500, 12).otherwise(-7)).otherwise(
+        F.when(price <= 3_000_000, 3).otherwise(-11)
+    )
+    tree2 = F.when(disc <= 300, F.when(qty <= 40, 8).otherwise(-2)).otherwise(
+        F.when(price <= 1_500_000, -5).otherwise(14)
+    )
+    tree3 = F.when(price <= 2_000_000, F.when(disc <= 700, 6).otherwise(-9)).otherwise(
+        F.when(qty <= 10, 10).otherwise(-4)
+    )
+    return (
+        li.select("l_returnflag", (tree1 + tree2 + tree3).cast("int").alias("score"))
+        .groupBy("score", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# web_url_normalize — URL canonicalization, the first crawl dedup key
+# ---------------------------------------------------------------------------
+
+# Deterministic messy-URL synthesis: scheme case, www prefix, explicit
+# default port, utm_* tracking params, fragments — the variation classes a
+# canonicalizer must collapse. Both engines build the identical string.
+_URL_SQL = """
+  (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'http' END
+   || '://'
+   || CASE doc_id % 2 WHEN 0 THEN source || '.example.com'
+      ELSE 'WWW.' || source || '.Example.COM' END
+   || CASE doc_id % 5 WHEN 0 THEN ':443' ELSE '' END
+   || '/docs/' || lang || '/' || CAST(doc_id % 40 AS VARCHAR)
+   || CASE doc_id % 4
+        WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+        WHEN 1 THEN '?id=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_campaign=x'
+        WHEN 2 THEN '?id=' || CAST(doc_id % 40 AS VARCHAR)
+        ELSE '' END
+   || CASE doc_id % 7 WHEN 0 THEN '#sec2' ELSE '' END)
+"""
+
+_URL_NORM_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SQL} AS url FROM documents
+), c AS (
+  SELECT url,
+    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+                   '^www\\.', '') AS host,
+    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+    regexp_extract(url, '[?&]id=([0-9]+)', 1) AS id_param
+  FROM u
+), canon AS (
+  SELECT host,
+         'https://' || host || path ||
+           CASE WHEN id_param <> '' THEN '?id=' || id_param ELSE '' END AS canon_url,
+         COUNT(*) AS n_raw,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+  FROM c GROUP BY 1, 2
+)
+SELECT host,
+       COUNT(*) AS n_canonical,
+       CAST(SUM(n_raw) AS BIGINT) AS n_raw_urls,
+       CAST(MAX(n_variants) AS BIGINT) AS max_variants,
+       ROUND(CAST(SUM(n_raw) AS DOUBLE) / COUNT(*), 4) AS collapse_ratio
+FROM canon GROUP BY host
+"""
+
+
+@register("web_url_normalize", oracle=_URL_NORM_ORACLE)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the FIRST dedup key of any crawl corpus:
+    lowercase the host, strip ``www.``, drop the explicit default port,
+    strip fragments and ``utm_*`` tracking params, keep only the
+    load-bearing ``id`` query param; then account per host how many raw
+    URL spellings collapse into each canonical URL.
+
+    Canonicalization is rebuilt from extracted components (host, path,
+    kept params) rather than in-place string surgery — component
+    extraction with simple character-class regexes behaves identically
+    under Java regex and RE2/DuckDB, where delete-in-place patterns
+    (dangling ``&`` repair) are dialect traps.
+
+    Scale: canonicalization is a pure map stage (regexp on each row, no
+    UDF); the only shuffle is the canonical-URL aggregate, keyed on the
+    dedup key itself — exactly the shuffle an exact-dedup pass would pay
+    anyway. Host cardinality is web-scale-bounded (~1e8) so the per-host
+    rollup is always the small side."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("https"))
+        .when(did % 3 == 1, F.lit("HTTPS"))
+        .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.concat(F.col("source"), F.lit(".example.com"))).otherwise(
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM"))
+        ),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        (did % 40).cast("string"),
+        F.when(did % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), (did % 40).cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("?id="), (did % 40).cast("string"), F.lit("&utm_campaign=x")))
+        .when(did % 4 == 2, F.concat(F.lit("?id="), (did % 40).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    u = docs.select(url.alias("url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/:?#]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+(/[^?#]*)", 1)
+    id_param = F.regexp_extract("url", r"[?&]id=([0-9]+)", 1)
+    c = u.select(
+        "url",
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(id_param != "", F.concat(F.lit("?id="), id_param)).otherwise(F.lit("")),
+        ).alias("canon_url"),
+    )
+    canon = c.groupBy("host", "canon_url").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("url").alias("n_variants"),
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n_raw").alias("n_raw_urls"),
+        F.max("n_variants").alias("max_variants"),
+        F.round(F.sum("n_raw").cast("double") / F.count(F.lit(1)), 4).alias(
+            "collapse_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# web_domain_quota — per-domain document caps (crawl balancing)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_QUOTA_ORACLE = """
+WITH d AS (
+  SELECT source || '.' || lang AS domain, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source || '.' || lang
+           ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT domain,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= 16 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(SUM(CASE WHEN rn > 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM d GROUP BY domain
+"""
+
+
+@register("web_domain_quota", oracle=_DOMAIN_QUOTA_ORACLE)
+def web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota — crawl balancing so no single host
+    dominates the training mix: each domain keeps its 16 highest-quality
+    documents (quality = length here, any scoring column in production)
+    and the entry accounts kept vs dropped mass per domain.
+
+    Scale: ONE shuffle on the domain key serves both the ranking window
+    and the rollup (the aggregate reuses the window's partitioning);
+    because the output must account the DROPPED side too, the rank is
+    evaluated over all rows rather than top-k-pruned — the cap itself
+    (rank ≤ k as a filter, which plans as WindowGroupLimit with map-side
+    pruning) is the ``sample_reservoir_per_key`` entry; this one is the
+    accounting twin a curation report needs."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.concat_ws(".", "source", "lang").alias("domain"), "doc_id", "n_chars"
+    )
+    w = W.partitionBy("domain").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = F.col("rn") <= 16
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity — quasi-identifier group-size audit
+# ---------------------------------------------------------------------------
+
+_K_ANON_ORACLE = f"""
+WITH q AS (
+  SELECT event_type,
+         ((epoch_ns(ts)//1000) // {US_PER_DAY}) % 7 AS dow,
+         user_id % 10 AS band,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_unsafe,
+       CAST(SUM(n) AS BIGINT) AS rows_total,
+       CAST((SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000) // SUM(n) AS BIGINT)
+         AS suppression_ppm
+FROM q GROUP BY event_type
+"""
+
+
+@register("privacy_k_anonymity", oracle=_K_ANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over quasi-identifiers (event type,
+    day-of-week, user band): counts the QI groups small enough to
+    re-identify and the row mass that would need suppression before a
+    release — the pre-publication privacy gate.
+
+    Scale: exact integers end-to-end (group sizes, suppression share in
+    integer ppm via BIGINT floor-division — never a float percentage);
+    two aggregations where the second re-aggregates the QI-group table
+    (cardinality = product of QI vocabularies, bounded) rather than
+    rescanning facts. The QI-group shuffle is the only fact-sized
+    exchange, map-side combinable."""
+    ev = t(spark, sf_dir, "events")
+    q = ev.groupBy(
+        "event_type",
+        (F.expr(f"ts_us div {US_PER_DAY}") % 7).alias("dow"),
+        (F.col("user_id") % 10).alias("band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    unsafe = F.col("n") < 5
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(unsafe, 1).otherwise(0)).alias("n_unsafe_groups"),
+        F.sum(F.when(unsafe, F.col("n")).otherwise(0)).alias("rows_unsafe"),
+        F.sum("n").alias("rows_total"),
+    )
+    # BIGINT `div`, never float division + floor: a rationally-exact
+    # quotient can land one ulp under the integer in doubles and floor
+    # to N-1 while the oracle's integer `//` says N.
+    return g.select(
+        "event_type",
+        "n_groups",
+        "n_unsafe_groups",
+        "rows_unsafe",
+        "rows_total",
+        F.expr("(rows_unsafe * 1000000) div rows_total").alias("suppression_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_noisy_counts — Laplace-noised release counts
+# ---------------------------------------------------------------------------
+
+_DP_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, (epoch_ns(ts)//1000) // {US_PER_DAY} AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), seeded AS (
+  SELECT event_type, day, n,
+    CAST(('0x' || substr(md5(event_type || ':' || CAST(day AS VARCHAR)), 1, 12))
+         AS BIGINT) / 281474976710656.0 AS u
+  FROM c
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+  ROUND(-2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+              * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noise,
+  ROUND(n + -2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+              * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_n
+FROM seeded
+"""
+
+
+@register("privacy_dp_noisy_counts", oracle=_DP_ORACLE)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε=0.5, sensitivity 1 →
+    Laplace b=2) per (event type, day): exact counts plus Laplace noise
+    drawn by inverse-CDF from a uniform DERIVED DETERMINISTICALLY from
+    md5 of the group key — both engines compute bit-identical noise, so
+    the release is hash-checkable. Production swaps the md5 draw for a
+    CSPRNG; the dataflow (count → seed → quantile → add) is unchanged,
+    and a seeded draw is exactly how DP releases are made reproducible
+    for audit.
+
+    Scale: the noise is a per-GROUP scalar expression over the
+    aggregated table (vocabulary × days rows, never facts); the 48-bit
+    hex prefix is exact in a double (< 2^53), so ``u`` is an exact
+    binary fraction and ``1-2|u-0.5|`` is computed exactly — the only
+    float op is the final ``ln``, bounded to the 4-dp round."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {US_PER_DAY}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", "event_type", F.col("day").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(281474976710656.0)
+    )
+    noise = (
+        F.lit(-2.0)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - F.lit(0.5)))
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_khop_reach — bounded BFS over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _khop_oracle(hops: int = 3) -> str:
+    head = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT pa AS src, pb AS dst FROM p WHERE n >= 2
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM p WHERE n >= 2
+), h0 AS (
+  SELECT DISTINCT src AS node FROM e WHERE src % 50 = 7
+), v0 AS (SELECT node FROM h0)"""
+    steps = "".join(
+        f""", h{i} AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN h{i-1} ON e.src = h{i-1}.node
+  WHERE e.dst NOT IN (SELECT node FROM v{i-1})
+), v{i} AS (SELECT node FROM v{i-1} UNION SELECT node FROM h{i})"""
+        for i in range(1, hops + 1)
+    )
+    tail = "\nUNION ALL\n".join(
+        f"SELECT {i} AS hop, COUNT(*) AS n_nodes,"
+        f" CAST(COALESCE(SUM(node), 0) AS BIGINT) AS sum_node FROM h{i}"
+        for i in range(hops + 1)
+    )
+    return head + steps + "\n" + tail
+
+
+@register("graph_khop_reach", oracle=_khop_oracle(3))
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS frontier expansion from seed products over the
+    co-purchase graph (edges = part pairs sharing ≥2 orders, both
+    directions): per hop, how many new nodes become reachable — the
+    blast-radius / recall-expansion query (recommendation neighborhoods,
+    contamination spread).
+
+    Scale: the edge list is built once and localCheckpointed before the
+    hop loop — it is referenced by every hop join, and each branch of a
+    self-referencing plan otherwise recomputes the co-purchase self-join
+    per hop (the [[self-referencing-plan-recompute]] lesson). Each hop
+    is frontier ⋈ edges (shuffle keyed on the frontier boundary, sized
+    by the frontier not the graph) followed by an anti-join against the
+    visited set; hop count is a FIXED bound so the driver loop is k
+    plan-appends, never a data-dependent fixpoint (that variant is
+    ``dedup_cc_clusters``)."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    p = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    e = (
+        p.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(p.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    def _hop_row(frontier: DataFrame, hop: int) -> DataFrame:
+        return frontier.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("node"), F.lit(0)).alias("sum_node"),
+        ).select(F.lit(hop).alias("hop"), "n_nodes", "sum_node")
+
+    frontier = e.filter(F.col("src") % 50 == 7).select(F.col("src").alias("node")).distinct()
+    visited = frontier
+    out = [_hop_row(frontier, 0)]
+    for i in range(1, 4):
+        frontier = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(frontier).localCheckpoint()
+        out.append(_hop_row(frontier, i))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.select(
+        F.col("hop").cast("int").alias("hop"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("sum_node").cast("long").alias("sum_node"),
+    )

@@ -766,3 +766,103 @@ def streaming_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_to_memory(counts, output_mode="append")
+
+
+_CDC_UPSERT_ORACLE = """
+WITH r AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+         CAST(ROUND("value"*100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+       cents AS last_cents
+FROM r WHERE rn = 1
+"""
+
+
+@register("streaming_cdc_upsert", oracle=_CDC_UPSERT_ORACLE)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-1 MERGE maintenance: the event history arrives in
+    three micro-batches and each batch upserts into a versioned keyed
+    parquet target (streaming/upsert.py), so the target always holds the
+    latest record per user. The oracle is a plain argmax over the WHOLE
+    history — certifying that the per-batch merge fold reaches exactly
+    the state a batch query would compute.
+
+    The input is deliberately sliced by ``event_id % 3``, NOT by time:
+    batches interleave arbitrarily, so a naive "newest batch overwrites
+    prior" target would be wrong. Latest-wins under the total order
+    (ts_us, event_id) is an associative/commutative max-struct fold,
+    which is what makes the result slice- and replay-invariant — the
+    ``streaming_incremental_dedup`` posture applied to MERGE state.
+
+    Scale: per batch ONE shuffle keyed on user_id (batch-latest) plus a
+    keyed merge against the prior snapshot; state lives in a TABLE (the
+    Delta/Iceberg MERGE target in production; versioned parquet here),
+    never the state store, so key cardinality is disk-bounded. A missing
+    prior version fails loudly instead of merging against empty."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        as_stream_dir,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.upsert import (
+        final_state,
+        upsert_query,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="ssk_cdc_upsert_")
+    files = []
+    for i in range(3):
+        slice_dir = f"{work}/slice{i}"
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .select("event_id", "ts_us", "user_id", F.col("value"))
+            .coalesce(1)
+            .write.parquet(slice_dir)
+        )
+        files.extend(_glob.glob(f"{slice_dir}/part-*.parquet"))
+    stream_dir = as_stream_dir(*files)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts_us", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    changes = raw.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    q = upsert_query(
+        spark, changes, f"{work}/target", "user_id", ["ts_us", "event_id"]
+    ).start()
+    q.awaitTermination()
+    result = (
+        final_state(spark, f"{work}/target")
+        .select(
+            "user_id",
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("cents").alias("last_cents"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
