@@ -442,3 +442,48 @@ def test_attribution_rank_windows_are_purchase_partitioned(spark):
     plan = _plan(spark, "events_attribution_position")
     assert re.search(r"windowspecdefinition\(pid#", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_ml_scoring_stays_in_codegen(spark):
+    """Model inference compiled to expressions must never cross into
+    Python (that is the entire point of the ml_* family): no
+    BatchEvalPython/ArrowEvalPython nodes, and the tree ensemble's scan
+    must prune to exactly the feature + group columns."""
+    for name in ("ml_score_logistic", "ml_tree_ensemble_score"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    tree = _plan(spark, "ml_tree_ensemble_score")
+    schema = tree.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+
+
+def test_web_domain_quota_single_domain_shuffle(spark):
+    """The ranking window and the per-domain rollup must share ONE
+    domain-keyed exchange — the aggregate reuses the window's
+    partitioning rather than reshuffling."""
+    plan = _plan(spark, "web_domain_quota")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(domain", plan)) == 1
+    assert "EvalPython" not in plan
+
+
+def test_web_url_normalize_no_python_and_pruned(spark):
+    plan = _plan(spark, "web_url_normalize")
+    assert "EvalPython" not in plan
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    # URL synthesis + canonicalization needs only these three columns
+    assert "text" not in schema and "n_chars" not in schema
+
+
+def test_privacy_entries_exact_integer_plans(spark):
+    for name in ("privacy_k_anonymity", "privacy_dp_noisy_counts"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_graph_khop_no_cartesian(spark):
+    plan = _plan(spark, "graph_khop_reach")
+    assert "CartesianProduct" not in plan
