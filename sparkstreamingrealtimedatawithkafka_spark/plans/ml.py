@@ -577,3 +577,279 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.col("sum_node").cast("long").alias("sum_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# web_robots_filter — crawl-politeness rule matching (longest prefix wins)
+# ---------------------------------------------------------------------------
+
+# (host_pattern, path_prefix, allow) — '*' matches any host; the most
+# specific rule wins: exact-host beats wildcard, then longest prefix,
+# then allow (the robots.txt tie convention).
+_ROBOTS_RULES = [
+    ("*", "/", 1),
+    ("*", "/docs/de/", 0),
+    ("src0.example.com", "/docs/", 0),
+    ("src0.example.com", "/docs/en/", 1),
+    ("src1.example.com", "/", 0),
+]
+
+_ROBOTS_VALUES = ", ".join(
+    f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES
+)
+
+_ROBOTS_ORACLE = f"""
+WITH u AS (
+  SELECT source || '.example.com' AS host,
+         '/docs/' || lang || '/' || CAST(doc_id % 40 AS VARCHAR) AS path
+  FROM documents
+), r(rhost, prefix, allow) AS (
+  VALUES {_ROBOTS_VALUES}
+), m AS (
+  SELECT u.host, u.path, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.host, u.path
+           ORDER BY CASE WHEN r.rhost = u.host THEN 1 ELSE 0 END DESC,
+                    length(r.prefix) DESC, r.allow DESC
+         ) AS rn
+  FROM u JOIN r
+    ON (r.rhost = u.host OR r.rhost = '*')
+   AND starts_with(u.path, r.prefix)
+)
+SELECT host, allow = 1 AS allowed, COUNT(*) AS n_urls
+FROM m WHERE rn = 1 GROUP BY host, allowed
+"""
+
+
+@register("web_robots_filter", oracle=_ROBOTS_ORACLE)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style crawl filtering: every URL is matched against a
+    ruleset with robots precedence — exact host beats wildcard, longest
+    path prefix wins, allow wins ties — and the entry accounts allowed
+    vs blocked URL mass per host. The fetch-eligibility gate every crawl
+    corpus passes through before ingestion.
+
+    Scale: the ruleset is a BROADCAST dimension (robots rules are
+    KB-scale even for the whole web); matching is a broadcast theta-join
+    (prefix test) whose fan-out is bounded by rules-per-URL, and the
+    most-specific-rule pick is a per-URL rank that plans as
+    WindowGroupLimit (rn=1 map-side pruning). The corpus never
+    shuffles on raw URLs; the only exchange is the final per-host
+    rollup."""
+    docs = t(spark, sf_dir, "documents")
+    u = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/docs/"), F.col("lang"), F.lit("/"), (F.col("doc_id") % 40).cast("string")
+        ).alias("path"),
+    )
+    r = spark.createDataFrame(_ROBOTS_RULES, "rhost string, prefix string, allow int")
+    m = u.join(
+        F.broadcast(r),
+        ((F.col("rhost") == F.col("host")) | (F.col("rhost") == "*"))
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    w = W.partitionBy("host", "path").orderBy(
+        F.when(F.col("rhost") == F.col("host"), 1).otherwise(0).desc(),
+        F.length("prefix").desc(),
+        F.col("allow").desc(),
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("host", (F.col("allow") == 1).alias("allowed"))
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_hashing — the hashing trick, audited per bucket
+# ---------------------------------------------------------------------------
+
+_FEAT_HASH_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+), v AS (
+  SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+), b AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 64 AS bucket,
+         tok, n
+  FROM v
+)
+SELECT bucket,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct_terms
+FROM b GROUP BY bucket
+"""
+
+
+@register("ml_feature_hashing", oracle=_FEAT_HASH_ORACLE)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (fixed 64-dim bag-of-words feature space via
+    md5-bucketed terms) with its collision audit: per feature bucket,
+    total token mass and how many DISTINCT terms collided into it — the
+    dimensionality/collision trade every hashed-feature model makes.
+
+    Scale: term counts aggregate FIRST (vocabulary-sized table), then
+    bucketing is a scalar expression over the vocabulary — the corpus
+    shuffles once on the term, never on (doc, bucket) pairs; the final
+    64-row rollup is a re-aggregation of the vocabulary table. md5
+    rather than xxhash64 because the bucket assignment must be
+    engine-portable (the split/sampling posture); a production run can
+    swap in xxhash64 for speed without changing the dataflow."""
+    docs = t(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(TX.tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long") % 64
+    ).alias("bucket")
+    return (
+        v.select(bucket, "n", "tok")
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_terms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_link_prediction_jaccard — common-neighbor link scoring
+# ---------------------------------------------------------------------------
+
+_LINKPRED_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT pa AS src, pb AS dst FROM p WHERE n >= 2
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM p WHERE n >= 2
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+), wedge AS (
+  SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+), cand AS (
+  SELECT w.a, w.b, w.common FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b)
+)
+SELECT a, b, CAST(common AS BIGINT) AS common,
+       CAST((common * 1000000) // (da.d + db.d - common) AS BIGINT) AS jaccard_ppm
+FROM cand JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+ORDER BY jaccard_ppm DESC, a, b LIMIT 20
+"""
+
+
+@register("graph_link_prediction_jaccard", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard: for part pairs NOT yet
+    co-purchased, score |N(a)∩N(b)| / |N(a)∪N(b)| from wedge counts and
+    degrees (in exact integer ppm), and return the 20 strongest
+    predicted links — the classic common-neighbors recommender.
+
+    Scale: the edge list is localCheckpointed once and feeds the wedge
+    join, the degree table, and the existing-edge anti-join (the
+    [[self-referencing-plan-recompute]] lesson); the wedge join is the
+    triangle-count shape — its fan-out is Σ deg(v)², the quantity the
+    degree-orientation trick in ``graph_triangle_count`` bounds; the
+    global top-20 plans as TakeOrderedAndProject (per-partition heaps,
+    never a full sort). Jaccard in BIGINT ppm so ranking hash-checks."""
+    li = t(spark, sf_dir, "lineitem")
+    bt = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = bt.alias("a"), bt.alias("c")
+    p = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    e = (
+        p.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(p.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedge = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.expr("(common * 1000000) div (da + db - common)").alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "a", "b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# udf_arrow_scalar — the Spark-4 Arrow-optimized Python UDF surface
+# ---------------------------------------------------------------------------
+
+_ARROW_UDF_ORACLE = """
+SELECT doc_id, substr(reverse(text), 1, 16) AS rev16,
+       CAST(length(text) AS BIGINT) AS n
+FROM documents
+"""
+
+
+@register("udf_arrow_scalar", oracle=_ARROW_UDF_ORACLE)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-optimized scalar Python UDF (``F.udf(useArrow=True)``)
+    — the Spark-4 row-function surface that replaces pickled
+    row-at-a-time evaluation with Arrow-batched transfer while keeping
+    the plain-function authoring model (no pandas Series handling).
+    Completes the Python-eval-plane matrix beside ``pandas_udf``
+    (pipeline_parity_udf), ``mapInArrow``, grouped/cogrouped
+    ``applyInPandas``, and the UDTF.
+
+    The function is a deterministic pure string transform so the DuckDB
+    oracle replays it exactly (the ``text_chunker`` posture). Scale:
+    still a Python-plane hop — Arrow batching makes it ~10-100× cheaper
+    than a pickled UDF but it remains an optimizer barrier, so the
+    pattern stays what the reference taught (spark_entity_counter.py:
+    135): prune columns BEFORE the UDF, keep it off relational hot
+    paths. ASCII-only corpus means reverse() agrees across engines;
+    non-ASCII reversal is codepoint-order-sensitive and would need a
+    grapheme contract."""
+    docs = t(spark, sf_dir, "documents")
+
+    @F.udf("string", useArrow=True)
+    def rev16(s: str) -> str:
+        return s[::-1][:16] if s is not None else None
+
+    return docs.select(
+        "doc_id",
+        rev16("text").alias("rev16"),
+        F.length("text").cast("long").alias("n"),
+    )

@@ -487,3 +487,36 @@ def test_privacy_entries_exact_integer_plans(spark):
 def test_graph_khop_no_cartesian(spark):
     plan = _plan(spark, "graph_khop_reach")
     assert "CartesianProduct" not in plan
+
+
+def test_robots_ruleset_broadcasts_and_prunes_rank(spark):
+    """The ruleset join must be a broadcast (rules are KB-scale) and the
+    most-specific-rule pick (rn=1) must plan as WindowGroupLimit."""
+    plan = _plan(spark, "web_robots_filter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+
+
+def test_feature_hashing_shuffles_vocabulary_not_pairs(spark):
+    """The corpus-sized exchange is keyed on the term (vocabulary
+    aggregation); bucketing happens AFTER — no (doc, bucket) shuffle."""
+    import re
+
+    plan = _plan(spark, "ml_feature_hashing")
+    assert re.search(r"Exchange hashpartitioning\(tok", plan)
+    assert "EvalPython" not in plan
+
+
+def test_link_prediction_topk_never_sorts(spark):
+    plan = _plan(spark, "graph_link_prediction_jaccard")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_arrow_udf_uses_arrow_eval_plane(spark):
+    """useArrow=True must plan as ArrowEvalPython — if it degrades to
+    pickled BatchEvalPython the 10-100x batching win silently vanishes."""
+    plan = _plan(spark, "udf_arrow_scalar")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
