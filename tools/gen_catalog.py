@@ -18,6 +18,8 @@ FAMILY = {
     "events": "Event time / sessions",
     "streaming_queries": "Structured Streaming",
     "text_llm": "Text / LLM-data pipeline",
+    "ml": "Model scoring / web curation / privacy / graph",
+    "connectors": "Format & custom connectors",
 }
 
 

@@ -612,6 +612,84 @@ def growth_shape(ev):
     return classified.agg(F.count(F.lit(1)).alias("n"), F.sum("n").alias("s"))
 
 
+def tree_score_shape(li):
+    """ml_tree_ensemble_score's core: pure-expression ensemble inference
+    + bounded-vocabulary histogram. Must track scan time exactly (the
+    model is constant-folded; nothing else exists to grow)."""
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    disc = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    t1 = F.when(qty <= 25, F.when(disc <= 500, 12).otherwise(-7)).otherwise(
+        F.when(price <= 3_000_000, 3).otherwise(-11))
+    t2 = F.when(disc <= 300, F.when(qty <= 40, 8).otherwise(-2)).otherwise(
+        F.when(price <= 1_500_000, -5).otherwise(14))
+    t3 = F.when(price <= 2_000_000, F.when(disc <= 700, 6).otherwise(-9)).otherwise(
+        F.when(qty <= 10, 10).otherwise(-4))
+    return (li.select("l_returnflag", (t1 + t2 + t3).alias("score"))
+            .groupBy("score", "l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)).alias("g"), F.sum("n").alias("s")))
+
+
+def _copurchase_edges(li):
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    p = (a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("c.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
+         .agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2))
+    return (p.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+            .unionAll(p.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+            .localCheckpoint())
+
+
+def khop_shape(li):
+    """graph_khop_reach's core: checkpointed edge build + 3 frontier
+    joins. Edge count grows ~linearly with orders; frontier joins are
+    frontier-sized. Should scale with the edge build."""
+    e = _copurchase_edges(li)
+    frontier = e.filter(F.col("src") % 50 == 7).select(F.col("src").alias("node")).distinct()
+    visited = frontier
+    for _ in range(3):
+        frontier = (e.join(frontier, e.src == frontier.node)
+                    .select(F.col("dst").alias("node")).distinct()
+                    .join(visited, "node", "left_anti").localCheckpoint())
+        visited = visited.unionAll(frontier).localCheckpoint()
+    return visited.agg(F.count(F.lit(1)).alias("n"))
+
+
+def linkpred_shape(li):
+    """graph_link_prediction_jaccard's core: the wedge join (fan-out
+    Σdeg²) + degree joins + global top-20 heap. The wedge join is the
+    scale risk — watch this row for super-linear growth."""
+    e = _copurchase_edges(li)
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedge = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                     & (F.col("e1.dst") < F.col("e2.dst")))
+             .groupBy(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+             .agg(F.count(F.lit(1)).alias("common")))
+    cand = wedge.join(e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+                      ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (cand.join(da, "a").join(db, "b")
+            .select("a", "b", F.expr("(common * 1000000) div (da + db - common)").alias("j"))
+            .orderBy(F.desc("j"), "a", "b").limit(20)
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def feat_hash_shape(docs):
+    """ml_feature_hashing's core: vocabulary aggregation then md5
+    bucketing over the vocab table. The corpus-sized stage is the token
+    explode + term count; everything after is vocabulary-sized."""
+    v = (docs.select(F.explode(TX.tokenize("text")).alias("tok"))
+         .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    b = v.select((F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long") % 64)
+                 .alias("bucket"), "n")
+    return (b.groupBy("bucket").agg(F.sum("n").alias("s"))
+            .agg(F.count(F.lit(1)).alias("g"), F.sum("s").alias("s")))
+
+
 def run_noop(mk) -> float:
     """mk is a THUNK: the clock starts before construction so shapes with
     eager localCheckpoints (which execute at construction) are charged
@@ -678,6 +756,10 @@ def main() -> None:
         ("pps_sampling", lambda: pps_shape(o1), lambda: pps_shape(o10)),
         ("pagerank_5iter", lambda: pagerank_shape(li1), lambda: pagerank_shape(li10)),
         ("growth_accounting", lambda: growth_shape(ev1), lambda: growth_shape(ev10)),
+        ("tree_ensemble_score", lambda: tree_score_shape(li1), lambda: tree_score_shape(li10)),
+        ("khop_bfs", lambda: khop_shape(li1), lambda: khop_shape(li10)),
+        ("link_prediction", lambda: linkpred_shape(li1), lambda: linkpred_shape(li10)),
+        ("feature_hashing", lambda: feat_hash_shape(docs1), lambda: feat_hash_shape(docs10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
