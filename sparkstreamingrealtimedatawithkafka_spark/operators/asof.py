@@ -39,9 +39,12 @@ def asof_join(
 
     ``direction="backward"`` (default): most recent right row with
     ``right_ts <= left_ts``; ``"forward"``: earliest right row with
-    ``right_ts >= left_ts``. Both are the same union + per-key ordered
-    window plan — one shuffle, linear in |L|+|R| — just mirrored
-    (``last`` over the preceding frame vs ``first`` over the following).
+    ``right_ts >= left_ts``; ``"nearest"``: whichever of those two is
+    closer in time, ties going backward. All three are the same union +
+    per-key ordered window plan — one shuffle, linear in |L|+|R| —
+    backward/forward mirror the frame (``last`` over preceding vs
+    ``first`` over following) and nearest evaluates BOTH frames in the
+    single window pass and picks per row.
 
     ``tiebreak``: right-side column ordering concurrent right rows (equal
     key + timestamp); deterministic pick — largest wins backward, smallest
@@ -56,7 +59,7 @@ def asof_join(
     Output: all left columns, then ``right_ts + suffix`` and each payload
     column ``+ suffix`` (nulls when no right row qualifies).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     l_cols = left.columns
     payload = F.struct(
@@ -67,7 +70,7 @@ def asof_join(
     # Sort-side trick: backward needs right rows BEFORE left rows at the
     # same timestamp so the match is inclusive (right_ts <= left_ts);
     # forward mirrors it (left rows first, match via the following frame).
-    l_side = 1 if direction == "backward" else 0
+    l_side = 0 if direction == "forward" else 1
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -92,23 +95,52 @@ def asof_join(
     )
 
     base = W.partitionBy(*on).orderBy("__ts", "__side", "__tb")
+    union = l_tagged.unionByName(r_tagged)
     if direction == "backward":
         w = base.rowsBetween(W.unboundedPreceding, 0)
-        pick = F.last("__r", ignorenulls=True).over(w)
-    else:
-        w = base.rowsBetween(0, W.unboundedFollowing)
-        pick = F.first("__r", ignorenulls=True).over(w)
-    matched = (
-        l_tagged.unionByName(r_tagged)
-        .withColumn("__match", pick)
-        .filter(F.col("__side") == l_side)
-    )
-    if tolerance is not None:
-        delta = (
-            F.col("__ts") - F.col(f"__match.{right_ts}")
-            if direction == "backward"
-            else F.col(f"__match.{right_ts}") - F.col("__ts")
+        matched = union.withColumn(
+            "__match", F.last("__r", ignorenulls=True).over(w)
         )
+    elif direction == "forward":
+        w = base.rowsBetween(0, W.unboundedFollowing)
+        matched = union.withColumn(
+            "__match", F.first("__r", ignorenulls=True).over(w)
+        )
+    else:
+        # nearest = backward AND forward in the SAME window pass (still
+        # one shuffle), then the closer match per row; ties at equal
+        # distance go backward (deterministic, and an exact-timestamp
+        # right row always wins with distance 0 via the preceding frame
+        # because right rows sort before left rows at equal __ts).
+        prev = F.last("__r", ignorenulls=True).over(
+            base.rowsBetween(W.unboundedPreceding, 0)
+        )
+        nxt = F.first("__r", ignorenulls=True).over(
+            base.rowsBetween(0, W.unboundedFollowing)
+        )
+        d_prev = F.col("__ts") - F.col(f"__prev.{right_ts}")
+        d_next = F.col(f"__next.{right_ts}") - F.col("__ts")
+        matched = (
+            union.withColumn("__prev", prev)
+            .withColumn("__next", nxt)
+            .withColumn(
+                "__match",
+                F.when(F.col("__prev").isNull(), F.col("__next"))
+                .when(F.col("__next").isNull(), F.col("__prev"))
+                .when(d_prev <= d_next, F.col("__prev"))
+                .otherwise(F.col("__next")),
+            )
+        )
+    matched = matched.filter(F.col("__side") == l_side)
+    if tolerance is not None:
+        if direction == "nearest":
+            delta = F.abs(F.col(f"__match.{right_ts}") - F.col("__ts"))
+        else:
+            delta = (
+                F.col("__ts") - F.col(f"__match.{right_ts}")
+                if direction == "backward"
+                else F.col(f"__match.{right_ts}") - F.col("__ts")
+            )
         matched = matched.withColumn(
             "__match", F.when(delta <= tolerance, F.col("__match"))
         )

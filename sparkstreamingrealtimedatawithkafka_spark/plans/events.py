@@ -1690,3 +1690,69 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cents") * F.col("bp")).alias("credited_cents_bp"),
         )
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts_us, event_id, value FROM (
+    SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)//1000
+                              ORDER BY event_id) AS rk
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rk = 1
+),
+ranked AS (
+  SELECT c.event_id, c.user_id, c.ts_us,
+         p.ts_us AS ts_us_r, p.event_id AS event_id_r, p.value AS value_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(p.ts_us - c.ts_us),
+                    CASE WHEN p.ts_us <= c.ts_us THEN 0 ELSE 1 END
+         ) AS rn
+  FROM clicks c LEFT JOIN purchases p ON c.user_id = p.user_id
+)
+SELECT event_id, user_id, ts_us, ts_us_r, event_id_r, value_r
+FROM ranked WHERE rn = 1 OR rn IS NULL
+"""
+
+
+@register("events_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (the third pandas ``merge_asof`` direction,
+    operators/asof.py): each click matches the user's closest purchase in
+    EITHER time direction, equal distances resolving backward. Completes
+    the as-of surface beside the backward (``events_asof_last_purchase``)
+    and forward+tolerance (``events_asof_next_purchase``) entries.
+
+    Scale: still ONE shuffle — nearest is NOT two as-of joins glued
+    together; the single union + per-key ordered window pass evaluates
+    the preceding and following frames simultaneously and a scalar CASE
+    picks the closer candidate per row. The oracle replays the semantics
+    as a per-click rank over all same-user purchases ordered by absolute
+    distance with the backward preference — quadratic for DuckDB, linear
+    for the engine, same rows."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = exact_dedup(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", "event_id", "value"
+        ),
+        keys=["user_id", "ts_us"],
+        order_by=[F.asc("event_id")],
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["event_id", "value"],
+        tiebreak="event_id",
+        direction="nearest",
+    )

@@ -3346,6 +3346,20 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basket_min_support(baskets):
+    """Relative co-purchase support: max(2, 13ppm of baskets) as a one-row
+    broadcast. Absolute n>=2 stops filtering when order volume grows —
+    measured at 10x sf0.1 the n>=2 graph densified 335x (max degree
+    6 -> 222) and downstream wedge joins went 86x for 10x input; a
+    support FRACTION keeps "frequently co-purchased" meaningful and the
+    graph sparsity scale-stable. Evaluates to 2 at every fixture SF
+    (oracle results unchanged). Same rule as plans/ml.py:
+    copurchase_edges."""
+    return baskets.agg(
+        F.greatest(F.lit(2), F.expr("(count(1) * 13) div 1000000")).alias("min_n")
+    )
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     head = """
 WITH b AS (
@@ -3354,10 +3368,13 @@ WITH b AS (
   SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
   FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
   GROUP BY 1, 2
+), sup AS (
+  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) * 13) // 1000000) AS min_n
+  FROM lineitem
 ), e AS (
-  SELECT pa AS src, pb AS dst FROM p WHERE n >= 2
+  SELECT pa AS src, pb AS dst FROM p, sup WHERE n >= min_n
   UNION ALL
-  SELECT pb AS src, pa AS dst FROM p WHERE n >= 2
+  SELECT pb AS src, pa AS dst FROM p, sup WHERE n >= min_n
 ), deg AS (
   SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
 ), r0 AS (
@@ -3415,7 +3432,8 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p.pa", "p.pb")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
+        .crossJoin(F.broadcast(_basket_min_support(baskets)))
+        .filter(F.col("n") >= F.col("min_n"))
         .select("pa", "pb")
     )
     return pagerank_int(pairs, "pa", "pb", iterations=5)
@@ -3632,12 +3650,15 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRIANGLE_ORACLE = """
 WITH b AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sup AS (
+  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) * 13) // 1000000) AS min_n
+  FROM lineitem
 ), p AS (
   SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
   FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
   GROUP BY 1, 2
 ), e AS (
-  SELECT pa, pb FROM p WHERE n >= 2
+  SELECT pa, pb FROM p, sup WHERE n >= min_n
 ), deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
@@ -3709,7 +3730,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p.pa", "p.pb")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
+        .crossJoin(F.broadcast(_basket_min_support(baskets)))
+        .filter(F.col("n") >= F.col("min_n"))
         .select("pa", "pb")
         # pairs feeds the degree table AND both sides of the orientation
         # join; without a lineage cut each branch re-runs the basket
@@ -4168,5 +4190,106 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(((s - y_cents) * 100) div (n - 1) AS BIGINT)").alias(
                 "te_loo_centicents"
             ),
+        )
+    )
+
+
+_WMEDIAN_ORACLE = f"""
+WITH v AS (
+  SELECT l_returnflag AS flag, {sql_cents('l_extendedprice')} AS v,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS w
+  FROM lineitem
+), tot AS (
+  SELECT flag, CAST((SUM(w) + 1) // 2 AS BIGINT) AS thresh,
+         CAST(SUM(w) AS BIGINT) AS total_w
+  FROM v GROUP BY flag
+), c AS (
+  SELECT flag, v, CAST(SUM(w) AS BIGINT) AS wv FROM v GROUP BY flag, v
+), cum AS (
+  SELECT flag, v, SUM(wv) OVER (PARTITION BY flag ORDER BY v) AS cw FROM c
+)
+SELECT cum.flag AS l_returnflag,
+       CAST(MIN(cum.v) AS BIGINT) AS median_cents,
+       MIN(tot.total_w) AS total_w
+FROM cum JOIN tot ON tot.flag = cum.flag
+WHERE cum.cw >= tot.thresh
+GROUP BY cum.flag
+"""
+
+
+@register("agg_weighted_median_2pass", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity, per return
+    flag) without ever sorting fact-cardinality data in one partition:
+    the two-pass histogram refinement. Pass 1 aggregates weight into
+    fixed-width $1000 value buckets and scans the BUCKET table (≈110
+    rows per flag) for the bucket containing the threshold crossing;
+    pass 2 re-reads only that bucket's rows and finds the exact crossing
+    value inside it. The weighted twin of ``quantile_bucket_assignment``
+    and the general recipe for exact order statistics at 100 TB.
+
+    Every quantity is BIGINT (weights, thresholds = (Σw+1) div 2,
+    cumulative sums), so the crossing comparison can never ulp-flip.
+    Windows are bounded: per-flag bucket table in pass 1, single-bucket
+    distinct values in pass 2 — no SF-proportional window partition
+    anywhere (the ``revenue_pareto_curve`` lesson applied at design
+    time). The oracle affords the direct full cumulative scan; the
+    engine never does."""
+    width = 100_000  # $1000 buckets in cents
+    li = t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents("l_extendedprice").alias("v"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
+    )
+    b = vals.groupBy("flag", F.expr(f"v div {width}").alias("bkt")).agg(
+        F.sum("w").alias("wv")
+    )
+    wc = W.partitionBy("flag").orderBy("bkt").rowsBetween(W.unboundedPreceding, 0)
+    cumb = b.withColumn("cw", F.sum("wv").over(wc))
+    tot = b.groupBy("flag").agg(
+        F.expr("CAST((sum(wv) + 1) div 2 AS BIGINT)").alias("thresh"),
+        F.sum("wv").alias("total_w"),
+    )
+    wpick = W.partitionBy("flag").orderBy("bkt")
+    med_bkt = (
+        cumb.join(tot, "flag")
+        .filter(F.col("cw") >= F.col("thresh"))
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            "bkt",
+            (F.col("cw") - F.col("wv")).alias("prior_cw"),
+            "thresh",
+            "total_w",
+        )
+    )
+    picked = med_bkt.select(
+        F.col("flag").alias("mflag"),
+        F.col("bkt").alias("mbkt"),
+        "prior_cw",
+        "thresh",
+        "total_w",
+    )
+    in_bucket = vals.join(
+        F.broadcast(picked),
+        (F.col("flag") == F.col("mflag"))
+        & (F.expr(f"v div {width}") == F.col("mbkt")),
+    ).select("flag", "v", "w", "prior_cw", "thresh", "total_w")
+    cv = in_bucket.groupBy("flag", "v", "prior_cw", "thresh", "total_w").agg(
+        F.sum("w").alias("wv2")
+    )
+    wc2 = W.partitionBy("flag").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wpick2 = W.partitionBy("flag").orderBy("v")
+    return (
+        cv.withColumn("cw2", F.sum("wv2").over(wc2))
+        .filter(F.col("prior_cw") + F.col("cw2") >= F.col("thresh"))
+        .withColumn("rn", F.row_number().over(wpick2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("v").alias("median_cents"),
+            "total_w",
         )
     )

@@ -3090,3 +3090,151 @@ def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wav = encode_audio_pcm16(syn, sample_rate=8000)
     return decode_audio(resample_audio(wav, factor=3))
+
+
+# BPE merge table (priority order). Single-char placeholder outputs make
+# "number of pieces" = length of the rewritten string; digits are safe
+# placeholders because the fixture corpus is digit-free (the same
+# injected-alphabet argument as text_pii_redact).
+_BPE_MERGES = [
+    ("th", "0"), ("he", "1"), ("an", "2"), ("re", "3"),
+    ("er", "4"), ("in", "5"), ("on", "6"), ("st", "7"),
+]
+
+
+def _bpe_sql(expr: str) -> str:
+    for pat, rep in _BPE_MERGES:
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+_BPE_ENCODE_ORACLE = f"""
+WITH v AS (
+  SELECT tok, COUNT(*) AS tf
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+), enc AS (
+  SELECT tok, tf, CAST(length({_bpe_sql('tok')}) AS BIGINT) AS n_pieces
+  FROM v
+)
+SELECT n_pieces,
+       COUNT(*) AS n_terms,
+       CAST(SUM(tf) AS BIGINT) AS total_occurrences,
+       MIN(tok) AS example_term
+FROM enc GROUP BY n_pieces
+"""
+
+
+@register("text_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with a trained merge table — the inference half of the
+    tokenizer (``bpe_pair_merge`` is the training half): each merge is
+    applied in priority order as a global pair rewrite (single-char piece
+    ids, so pieces-per-token = final string length), and the entry
+    reports the piece-count distribution weighted by corpus frequency —
+    the compression audit a tokenizer change ships with.
+
+    Scale: encoding runs over the VOCABULARY, not the corpus — the
+    corpus-sized stage is one (term, tf) aggregation; the merge chain is
+    8 constant-folded ``replace`` expressions over vocabulary rows, and
+    the distribution rollup re-aggregates the vocabulary table. This is
+    the tokenize-once discipline: at 100 TB you encode each distinct
+    term once and join piece counts back by term if per-doc totals are
+    needed (the ``text_docfreq_score`` shape)."""
+    docs = t(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(TX.tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    enc = F.col("tok")
+    for pat, rep in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(pat), F.lit(rep))
+    return (
+        v.select("tok", "tf", F.length(enc).cast("long").alias("n_pieces"))
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("total_occurrences"),
+            F.min("tok").alias("example_term"),
+        )
+    )
+
+
+_PMI_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, list_sort(list_distinct({_TOKS})) AS sd FROM documents
+), pairs AS (
+  SELECT unnest(flatten(list_transform(generate_series(1, len(sd)),
+           i -> list_transform(sd[i+1:], y -> {{'a': sd[i], 'b': y}})))) AS p
+  FROM dt
+), c2 AS (
+  SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+), c1 AS (
+  SELECT tok, COUNT(*) AS n_t
+  FROM (SELECT unnest(list_distinct({_TOKS})) AS tok FROM documents)
+  GROUP BY tok
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(ln((CAST(n_ab AS DOUBLE) * n_docs)
+                / (CAST(ca.n_t AS DOUBLE) * cb.n_t)), 4) AS pmi
+FROM c2, n
+JOIN c1 ca ON ca.tok = a
+JOIN c1 cb ON cb.tok = b
+WHERE n_ab >= 50
+ORDER BY pmi DESC, a, b LIMIT 20
+"""
+
+
+@register("text_cooccurrence_pmi", oracle=_PMI_ORACLE)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level co-occurrence:
+    the top-20 token pairs (min support 50 docs) most over-represented
+    together relative to independence — collocation discovery, the
+    corpus-statistics complement of the adjacency-based
+    ``text_bigram_lm``.
+
+    Scale: pairs come from each document's SORTED DISTINCT token set via
+    zero-shuffle higher-order expressions (quadratic only in per-doc
+    distinct vocabulary, the basket-width argument of
+    ``basket_affinity_lift``); both count tables are vocabulary-bounded;
+    the document total is a one-row broadcast; PMI divides exact BIGINT
+    counts in one double expression rounded to 4dp, and the top-20 plans
+    as TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    sd = F.array_sort(F.array_distinct(TX.tokenize("text")))
+    pairs_col = F.flatten(
+        F.transform(
+            sd,
+            lambda x, i: F.transform(
+                F.slice(sd, i + F.lit(2), F.size(sd)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = docs.select(F.explode(pairs_col).alias("p")).select("p.a", "p.b")
+    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    c1 = (
+        docs.select(F.explode(F.array_distinct(TX.tokenize("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ca = c1.select(F.col("tok").alias("a"), F.col("n_t").alias("na"))
+    cb = c1.select(F.col("tok").alias("b"), F.col("n_t").alias("nb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_docs"))
+            / (F.col("na").cast("double") * F.col("nb"))
+        ),
+        4,
+    )
+    return (
+        c2.filter(F.col("n_ab") >= 50)
+        .crossJoin(F.broadcast(n))
+        .join(ca, "a")
+        .join(cb, "b")
+        .select("a", "b", F.col("n_ab").cast("long").alias("n_ab"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(20)
+    )

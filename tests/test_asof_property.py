@@ -136,3 +136,56 @@ def test_asof_forward_tolerance_nulls_far_matches(spark, tables_):
     # was beyond tolerance
     assert set(got) == set(expected)
     assert got == expected
+
+
+def brute_force_nearest(left, right):
+    out = {}
+    for lk, lts in left:
+        bwd = None
+        fwd = None
+        for rk, rts, rid in right:
+            if rk != lk:
+                continue
+            if rts <= lts:
+                cand = (rts, rid)
+                if bwd is None or cand > bwd:
+                    bwd = cand
+            if rts >= lts:
+                cand = (rts, rid)
+                if fwd is None or cand < fwd:
+                    fwd = cand
+        if bwd is None:
+            best = fwd
+        elif fwd is None:
+            best = bwd
+        else:
+            # closer wins; equal distance goes backward
+            best = bwd if (lts - bwd[0]) <= (fwd[0] - lts) else fwd
+        out[(lk, lts)] = best
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(tables())
+def test_asof_nearest_matches_brute_force(spark, tables_):
+    left, right = tables_
+    ldf = spark.createDataFrame(
+        [(k, ts) for k, ts in left] or [(None, None)], "k long, ts long"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in right] or [(None, None, None)],
+        "k long, rts long, rid long",
+    ).filter("k is not null")
+
+    got = {
+        (r["k"], r["ts"]): (r["rts_r"], r["rid_r"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            payload_cols=["rid"], tiebreak="rid", direction="nearest",
+        ).collect()
+    }
+    expected = {
+        key: (best if best is not None else (None, None))
+        for key, best in brute_force_nearest(left, right).items()
+    }
+    assert got == expected

@@ -631,15 +631,12 @@ def tree_score_shape(li):
 
 
 def _copurchase_edges(li):
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = b.alias("a"), b.alias("c")
-    p = (a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("c.l_partkey")))
-         .groupBy(F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb"))
-         .agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2))
-    return (p.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-            .unionAll(p.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-            .localCheckpoint())
+    # RELATIVE support (max(2, 13ppm of baskets)) — with absolute n>=2
+    # the 10x graph densified 335x and the wedge join measured 86x for
+    # 10x input; see plans/ml.py:copurchase_edges.
+    from sparkstreamingrealtimedatawithkafka_spark.plans.ml import copurchase_edges
+
+    return copurchase_edges(li).localCheckpoint()
 
 
 def khop_shape(li):
