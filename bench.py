@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "sample_weighted_systematic",
     "events_ewma_smoothing",
     "dedup_containment",
+    # late round-6 additions (keys above stay fixed for comparability)
+    "ml_tree_ensemble_score",
+    "web_url_normalize",
+    "graph_link_prediction_jaccard",
+    "agg_weighted_median_2pass",
 ]
 
 

@@ -59,7 +59,9 @@ DRIVER_WINDOW = [
     # set ops + grouped aggregates (corr stays out-of-window;
     # agg_stats_distribution covers the exact-statistics family)
     "setop_union_intersect_except",
-    "agg_grouping_multi",
+    # late-r6 rotation: grouping keeps 2/3 pool members in-window;
+    # this slot certifies the web-curation family (URL canonicalization)
+    "web_url_normalize",
     "agg_distinct_counts",
     "agg_stats_distribution",
     # r6 rotation: approx-sketch and pivot slots (multi-round green) ceded
@@ -75,14 +77,20 @@ DRIVER_WINDOW = [
     # structured streaming (real streaming queries, availableNow)
     "streaming_entity_count",
     "streaming_windowed_counts",
-    "streaming_session_window",
+    # late-r6 rotation: session-window semantics stay certified batch-side
+    # (events_session_window); the slot certifies streaming MERGE
+    # maintenance (foreachBatch SCD-1 upsert, slice/replay-invariant)
+    "streaming_cdc_upsert",
     "streaming_stream_stream_join",
     "streaming_dedup_within_watermark",
     "streaming_stateful_user_stats",
     # text analysis
     "text_token_stats",
     "text_quality",
-    "text_lang_source_stats",
+    # late-r6 rotation: lang/source mix stays covered out-of-window
+    # (corpus_mixture_weights, corpus_source_entropy); the slot certifies
+    # model-inference-as-expressions (GBT ensemble scoring)
+    "ml_tree_ensemble_score",
     "text_langid",
     "text_chunker",
     "pipeline_corpus_clean",
@@ -102,7 +110,10 @@ DRIVER_WINDOW = [
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_topk_int8_quantized",
-    "multimodal_pipeline",
+    # late-r6 rotation: the struct/binary plumbing entry cedes to the
+    # REAL codec (PGM decode via mapInArrow) — the r5 verdict's top
+    # capability gap, now certified inside the window
+    "multimodal_decode_pgm",
 ]
 
 reorder(DRIVER_WINDOW, window=50)

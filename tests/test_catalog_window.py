@@ -44,7 +44,8 @@ def test_window_covers_every_operator_family():
         "streaming": ({"streaming_entity_count", "streaming_windowed_counts",
                        "streaming_session_window", "streaming_stream_stream_join",
                        "streaming_dedup_within_watermark",
-                       "streaming_stateful_user_stats"}, 6),
+                       "streaming_stateful_user_stats",
+                       "streaming_cdc_upsert"}, 6),
         "text": ({"text_token_stats", "text_quality", "text_langid",
                   "text_chunker", "pipeline_corpus_clean",
                   "text_rolling_fingerprint"}, 5),
@@ -55,7 +56,10 @@ def test_window_covers_every_operator_family():
         "splits": ({"split_train_valid_test"}, 1),
         "similarity": ({"sim_topk_bruteforce", "sim_ivf_topk",
                         "sim_topk_int8_quantized"}, 3),
-        "multimodal": ({"multimodal_pipeline"}, 1),
+        "multimodal": ({"multimodal_pipeline", "multimodal_decode_pgm"}, 1),
+        "model_scoring": ({"ml_tree_ensemble_score", "ml_score_logistic"}, 1),
+        "web_curation": ({"web_url_normalize", "web_domain_quota",
+                          "web_robots_filter"}, 1),
     }
     for family, (members, need) in families.items():
         got = len(members & window)
