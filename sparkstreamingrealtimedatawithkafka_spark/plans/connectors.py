@@ -576,3 +576,50 @@ def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+_PYSOURCE_PUSHDOWN_ORACLE = """
+SELECT CAST(id % 16 AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((id * 2654435761) % 1000) AS BIGINT) AS sum_score_milli
+FROM range(120000, 160000) t(id)
+WHERE (id * 2654435761) % 1000 < 500
+GROUP BY 1
+"""
+
+
+@register("source_python_pushdown", oracle=_PYSOURCE_PUSHDOWN_ORACLE)
+def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter PUSHDOWN through the Python DataSource API (Spark 4.1
+    ``pushFilters``): the id-range predicates reach the reader at
+    planning time and narrow the generated span — 200k rows shrink to
+    40k BEFORE any row is produced Python-side (the custom-source
+    equivalent of parquet row-group skipping; a production HTTP/queue
+    reader maps the same bounds onto its query parameters). The
+    ``score_milli`` predicate is NOT pushable (the reader yields it
+    back), so Spark evaluates it post-scan — both halves of the
+    contract in one plan, and tests/test_python_pushdown.py pins the
+    accepted/returned split directly."""
+    from sparkstreamingrealtimedatawithkafka_spark.sources.pysource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    rows = (
+        spark.read.format("ssk_synthetic")
+        .option("n", 200_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        rows.filter(
+            (F.col("id") >= 120_000)
+            & (F.col("id") < 160_000)
+            & (F.col("score_milli") < 500)
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score_milli").alias("sum_score_milli"),
+        )
+    )

@@ -27,7 +27,12 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -67,15 +72,56 @@ class SyntheticReader(DataSourceReader):
                 f"ssk_synthetic: partitions must be >= 1, got {self.num_parts}"
             )
 
+        # Filter-pushdown bounds (Spark 4.1 pushFilters): the generated id
+        # range narrows at PLANNING time, so pruned rows are never even
+        # produced Python-side — the custom-source equivalent of parquet
+        # row-group skipping.
+        self.lo_bound = 0
+        self.hi_bound = self.n
+
+    def pushFilters(self, filters):
+        """Accept range/equality predicates on ``id`` by narrowing the
+        generated [lo, hi) span; everything else is yielded back for
+        Spark to evaluate post-scan. Accepted filters are implemented
+        EXACTLY (the span is the filter), so Spark is right to drop
+        them. A production HTTP/queue source maps the same bounds onto
+        its query parameters (time range, key prefix) — pushdown is how
+        a custom source avoids full-feed fetches at 100 TB."""
+        for f in filters:
+            # attribute match alone isn't enough: IsNotNull carries no
+            # .value, and semantics differ per filter class — dispatch on
+            # (class, attribute, value-type) and yield back anything else.
+            if getattr(f, "attribute", None) == ("id",) and hasattr(f, "value"):
+                v = f.value
+                if isinstance(f, GreaterThanOrEqual) and isinstance(v, int):
+                    self.lo_bound = max(self.lo_bound, v)
+                    continue
+                if isinstance(f, GreaterThan) and isinstance(v, int):
+                    self.lo_bound = max(self.lo_bound, v + 1)
+                    continue
+                if isinstance(f, LessThan) and isinstance(v, int):
+                    self.hi_bound = min(self.hi_bound, v)
+                    continue
+                if isinstance(f, LessThanOrEqual) and isinstance(v, int):
+                    self.hi_bound = min(self.hi_bound, v + 1)
+                    continue
+                if isinstance(f, EqualTo) and isinstance(v, int):
+                    self.lo_bound = max(self.lo_bound, v)
+                    self.hi_bound = min(self.hi_bound, v + 1)
+                    continue
+            yield f
+
     def partitions(self):
         return [InputPartition(i) for i in range(self.num_parts)]
 
     def read(self, partition):
-        # Contiguous id range per partition; executors run these in
-        # parallel. Arrow batches keep the Python->JVM hop vectorized.
+        # Contiguous id range per partition within the (possibly
+        # filter-narrowed) span; executors run these in parallel. Arrow
+        # batches keep the Python->JVM hop vectorized.
         i = partition.value
-        lo = self.n * i // self.num_parts
-        hi = self.n * (i + 1) // self.num_parts
+        span = max(self.hi_bound - self.lo_bound, 0)
+        lo = self.lo_bound + span * i // self.num_parts
+        hi = self.lo_bound + span * (i + 1) // self.num_parts
         step = 16_384
         for start in range(lo, hi, step):
             ids = list(range(start, min(start + step, hi)))
@@ -152,6 +198,12 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
 
 
 def register_python_sources(spark) -> None:
-    """Idempotently register the engine's Python data sources."""
+    """Idempotently register the engine's Python data sources.
+
+    Also enables Python-source filter pushdown (off by default in Spark
+    4.1; a reader that implements ``pushFilters`` under the disabled
+    conf fails loudly at planning rather than silently skipping
+    pushdown — so the registration point is where the conf belongs)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(SyntheticStreamDataSource)
