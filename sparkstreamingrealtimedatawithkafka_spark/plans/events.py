@@ -1756,3 +1756,33 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
         direction="nearest",
     )
+
+
+@register("events_rolling_wau_hll")
+def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users via MERGEABLE HLL SKETCHES — the
+    documented extreme-scale escape hatch of ``events_rolling_wau``:
+    ONE sketch per (day) aggregates all that day's users, and each
+    window's estimate is the union of its seven daily sketches. Where
+    the exact shape fans every EVENT out 7x before a distinct, this
+    fans out only the per-day SKETCH ROWS (days x 7, kilobytes), so the
+    fact-table cost is a single day-keyed aggregation no matter the
+    window length.
+
+    Rows-only by contract (DataSketches binaries have no DuckDB twin);
+    tests/test_hll_wau.py pins the estimates within 5% of the exact
+    entry per day — the audit relationship the exact entry's docstring
+    promises. Same day domain as the exact entry (trailing partial
+    windows included) so the two are row-for-row comparable."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr(f"ts_us div {US_PER_DAY}").alias("d0")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    contrib = daily.select(
+        "d0", "sk", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    )
+    return (
+        contrib.groupBy((F.col("d0") + F.col("k")).alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"))
+        .select("day", "wau_approx")
+    )
