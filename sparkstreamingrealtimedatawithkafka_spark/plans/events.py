@@ -1786,3 +1786,91 @@ def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"))
         .select("day", "wau_approx")
     )
+
+
+_MAD_MEDIAN_CTE = """
+cnt{i} AS (SELECT g, v, COUNT(*) AS c FROM {src} GROUP BY 1, 2),
+cum{i} AS (
+  SELECT g, v,
+         SUM(c) OVER (PARTITION BY g ORDER BY v) AS cw,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM cnt{i}
+),
+med{i} AS (
+  SELECT g, CAST(MIN(v) AS BIGINT) AS med, CAST(MIN(n) AS BIGINT) AS n
+  FROM cum{i} WHERE cw >= (n + 1) // 2 GROUP BY g
+)"""
+
+_MAD_ORACLE = (
+    "WITH c0 AS (SELECT event_type AS g, "
+    + sql_cents('"value"')
+    + " AS v FROM events),"
+    + _MAD_MEDIAN_CTE.format(i=1, src="c0")
+    + """,
+d AS (
+  SELECT c0.g, abs(c0.v - med1.med) AS v, med1.med AS med
+  FROM c0 JOIN med1 ON med1.g = c0.g
+),"""
+    + _MAD_MEDIAN_CTE.format(i=2, src="d")
+    + """
+SELECT d.g AS event_type,
+       MIN(d.med) AS median_cents,
+       MIN(med2.med) AS mad_cents,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN d.v > 3 * med2.med THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN med2 ON med2.g = d.g
+GROUP BY d.g
+"""
+)
+
+
+@register("events_outlier_mad_2pass", oracle=_MAD_ORACLE)
+def events_outlier_mad_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation: per event
+    type, the exact (lower) median, the exact MAD, and how many events
+    sit beyond 3×MAD — the robust-statistics alternative to the z-score
+    detector (``events_anomaly_zscore``), immune to the outliers it
+    hunts (a mean/stddev cut moves WITH contamination; medians don't).
+
+    Scale: each median is the two-pass histogram refinement
+    (operators/orderstats.py — bucket scan + single-bucket refinement,
+    bounded windows, BIGINT thresholds), so nothing ever sorts fact
+    cardinality in one partition; the deviation pass joins the per-group
+    median back as a BROADCAST (group-vocabulary rows). Everything is
+    exact integer cents — the 3×MAD cut can't ulp-flip. The oracle
+    affords direct cumulative scans; the engine never does."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.orderstats import (
+        exact_median_2pass,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), cents("value").alias("v")
+    )
+    m1 = exact_median_2pass(ev, "g", "v", width=1000)
+    dev = ev.join(
+        F.broadcast(m1.select(F.col("g").alias("mg"), F.col("median").alias("med"))),
+        F.col("g") == F.col("mg"),
+    ).select("g", F.abs(F.col("v") - F.col("med")).alias("dv"), "med")
+    m2 = exact_median_2pass(
+        dev.select("g", F.col("dv").alias("v")), "g", "v", width=1000
+    ).select(F.col("g").alias("g2"), F.col("median").alias("mad"))
+    return (
+        dev.join(F.broadcast(m2), F.col("g") == F.col("g2"))
+        .groupBy("g")
+        .agg(
+            F.min("med").alias("median_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("dv") > 3 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "median_cents",
+            "mad_cents",
+            "n_rows",
+            "n_outliers",
+        )
+    )

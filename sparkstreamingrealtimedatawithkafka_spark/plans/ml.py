@@ -861,3 +861,57 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev16("text").alias("rev16"),
         F.length("text").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_pseudonymize_stable — keyed pseudonymization with integrity audit
+# ---------------------------------------------------------------------------
+
+_PSEUDO_ORACLE = """
+WITH p AS (
+  SELECT event_type, user_id,
+         substr(md5('ssk-pseudo-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+           AS pseudo
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT pseudo) AS BIGINT) AS n_pseudos,
+       MIN(pseudo) AS min_pseudo
+FROM p GROUP BY event_type
+"""
+
+
+@register("privacy_pseudonymize_stable", oracle=_PSEUDO_ORACLE)
+def privacy_pseudonymize_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable keyed pseudonymization (the GDPR-pipeline primitive): user
+    ids are replaced by a salted-hash token that is DETERMINISTIC (the
+    same user maps to the same token in every table and every run, so
+    joins and longitudinal analyses still work) yet not reversible
+    without the salt. The entry audits the two properties a release
+    needs: token-per-user stability (n_pseudos == n_users per group —
+    collision-free at this scale) and event-mass preservation.
+
+    Scale: pseudonymization is a pure map expression (one md5 per row,
+    inside codegen); the audit is one keyed aggregate. Production swaps
+    md5(salt||id) for HMAC-SHA256 with a managed key — Spark ships
+    ``sha2``; the dataflow and the audit are unchanged. The distinct
+    counts are the exact bitmap-able shape (``agg_bitmap_exact_distinct``)
+    if user cardinality outgrows COUNT DISTINCT."""
+    ev = t(spark, sf_dir, "events")
+    pseudo = F.substring(
+        F.md5(F.concat(F.lit("ssk-pseudo-v1:"), F.col("user_id").cast("string"))),
+        1,
+        16,
+    )
+    return (
+        ev.select("event_type", "user_id", pseudo.alias("pseudo"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("pseudo").alias("n_pseudos"),
+            F.min("pseudo").alias("min_pseudo"),
+        )
+    )

@@ -4293,3 +4293,78 @@ def agg_weighted_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_w",
         )
     )
+
+
+# Shared skewness/kurtosis formula over exact power sums — the SAME text
+# evaluates in Spark (F.expr) and DuckDB so the double expression trees
+# are identical and the 4-dp round hash-checks. Inputs: n plus s1..s4 as
+# exact integer sums already cast to DOUBLE columns d1..d4.
+_MOMENT_EXPRS = {
+    "mean_cents": "ROUND(d1 / n, 4)",
+    "m2": "d2 / n - (d1 / n) * (d1 / n)",
+    "m3": "d3 / n - 3 * (d1 / n) * (d2 / n) + 2 * (d1 / n) * (d1 / n) * (d1 / n)",
+    "m4": (
+        "d4 / n - 4 * (d1 / n) * (d3 / n)"
+        " + 6 * (d1 / n) * (d1 / n) * (d2 / n)"
+        " - 3 * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n)"
+    ),
+}
+_SKEW_SQL = f"ROUND(({_MOMENT_EXPRS['m3']}) / power({_MOMENT_EXPRS['m2']}, 1.5), 4)"
+_KURT_SQL = (
+    f"ROUND(({_MOMENT_EXPRS['m4']}) / (({_MOMENT_EXPRS['m2']}) *"
+    f" ({_MOMENT_EXPRS['m2']})) - 3, 4)"
+)
+
+_MOMENTS_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS d1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS d2,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS d3,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS d4
+  FROM (SELECT l_returnflag, {sql_cents('l_extendedprice')} AS c FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       {_MOMENT_EXPRS['mean_cents']} AS mean_cents,
+       {_SKEW_SQL} AS skewness,
+       {_KURT_SQL} AS kurtosis_excess
+FROM s
+"""
+
+
+@register("agg_higher_moments", oracle=_MOMENTS_ORACLE)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from EXACT integer power
+    sums (Σc..Σc⁴ accumulated in DECIMAL(38,0) — c⁴ at price scale is
+    ~1e28, past BIGINT): one fact pass produces four mergeable integer
+    partials per group, and the shape/tail statistics derive from them
+    through a formula string shared VERBATIM with the oracle, so both
+    engines evaluate the identical double expression tree (built-in
+    ``skewness``/``kurtosis`` accumulate floats in engine-specific order
+    and can never hash-check — the ``agg_linear_regression`` argument at
+    the fourth moment).
+
+    Scale: the only fact-sized stage is the map-side-combinable power-sum
+    aggregate; everything after operates on one row per group. The
+    raw→central conversion pays ~1e-14 relative cancellation at this
+    value range — identical in both engines because the inputs are the
+    same exact integers rounded to the same doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    c = cents("l_extendedprice").cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).cast("double").alias("d1"),
+        F.sum(c * c).cast("double").alias("d2"),
+        F.sum(c * c * c).cast("double").alias("d3"),
+        F.sum(c * c * c * c).cast("double").alias("d4"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_MOMENT_EXPRS["mean_cents"]).alias("mean_cents"),
+        F.expr(_SKEW_SQL).alias("skewness"),
+        F.expr(_KURT_SQL).alias("kurtosis_excess"),
+    )

@@ -520,3 +520,27 @@ def test_arrow_udf_uses_arrow_eval_plane(spark):
     plan = _plan(spark, "udf_arrow_scalar")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_higher_moments_single_fact_aggregate(spark):
+    """All four power sums + count come from ONE map-side-combinable
+    aggregate over the scan; no joins, no window, no Python."""
+    plan = _plan(spark, "agg_higher_moments")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_mad_medians_broadcast_back(spark):
+    """Both two-pass medians must re-enter the fact stream as BROADCAST
+    joins (group-vocabulary rows), and no unpartitioned window may touch
+    SF-proportional input (windows run over bucket tables / single-bucket
+    values only)."""
+    plan = _plan(spark, "events_outlier_mad_2pass")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_pseudonymize_pure_map_plus_agg(spark):
+    plan = _plan(spark, "privacy_pseudonymize_stable")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
