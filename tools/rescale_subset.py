@@ -1,0 +1,73 @@
+"""Isolated re-measure of selected scale_check shapes (min-of-3, GC
+between runs, idle host) — the [[bench-host-variance]] protocol applied
+to scale ratios before believing a super-linear reading.
+
+Usage: python tools/rescale_subset.py shape1 shape2 ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import tools.scale_check as sc  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.sources.registry import (  # noqa: E402
+    load_table,
+)
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    spark = build_session(app_name="ssk-rescale")
+    sc._SPARK = spark
+    sc.materialize(spark)
+    sc.materialize_docs(spark)
+    sc.materialize_events(spark)
+    sc.materialize_parts(spark)
+
+    li1 = load_table(spark, sc.SF_DIR, "lineitem")
+    li10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "lineitem"))
+    docs1 = load_table(spark, sc.SF_DIR, "documents").select("doc_id", "text")
+    docs10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "documents"))
+    ev1 = load_table(spark, sc.SF_DIR, "events")
+    ev10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "events"))
+
+    shapes = {
+        "basket_affinity": (lambda: sc.basket_shape(li1), lambda: sc.basket_shape(li10)),
+        "pagerank_5iter": (lambda: sc.pagerank_shape(li1), lambda: sc.pagerank_shape(li10)),
+        "welch_t": (lambda: sc.welch_shape(li1), lambda: sc.welch_shape(li10)),
+        "tree_ensemble_score": (
+            lambda: sc.tree_score_shape(li1),
+            lambda: sc.tree_score_shape(li10),
+        ),
+        "rolling_wau": (lambda: sc.wau_shape(ev1), lambda: sc.wau_shape(ev10)),
+        "tfidf_topk": (lambda: sc.tfidf_shape(docs1), lambda: sc.tfidf_shape(docs10)),
+        "feature_hashing": (
+            lambda: sc.feat_hash_shape(docs1),
+            lambda: sc.feat_hash_shape(docs10),
+        ),
+    }
+    # warmup
+    sc.run_noop(lambda: sc.q1_shape(li1))
+    out = {}
+    for name in names:
+        d1, d10 = shapes[name]
+        t1 = min(sc.run_noop(d1) for _ in range(3))
+        t10 = min(sc.run_noop(d10) for _ in range(3))
+        out[name] = {
+            "t_1x_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "time_ratio": round(t10 / t1, 2),
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
