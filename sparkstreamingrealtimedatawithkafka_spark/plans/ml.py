@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
-from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, sql_cents, t
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import _TOKS, _STOP_SQL
 
@@ -914,4 +914,50 @@ def privacy_pseudonymize_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("pseudo").alias("n_pseudos"),
             F.min("pseudo").alias("min_pseudo"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# observe_metrics_audit — the df.observe()/Observation metrics plane
+# ---------------------------------------------------------------------------
+
+_OBSERVE_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS rev_cents
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag
+"""
+
+
+@register("observe_metrics_audit", oracle=_OBSERVE_ORACLE)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``df.observe()`` / ``Observation`` metrics plane: named
+    aggregate metrics (row count, exact revenue mass, max ship date)
+    attached to a MID-PLAN point and collected as a side channel of the
+    SAME job that produces the result — the production pattern for
+    reconciliation counters ("how many rows passed the filter that fed
+    this output?") without a second scan. A separate audit query can
+    race the pipeline (the table changed between runs); an observation
+    cannot — it sees exactly the rows the result saw.
+
+    Scale: the CollectMetrics node folds its aggregates into the
+    existing scan stage (accumulator-style, no extra shuffle, no extra
+    pass); the observed metrics travel to the driver as ONE row per
+    metric set. tests/test_observe_metrics.py asserts the observation
+    values reconcile exactly with the returned aggregate."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("row_audit")
+    observed = li.filter(F.col("l_shipdate") <= "1998-09-02").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(cents("l_extendedprice")).alias("mass_cents"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    return observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_extendedprice")).alias("rev_cents"),
     )

@@ -19,6 +19,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import datetime
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4367,4 +4369,284 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MOMENT_EXPRS["mean_cents"]).alias("mean_cents"),
         F.expr(_SKEW_SQL).alias("skewness"),
         F.expr(_KURT_SQL).alias("kurtosis_excess"),
+    )
+
+
+_SQL_UDF_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST({sql_cents('l_extendedprice')} AS HUGEINT)
+                * (100 - {sql_cents('l_discount')})) AS BIGINT)
+         AS disc_cents_sum
+FROM lineitem
+WHERE l_linestatus IN ('F', 'O')
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_udf_create_function", oracle=_SQL_UDF_ORACLE)
+def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``): a
+    scalar SQL UDF computing the exact-integer discounted price and a
+    SQL TABLE function supplying the valid-status domain, both consumed
+    by a plain aggregate. SQL UDFs are the governance answer to Python
+    UDFs — the body is an EXPRESSION the optimizer inlines, so the
+    "UDF" costs nothing at runtime and stays inside codegen (a Python
+    UDF with the same body would serialize every row).
+
+    Scale: after inlining, the plan is identical to writing the
+    expression inline — pushdown, partial aggregation, and codegen all
+    apply; the table function's 2-row output reaches the join as a
+    broadcast-able local relation. The plan guard asserts no EvalPython
+    node exists (the definition of "inlined")."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(p*100,0) AS BIGINT)
+               * (100 - CAST(ROUND(d*100,0) AS BIGINT))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION valid_status()
+        RETURNS TABLE(st STRING)
+        RETURN SELECT explode(array('F', 'O')) AS st
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               SUM(disc_cents(l_extendedprice, l_discount)) AS disc_cents_sum
+        FROM lineitem_sqludf
+        WHERE l_linestatus IN (SELECT st FROM valid_status())
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# Expectations evaluated over orders in ONE pass. Each rule is (name,
+# violation predicate SQL) — the SAME predicate text runs in Spark and
+# DuckDB so the two engines agree by construction.
+_EXPECTATION_RULES = [
+    ("custkey_not_null", "o_custkey IS NULL"),
+    ("totalprice_positive", "o_totalprice <= 0"),
+    ("status_in_domain", "o_orderstatus NOT IN ('F', 'O', 'P')"),
+    (
+        "orderdate_in_range",
+        "o_orderdate < DATE '1992-01-01' OR o_orderdate > DATE '1998-12-31'",
+    ),
+    (
+        "priority_format",
+        "substr(o_orderpriority, 2, 1) <> '-'"
+        " OR substr(o_orderpriority, 1, 1) NOT IN ('1','2','3','4','5')",
+    ),
+]
+
+_EXPECT_ORACLE = (
+    "WITH s AS (SELECT COUNT(*) AS n, "
+    + ", ".join(
+        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS v{i}"
+        for i, (_, pred) in enumerate(_EXPECTATION_RULES)
+    )
+    + " FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule_name, n AS n_checked,"
+        f" CAST(v{i} AS BIGINT) AS n_violations,"
+        f" CAST((v{i} * 1000000) // n AS BIGINT) AS violation_ppm FROM s"
+        for i, (name, _) in enumerate(_EXPECTATION_RULES)
+    )
+)
+
+
+@register("audit_expectations_suite", oracle=_EXPECT_ORACLE)
+def audit_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite (the Great-Expectations / DLT
+    ``EXPECT`` pattern as a plan): N declarative rules — null checks,
+    domain membership, range bounds, format regex — evaluated over the
+    table in ONE scan (each rule is a conditional SUM in a single
+    aggregate), then unpivoted to a rule-per-row report with violation
+    counts and ppm rates. Rule predicates are data, not code: the same
+    strings drive both engines and an added rule is one list entry.
+
+    Scale: one map-side-combinable aggregate regardless of rule count
+    (rules add columns, never passes); the unpivot runs on ONE row. This
+    is the shape that replaces N full-table validation queries with one
+    — at 100 TB the difference between an audit you run per-load and one
+    you run per-quarter."""
+    ev = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v{i}")
+        for i, (_, pred) in enumerate(_EXPECTATION_RULES)
+    ]
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(_EXPECTATION_RULES)
+    )
+    return one.selectExpr(
+        f"stack({len(_EXPECTATION_RULES)}, {stack_args}) AS (rule_name, viol)",
+        "n",
+    ).select(
+        "rule_name",
+        F.col("n").alias("n_checked"),
+        F.col("viol").cast("long").alias("n_violations"),
+        F.expr("(viol * 1000000) div n").cast("long").alias("violation_ppm"),
+    )
+
+
+_NA_ORACLE = f"""
+WITH base AS (
+  SELECT CASE WHEN {sql_cents('"value"')} % 7 = 0 THEN NULL
+              ELSE {sql_cents('"value"')} END AS v_null,
+         CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS t_null
+  FROM events
+), filled AS (
+  SELECT COALESCE(v_null, -1) AS v,
+         CASE COALESCE(t_null, 'unknown')
+           WHEN 'click' THEN 'tap' ELSE COALESCE(t_null, 'unknown') END AS t
+  FROM base
+), grouped AS (
+  SELECT t AS final_type, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         CAST(SUM(v) AS BIGINT) AS sum_v_cents
+  FROM filled GROUP BY t
+)
+SELECT * FROM grouped
+UNION ALL
+SELECT '__kept_after_dropna__', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM base WHERE v_null IS NOT NULL AND t_null IS NOT NULL
+"""
+
+
+@register("dataframe_na_functions", oracle=_NA_ORACLE)
+def dataframe_na_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``DataFrameNaFunctions`` surface — ``na.fill`` (typed default
+    substitution), ``na.replace`` (value remapping), ``na.drop``
+    (subset-scoped row filtering) — exercised on deterministically
+    derived nulls (every 7th cent value, one event type) so the fixture's
+    null-free tables still produce a real workout. The report groups by
+    the post-fill/replace type with fill counts and exact sums, plus one
+    audit row counting survivors of ``na.drop``.
+
+    Scale: all three na operations compile to CASE/COALESCE/IsNotNull
+    expressions inside the scan's codegen stage — zero extra passes,
+    full pushdown below them where predicates allow. The dropna branch
+    re-reads the scan (two result grains, two scans — fused here would
+    mean an Expand; both stay pruned to two columns)."""
+    ev = t(spark, sf_dir, "events")
+    v = cents("value")
+    base = ev.select(
+        F.when(v % 7 == 0, F.lit(None)).otherwise(v).alias("v_null"),
+        F.when(F.col("event_type") == "view", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("t_null"),
+    )
+    filled = (
+        base.na.fill({"v_null": -1})
+        .na.fill({"t_null": "unknown"})
+        .na.replace(["click"], ["tap"], subset=["t_null"])
+    )
+    grouped = filled.groupBy(F.col("t_null").alias("final_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v_null") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_filled"),
+        F.sum("v_null").cast("long").alias("sum_v_cents"),
+    )
+    kept = base.na.drop(subset=["v_null", "t_null"]).agg(
+        F.lit("__kept_after_dropna__").alias("final_type"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("long").alias("n_filled"),
+        F.lit(0).cast("long").alias("sum_v_cents"),
+    )
+    return grouped.unionAll(kept)
+
+
+# Walk-forward folds: (fold, train_end, embargo_days, test_days). Fixed
+# literals — reproducibility is the point of the entry.
+_TS_FOLDS = [
+    (1, "1994-12-31", 30, 365),
+    (2, "1995-12-31", 30, 365),
+    (3, "1996-12-31", 30, 365),
+]
+
+_TS_SPLIT_ORACLE = (
+    "WITH folds(fold, train_end, embargo_d, test_d) AS (VALUES "
+    + ", ".join(
+        f"({f}, DATE '{te}', {ed}, {td})" for f, te, ed, td in _TS_FOLDS
+    )
+    + """),
+tagged AS (
+  SELECT folds.fold,
+         CASE
+           WHEN o.o_orderdate <= folds.train_end THEN 'train'
+           WHEN o.o_orderdate <= folds.train_end
+                + TO_DAYS(CAST(folds.embargo_d AS INT)) THEN 'embargo'
+           WHEN o.o_orderdate <= folds.train_end
+                + TO_DAYS(CAST(folds.embargo_d + folds.test_d AS INT))
+             THEN 'test'
+         END AS split,
+         o.o_totalprice
+  FROM orders o CROSS JOIN folds
+)
+SELECT fold, split, COUNT(*) AS n_orders,
+       CAST(SUM("""
+    + sql_cents("o_totalprice")
+    + """) AS BIGINT) AS sum_cents
+FROM tagged WHERE split IS NOT NULL
+GROUP BY fold, split
+"""
+)
+
+
+@register("split_time_series_purged", oracle=_TS_SPLIT_ORACLE)
+def split_time_series_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward cross-validation folds with a purge embargo (the
+    leakage-safe evaluation split for anything time-ordered — forecasting
+    backtests, churn models, market data): each fold trains on history up
+    to a cutoff, discards an embargo window after it (events straddling
+    the boundary leak label information through lagged features), and
+    tests on the following year. Complements the iid ``split_train_valid_
+    test`` — hash splits are WRONG for temporal models, and this is the
+    replacement.
+
+    Scale: the fold table is K rows and rides a broadcast nested loop
+    (every fact row lands in ≤K folds); classification is pure CASE
+    inside codegen; then one keyed aggregate over (fold, split). K is a
+    constant, so cost is K scans' worth of work fused into one —
+    never a shuffle per fold."""
+    folds = spark.createDataFrame(
+        [
+            (f, datetime.date.fromisoformat(te), ed, td)
+            for f, te, ed, td in _TS_FOLDS
+        ],
+        "fold INT, train_end DATE, embargo_d INT, test_d INT",
+    )
+    o = t(spark, sf_dir, "orders")
+    tagged = (
+        o.select("o_orderdate", cents("o_totalprice").alias("c"))
+        .crossJoin(F.broadcast(folds))
+        .select(
+            "fold",
+            F.when(F.col("o_orderdate") <= F.col("train_end"), "train")
+            .when(
+                F.col("o_orderdate")
+                <= F.expr("train_end + make_interval(0,0,0,embargo_d)"),
+                "embargo",
+            )
+            .when(
+                F.col("o_orderdate")
+                <= F.expr("train_end + make_interval(0,0,0,embargo_d + test_d)"),
+                "test",
+            )
+            .alias("split"),
+            "c",
+        )
+        .filter(F.col("split").isNotNull())
+    )
+    return tagged.groupBy("fold", "split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("c").alias("sum_cents"),
     )

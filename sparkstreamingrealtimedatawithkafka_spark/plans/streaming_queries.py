@@ -14,6 +14,7 @@ from pyspark.sql.types import LongType, StructField, StructType, StringType, Dou
 from sparkstreamingrealtimedatawithkafka_spark.functions import text as TX
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 from sparkstreamingrealtimedatawithkafka_spark.sources.registry import event_time_columns
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import sql_cents
 from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
     ENTITY_COUNT_ORACLE,
     _all_pairs_bigram_oracle,
@@ -864,5 +865,120 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+_FANOUT_ORACLE = f"""
+WITH agg AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM({sql_cents('"value"')}) AS BIGINT) AS sum_cents
+  FROM events GROUP BY event_type
+)
+SELECT 'agg_sink' AS src, * FROM agg
+UNION ALL
+SELECT 'raw_sink' AS src, * FROM agg
+"""
+
+
+@register("streaming_multi_sink_fanout", oracle=_FANOUT_ORACLE)
+def streaming_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, TWO sinks, one write path: ``foreachBatch`` fans each
+    micro-batch out to a raw-event archive (replayable source of truth)
+    AND a pre-aggregated rollup table — the bronze+gold medallion split
+    as a single streaming query, so both sinks observe exactly the same
+    batches under one checkpoint (two independent queries would each
+    need their own and could diverge on failure).
+
+    Both sinks partition by batch_id and write with dynamic partition
+    overwrite, so a replayed batch REPLACES its own contribution — the
+    idempotence posture streaming_incremental_dedup's index write
+    established. The result re-derives per-type totals from EACH sink
+    and the oracle expects them identical to the batch answer, proving
+    no batch was lost, duplicated, or double-aggregated in either fork.
+
+    Scale: the raw fork is a pass-through append (no shuffle); the agg
+    fork shuffles only the BATCH (per-batch partial aggregates, the
+    mergeable-partial-state pattern — final totals are a sum over batch
+    partials, associative, so slice- and replay-invariant)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        as_stream_dir,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    work = tempfile.mkdtemp(prefix="ssk_fanout_")
+    files = []
+    for i in range(3):
+        slice_dir = f"{work}/slice{i}"
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(slice_dir)
+        files.extend(_glob.glob(f"{slice_dir}/part-*.parquet"))
+    stream_dir = as_stream_dir(*files)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("cents", LongType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    def fanout(batch_df, batch_id: int) -> None:
+        tagged = batch_df.withColumn("batch_id", F.lit(batch_id))
+        (
+            tagged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{work}/raw")
+        )
+        (
+            tagged.groupBy("batch_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{work}/agg")
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from_agg = (
+        spark.read.parquet(f"{work}/agg")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .select(F.lit("agg_sink").alias("src"), "event_type", "n_events", "sum_cents")
+    )
+    from_raw = (
+        spark.read.parquet(f"{work}/raw")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(F.lit("raw_sink").alias("src"), "event_type", "n_events", "sum_cents")
+    )
+    result = from_agg.unionAll(from_raw).localCheckpoint()
     shutil.rmtree(work, ignore_errors=True)
     return result

@@ -544,3 +544,41 @@ def test_pseudonymize_pure_map_plus_agg(spark):
     plan = _plan(spark, "privacy_pseudonymize_stable")
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_sql_udf_inlines_to_codegen(spark):
+    """SQL UDFs must inline — the plan may contain no Python eval node
+    and no real join for the 2-row table-function domain filter."""
+    plan = _plan(spark, "sql_udf_create_function")
+    assert "EvalPython" not in plan
+
+
+def test_expectations_single_scan(spark):
+    """N rules = ONE aggregate over ONE scan (+ a one-row unpivot);
+    no joins, no windows, no Python."""
+    plan = _plan(spark, "audit_expectations_suite")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_na_functions_stay_in_codegen(spark):
+    plan = _plan(spark, "dataframe_na_functions")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_ts_split_fold_table_broadcasts(spark):
+    """The K-row fold table must ride a broadcast nested loop; the fact
+    table is scanned once."""
+    plan = _plan(spark, "split_time_series_purged")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_observe_collects_metrics_in_plan(spark):
+    """df.observe() must plan as CollectMetrics fused into the scan
+    stage — no extra exchange below the observation point."""
+    plan = _plan(spark, "observe_metrics_audit")
+    assert "CollectMetrics" in plan
+    assert "EvalPython" not in plan
