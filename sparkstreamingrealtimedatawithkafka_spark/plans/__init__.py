@@ -33,7 +33,10 @@ DRIVER_WINDOW = [
     # slot ceded to the round-5 BM25 family — r5 verdict rotation ask)
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q5_regional_revenue",
+    # third-session r6 rotation: q5 (five-times-green; all 22 TPC-H
+    # shapes stay green out-of-window) cedes to the data-quality
+    # expectations suite — the N-rules-one-scan audit family
+    "audit_expectations_suite",
     "search_bm25_topk",
     # joins
     "join_semi_orders_bigqty",
@@ -44,7 +47,10 @@ DRIVER_WINDOW = [
     # ceded their slots to the round-5 CDC + sequence-packing families —
     # topk/running-total keep the ordered-limit and frame evidence)
     "topk_parts_per_brand",
-    "window_running_total",
+    # third-session r6 rotation: running-total frame semantics stay green
+    # out-of-window; the slot certifies robust order statistics (two-pass
+    # exact median + MAD outliers, operators/orderstats.py)
+    "events_outlier_mad_2pass",
     # round-5 families: CDC delta extraction; distributed-prefix-sum packing
     "events_cdc_snapshot_diff",
     "pack_training_sequences",
