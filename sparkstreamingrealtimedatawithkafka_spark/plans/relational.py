@@ -4652,31 +4652,35 @@ def split_time_series_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Count-min sketch geometry: d=4 hash rows, w=256 buckets. Buckets come
-# from md5 (the engine-portable hash — xxhash64 has no DuckDB twin), so
-# both engines build bit-identical sketches.
+# Count-min sketch geometry: d=4 hash rows, w=256 buckets. Hash rows are
+# the Carter-Wegman pairwise-independent family h_s(x) = ((a_s*x + b_s)
+# mod p) mod w over the Mersenne prime p=2^31-1 — pure integer
+# arithmetic, so it stays inside codegen (an md5 variant measured 4.7s
+# at sf0.1 vs ~1s for this) and evaluates bit-identically in DuckDB
+# (xxhash64, the usual engine hash, has no DuckDB twin).
 _CMS_SEEDS = 4
 _CMS_W = 256
+_CMS_P = 2_147_483_647
+_CMS_A = [1_299_721, 15_485_863, 32_452_843, 49_979_687]
+_CMS_B = [104_729, 224_737, 350_377, 479_909]
 
 _CMS_ORACLE = f"""
-WITH hashed AS MATERIALIZED (
-  SELECT l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
-), cnt AS MATERIALIZED (
+WITH cnt AS MATERIALIZED (
   SELECT s.seed,
-         CAST(('0x' || substr(h, 1 + s.seed * 3, 3)) AS BIGINT)
-           % {_CMS_W} AS bucket,
+         ((([1299721, 15485863, 32452843, 49979687][s.seed + 1] * (l_partkey % {_CMS_P}) + [104729, 224737, 350377, 479909][s.seed + 1]))
+           % {_CMS_P}) % {_CMS_W} AS bucket,
          COUNT(*) AS c
-  FROM hashed, generate_series(0, {_CMS_SEEDS - 1}) AS s(seed)
+  FROM lineitem, generate_series(0, {_CMS_SEEDS} - 1) AS s(seed)
   GROUP BY 1, 2
 ), top10 AS (
   SELECT l_partkey, COUNT(*) AS true_n FROM lineitem
   GROUP BY 1 ORDER BY true_n DESC, l_partkey LIMIT 10
 ), est AS (
   SELECT t.l_partkey, t.true_n, MIN(c.c) AS est_n
-  FROM top10 t, generate_series(0, {_CMS_SEEDS - 1}) AS s(seed)
+  FROM top10 t, generate_series(0, {_CMS_SEEDS} - 1) AS s(seed)
   JOIN cnt c ON c.seed = s.seed
-   AND c.bucket = CAST(('0x' || substr(md5(CAST(t.l_partkey AS VARCHAR)),
-              1 + s.seed * 3, 3)) AS BIGINT) % {_CMS_W}
+   AND c.bucket = ((([1299721, 15485863, 32452843, 49979687][s.seed + 1] * (t.l_partkey % {_CMS_P})
+           + [104729, 224737, 350377, 479909][s.seed + 1])) % {_CMS_P}) % {_CMS_W}
   GROUP BY 1, 2
 )
 SELECT l_partkey, true_n, CAST(est_n AS BIGINT) AS est_n,
@@ -4686,15 +4690,13 @@ FROM est
 
 
 def _cms_bucket(seed_col, key_col):
-    # d hash rows from DISJOINT 3-hex-digit slices of ONE md5 — one hash
-    # per (row, key) instead of d (measured 4x cheaper on 24M cells), and
-    # the slices are independent enough for the CMS error bound.
-    h = F.md5(key_col.cast("string"))
-    return (
-        F.conv(F.substring(h, F.lit(1) + seed_col * 3, F.lit(3)), 16, 10)
-        .cast("long")
-        % _CMS_W
-    )
+    a = F.element_at(
+        F.array(*[F.lit(x) for x in _CMS_A]), seed_col.cast("int") + 1
+    ).cast("long")
+    b = F.element_at(
+        F.array(*[F.lit(x) for x in _CMS_B]), seed_col.cast("int") + 1
+    ).cast("long")
+    return ((a * (key_col.cast("long") % _CMS_P) + b) % _CMS_P) % _CMS_W
 
 
 @register("agg_countmin_sketch", oracle=_CMS_ORACLE)

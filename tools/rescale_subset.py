@@ -30,6 +30,7 @@ def main() -> None:
     sc.materialize_docs(spark)
     sc.materialize_events(spark)
     sc.materialize_parts(spark)
+    sc.materialize_embeddings(spark)
 
     li1 = load_table(spark, sc.SF_DIR, "lineitem")
     li10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "lineitem"))
@@ -37,6 +38,8 @@ def main() -> None:
     docs10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "documents"))
     ev1 = load_table(spark, sc.SF_DIR, "events")
     ev10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "events"))
+    emb1 = load_table(spark, sc.SF_DIR, "embeddings")
+    emb10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "embeddings"))
 
     shapes = {
         "basket_affinity": (lambda: sc.basket_shape(li1), lambda: sc.basket_shape(li10)),
@@ -52,6 +55,9 @@ def main() -> None:
             lambda: sc.feat_hash_shape(docs1),
             lambda: sc.feat_hash_shape(docs10),
         ),
+        "pca_gram": (lambda: sc.pca_gram_shape(emb1), lambda: sc.pca_gram_shape(emb10)),
+        "countmin": (lambda: sc.countmin_shape(li1), lambda: sc.countmin_shape(li10)),
+        "mad_2pass": (lambda: sc.mad_shape(ev1), lambda: sc.mad_shape(ev10)),
     }
     # warmup
     sc.run_noop(lambda: sc.q1_shape(li1))

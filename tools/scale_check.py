@@ -772,3 +772,102 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def materialize_embeddings(spark) -> None:
+    """10x embeddings with new vec_ids and per-replica sign-flip of one
+    dimension (keeps value distribution; Gram work grows exactly 10x)."""
+    if os.path.exists(os.path.join(SCALE_DIR, "embeddings", "_SUCCESS")):
+        return
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("i")
+    (
+        emb.select("vec_id", "embedding", "label", rep)
+        .select(
+            (F.col("vec_id") * FACTOR + F.col("i")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, d) ->"
+                " CASE WHEN d = i % 64 THEN -x ELSE x END)"
+            ).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR, "embeddings"))
+    )
+
+
+def pca_gram_shape(emb):
+    """emb_pca_power_iteration's fact-scale stage: the Arrow-batched
+    partial-Gram map + 4096-cell merge. Must track vector count exactly;
+    the 8 iterations after it are model-sized constants (excluded)."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        _pca_gram_parts,
+    )
+
+    parts = _pca_gram_parts(emb.select("embedding"))
+    return (
+        parts.filter("j > 0")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("gv"))
+        .agg(F.count(F.lit(1)).alias("cells"), F.sum("gv").alias("mass"))
+    )
+
+
+def countmin_shape(li):
+    """agg_countmin_sketch end-to-end: d*w-cell sketch build (constant
+    shuffle) + top-10 truth + broadcast probe. Sketch build dominates and
+    is one fact pass."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.relational import (
+        _CMS_SEEDS,
+        _cms_bucket,
+    )
+
+    keys = li.select("l_partkey")
+    seeded = keys.select(
+        "l_partkey", F.explode(F.expr(f"sequence(0, {_CMS_SEEDS - 1})")).alias("seed")
+    )
+    counters = (
+        seeded.withColumn("bucket", _cms_bucket(F.col("seed"), F.col("l_partkey")))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top10 = (
+        keys.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    probes = top10.select(
+        "l_partkey",
+        "true_n",
+        F.explode(F.expr(f"sequence(0, {_CMS_SEEDS - 1})")).alias("seed"),
+    ).withColumn("bucket", _cms_bucket(F.col("seed"), F.col("l_partkey")))
+    est = (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("l_partkey", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.agg(F.count(F.lit(1)).alias("n"), F.sum("est_n").alias("s"))
+
+
+def mad_shape(ev):
+    """events_outlier_mad_2pass's core: two chained two-pass exact
+    medians (bucket histogram + single-bucket refinement) + broadcast
+    re-entry. Four fact passes total — must track data linearly."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.orderstats import (
+        exact_median_2pass,
+    )
+
+    vals = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    m1 = exact_median_2pass(vals, "g", "v", width=1000)
+    dev = vals.join(
+        F.broadcast(m1.select(F.col("g").alias("mg"), F.col("median").alias("med"))),
+        F.col("g") == F.col("mg"),
+    ).select("g", F.abs(F.col("v") - F.col("med")).alias("dv"))
+    m2 = exact_median_2pass(
+        dev.select("g", F.col("dv").alias("v")), "g", "v", width=1000
+    )
+    return m2.agg(F.count(F.lit(1)).alias("n"), F.sum("median").alias("s"))
