@@ -447,3 +447,43 @@ def resample_audio(
             )
 
     return df.mapInArrow(op, schema="doc_id bigint, blob binary")
+
+
+DHASH_SCHEMA = "doc_id bigint, h1 bigint, h2 bigint"
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """Perceptual difference-hash (dHash) of a PGM/P5 image: each of the
+    h x (w-1) horizontal neighbor comparisons ``px[y,x] > px[y,x+1]``
+    contributes one bit, packed little-endian into two BIGINT lanes
+    (h1 = bits 0-31, h2 = bits 32-63 — two lanes so bit 63 never touches
+    the sign bit, keeping the value oracle-replayable as a plain sum of
+    powers of two). For the canonical 9x8 input that's the classic
+    64-bit dHash. Gradient-based, so it survives uniform brightness
+    shifts; pure function of the bytes — replayable like the codecs."""
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
+            h1s, h2s = [], []
+            for b in blobs:
+                w, h, _mv, px = parse_pgm(bytes(b))
+                g = px.reshape(h, w).astype(np.int16)
+                bits = (g[:, : w - 1] > g[:, 1:]).ravel()
+                weights = np.left_shift(
+                    np.int64(1), np.arange(bits.size, dtype=np.int64) % 32
+                )
+                vals = bits.astype(np.int64) * weights
+                h1s.append(int(vals[:32].sum()))
+                h2s.append(int(vals[32:64].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(h1s, pa.int64()),
+                    pa.array(h2s, pa.int64()),
+                ],
+                names=["doc_id", "h1", "h2"],
+            )
+
+    return df.mapInArrow(op, schema=DHASH_SCHEMA)

@@ -961,3 +961,105 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(cents("l_extendedprice")).alias("rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_community_lpa — synchronous label propagation over co-purchase
+# ---------------------------------------------------------------------------
+
+_LPA_K = 1_000_000_000  # argmax encoding: score = n*K - lbl (0 < lbl < K)
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int) -> str:
+    head = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sup AS (
+  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) * 13) // 1000000) AS min_n
+  FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+   AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM p, sup WHERE n >= min_n
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM p, sup WHERE n >= min_n
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM e
+)"""
+    steps = "".join(
+        f""", c{r} AS (
+  SELECT e.dst AS node, l{r-1}.lbl, COUNT(*) AS n
+  FROM e JOIN l{r-1} ON l{r-1}.node = e.src GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+  SELECT node,
+         CAST({_LPA_K} - (MAX(n * {_LPA_K} - lbl) % {_LPA_K}) AS BIGINT) AS lbl
+  FROM c{r} GROUP BY node
+)"""
+        for r in range(1, rounds + 1)
+    )
+    return (
+        head
+        + steps
+        + f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_member
+FROM l{rounds} GROUP BY lbl"""
+    )
+
+
+@register("graph_community_lpa", oracle=_lpa_oracle(_LPA_ROUNDS))
+def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over
+    the co-purchase graph: every node adopts the most frequent label in
+    its neighborhood each round (ties -> smallest label, so the fixpoint
+    is DETERMINISTIC — vanilla LPA's random tie-breaks could never be
+    oracle-gated), four rounds from identity labels. Completes the graph
+    family: components (connectivity), PageRank (centrality), triangles
+    (cohesion), k-hop (reach), link prediction (recommendation), LPA
+    (mesoscale structure).
+
+    The neighborhood argmax rides ONE integer encoding, shared verbatim
+    with the oracle: score = n·K − lbl maximizes count first, then
+    minimal label, and lbl = K − (max_score mod K) decodes without a
+    second pass — no window, no argmax UDF, just MAX over a bigint.
+
+    Scale: each round is one equi-join keyed on the edge source + two
+    keyed aggregates — Pregel rounds as DataFrame ops with per-round
+    localCheckpoint lineage cuts (the [[self-referencing-plan-recompute]]
+    discipline: labels feed both the join and next round). Edges come
+    from the RELATIVE-support expansion (plans/ml.py:copurchase_edges),
+    so graph density — and with it the per-round shuffle — stays
+    sparsity-stable as volume grows."""
+    li = t(spark, sf_dir, "lineitem")
+    e = copurchase_edges(li).localCheckpoint()
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            e.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                (
+                    F.lit(_LPA_K)
+                    - (F.max(F.col("n") * _LPA_K - F.col("lbl")) % _LPA_K)
+                )
+                .cast("long")
+                .alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_member"),
+    )

@@ -4789,3 +4789,126 @@ def sql_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cost nothing at runtime."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_modern")
     return spark.sql(_MODERN_SQL.format(tbl="orders_modern"))
+
+
+# Poisson(1) inverse-CDF thresholds at 16-bit resolution (u16 < t_k -> k
+# events; else 7). Python-computed from exp(-1)/k!, frozen as literals so
+# both engines branch on identical integers.
+_BOOT_THRESH = [24109, 48218, 60273, 64291, 65296, 65497, 65530]
+_BOOT_B = 32  # bootstrap replicates (4 md5s/row, 8 16-bit slices each)
+
+_BOOT_W_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH))
+    + " ELSE 7 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH rg AS MATERIALIZED (
+  SELECT o_orderpriority, {sql_cents('o_totalprice')} AS c, g.g,
+         md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)) AS h
+  FROM orders, generate_series(0, {_BOOT_B // 8 - 1}) AS g(g)
+), rw AS (
+  SELECT o_orderpriority, c, g * 8 + sl.slot AS b,
+         CAST(('0x' || substr(h, 1 + sl.slot * 4, 4)) AS BIGINT) AS u
+  FROM rg, generate_series(0, 7) AS sl(slot)
+), rep AS (
+  SELECT o_orderpriority, b,
+         CAST(SUM({_BOOT_W_CASE}) AS BIGINT) AS n_b,
+         CAST(SUM(CAST({_BOOT_W_CASE} AS HUGEINT) * c) AS HUGEINT) AS s_b
+  FROM rw GROUP BY 1, 2
+), m AS (
+  SELECT o_orderpriority, (s_b * 1000000) // n_b AS m
+  FROM rep WHERE n_b > 0
+), stats AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS bb,
+         SUM(m) AS sm, SUM(m * m) AS sm2
+  FROM m GROUP BY 1
+), point AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM({sql_cents('o_totalprice')}) AS HUGEINT) AS s
+  FROM orders GROUP BY 1
+)
+SELECT p.o_orderpriority, p.n_orders,
+       CAST((p.s * 1000000) // p.n_orders AS BIGINT) AS mean_micro,
+       ROUND(sqrt(CAST(bb * sm2 - sm * sm AS DOUBLE)
+                  / CAST(bb * (bb - 1) AS DOUBLE)), 4) AS boot_se_micro
+FROM point p JOIN stats USING (o_orderpriority)
+"""
+
+
+@register("sample_poisson_bootstrap", oracle=_BOOT_ORACLE)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap — THE distributed bootstrap (Chamandy et al.,
+    Google; resampling without coordinating a global multinomial): every
+    row independently receives a Poisson(1) weight per replicate, so B
+    resampled estimates need one streaming pass and no shared state. Here:
+    standard error of mean order value per priority, B=32. Everything
+    deterministic and exact where it matters — weights come from 16-bit
+    md5 slices pushed through frozen inverse-CDF thresholds (8 replicates
+    per md5, the one-hash-many-lanes CMS lesson), replicate means are
+    exact integer micro-cents, and the SE's variance numerator
+    B·Σm²−(Σm)² is exact HUGEINT/DECIMAL algebra with ONE float sqrt at
+    the end (identical bits both engines).
+
+    Scale: cost is (B/8)× the scan for hashing plus B× map-side
+    aggregation lanes folding into priority×B cells — no shuffle grows
+    with B, no row ever duplicates across machines (the whole point of
+    Poisson over multinomial resampling). Zero-weight replicates are
+    filtered identically in both engines (n_b > 0) and the SE formula
+    uses the surviving count bb, not the constant B."""
+    o = t(spark, sf_dir, "orders")
+    rg = o.select(
+        "o_orderpriority",
+        cents("o_totalprice").alias("c"),
+        "o_orderkey",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B // 8 - 1})")).alias("g"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat_ws(
+                ":", F.col("o_orderkey").cast("string"), F.col("g").cast("string")
+            )
+        ),
+    )
+    rw = rg.select(
+        "o_orderpriority",
+        "c",
+        "g",
+        "h",
+        F.explode(F.expr("sequence(0, 7)")).alias("slot"),
+    ).select(
+        "o_orderpriority",
+        "c",
+        (F.col("g") * 8 + F.col("slot")).alias("b"),
+        F.expr("CAST(conv(substring(h, 1 + slot * 4, 4), 16, 10) AS BIGINT)").alias(
+            "u"
+        ),
+    )
+    rep = rw.groupBy("o_orderpriority", "b").agg(
+        F.expr(f"CAST(SUM({_BOOT_W_CASE}) AS BIGINT)").alias("n_b"),
+        F.expr(
+            f"CAST(SUM(CAST({_BOOT_W_CASE} AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"
+        ).alias("s_b"),
+    )
+    m = rep.filter(F.col("n_b") > 0).select(
+        "o_orderpriority", F.expr("(s_b * 1000000) div n_b").alias("m")
+    )
+    stats = m.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("bb"),
+        F.sum("m").cast("decimal(38,0)").alias("sm"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("sm2"),
+    )
+    point = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("decimal(38,0)").alias("s"),
+    )
+    return point.join(stats, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        F.expr("CAST((s * 1000000) div n_orders AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "ROUND(sqrt(CAST(bb * sm2 - sm * sm AS DOUBLE)"
+            " / CAST(bb * (bb - 1) AS DOUBLE)), 4)"
+        ).alias("boot_se_micro"),
+    )

@@ -23,6 +23,7 @@ from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
     decode_binary_features,
     decode_image,
     encode_audio_pcm16,
+    image_dhash,
     resize_image,
     sample_frames,
 )
@@ -3417,3 +3418,133 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mat.select(
         F.posexplode(F.expr(fold)).alias("pos", "component_ppm")
     ).select((F.col("pos") + 1).cast("long").alias("dim_idx"), "component_ppm")
+
+
+_DHASH_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         repeat(md5(CAST(doc_id // 4 AS VARCHAR)), 4) AS b0,
+         CAST(doc_id % 4 AS INT) * 29 + 5 AS p,
+         chr(CAST(97 + doc_id % 13 AS INT)) AS ch
+  FROM documents
+), img AS MATERIALIZED (
+  SELECT doc_id,
+         substr(b0, 1, p - 1) || ch || substr(b0, p + 1, 128 - p) AS px
+  FROM base
+), resz AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(generate_series(0, 71),
+           k -> unicode(substr(px,
+                CAST((k // 9) * 16 + ((k % 9) * 16) // 9 + 1 AS INT), 1))) AS q
+  FROM img
+), hsh AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(0, 31),
+      k -> CASE WHEN q[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+                 > q[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h1,
+    CAST(list_sum(list_transform(generate_series(32, 63),
+      k -> CASE WHEN q[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+                 > q[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+           THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)) AS BIGINT) AS h2
+  FROM resz
+), bands AS MATERIALIZED (
+  SELECT doc_id, h1, h2, s.bi,
+         CASE s.bi WHEN 0 THEN h1 % 65536 WHEN 1 THEN h1 // 65536
+                   WHEN 2 THEN h2 % 65536 ELSE h2 // 65536 END AS bv
+  FROM hsh, generate_series(0, 3) AS s(bi)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 10
+"""
+
+
+@register("multimodal_image_dhash", oracle=_DHASH_ORACLE)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual difference-hash — the
+    multimodal twin of ``dedup_simhash``: 16x8 PGM images arrive in
+    4-member near-duplicate families (shared raster, one perturbed pixel
+    per member), go through the REAL codec pipeline — ``resize_image``
+    to the canonical 9x8 (nearest-neighbor, worker-side re-encode) then
+    ``image_dhash`` (decode AGAIN + 64 gradient bits in two BIGINT
+    lanes) — and pairs are found by banded LSH over four 16-bit hash
+    slices with a hamming<=10 verify. The oracle replays resize + hash +
+    banding + hamming from the byte construction, so the whole chain
+    (parser on worker-produced bytes included) is hash-checked.
+
+    Scale: per image O(1) work inside two Arrow-batched map stages; the
+    pair search is the SimHash discipline exactly — banded equi-join,
+    never all-pairs, hamming shed before any pair leaves the stage (here
+    via the banded join's bounded buckets; family size is data-bounded).
+    dHash is gradient-based, so the usual production perturbations
+    (brightness shift, re-encode) keep colliding — the property that
+    makes this the image dedup key of crawl pipelines."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.repeat(F.md5(F.expr("CAST(doc_id div 4 AS STRING)")), 4).alias("b0"),
+        F.expr("CAST(doc_id % 4 AS INT) * 29 + 5").alias("p"),
+        F.expr("char(97 + doc_id % 13)").alias("ch"),
+    )
+    img = base.select(
+        "doc_id",
+        F.expr(
+            "concat(substr(b0, 1, p - 1), ch, substr(b0, p + 1, 128 - p))"
+        ).alias("px"),
+    )
+    blobs = img.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5\n16 8\n255\n"), "utf-8"),
+            F.encode(F.col("px"), "utf-8"),
+        ).alias("blob"),
+    )
+    small = resize_image(blobs, 9, 8)
+    hashed = image_dhash(small, blob_col="data").localCheckpoint()
+    bands = hashed.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("h1") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("bi"), F.expr("h1 div 65536").alias("bv")
+                ),
+                F.struct(F.lit(2).alias("bi"), (F.col("h2") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(3).alias("bi"), F.expr("h2 div 65536").alias("bv")
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "h1", "h2", "band.bi", "band.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.h1").alias("h1a"),
+            F.col("a.h2").alias("h2a"),
+            F.col("b.h1").alias("h1b"),
+            F.col("b.h2").alias("h2b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("h1a ^ h1b")) + F.bit_count(F.expr("h2a ^ h2b"))
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 10)

@@ -613,3 +613,13 @@ def test_modern_sql_plans_plain_aggregate(spark):
     plan = _plan(spark, "sql_modern_surface")
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_poisson_bootstrap_no_python_no_window(spark):
+    """B replicate lanes come from in-row Generate + CASE weights inside
+    codegen; no Python, no window, and no shuffle that grows with B
+    (the aggregate is keyed on priority x replicate)."""
+    plan = _plan(spark, "sample_poisson_bootstrap")
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan parquet") == 2  # replicate pass + point pass
