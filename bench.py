@@ -84,6 +84,14 @@ BENCH_QUERIES = [
     "web_url_normalize",
     "graph_link_prediction_jaccard",
     "agg_weighted_median_2pass",
+    # third-session round-6 additions (keys above stay fixed)
+    "events_outlier_mad_2pass",
+    "agg_countmin_sketch",
+    "emb_pca_power_iteration",
+    "sample_poisson_bootstrap",
+    "graph_community_lpa",
+    "multimodal_image_dhash",
+    "audit_expectations_suite",
 ]
 
 

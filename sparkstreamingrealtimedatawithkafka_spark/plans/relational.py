@@ -4858,9 +4858,16 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered identically in both engines (n_b > 0) and the SE formula
     uses the surviving count bb, not the constant B."""
     o = t(spark, sf_dir, "orders")
+    # Repartition BEFORE the B-lane expansion: the expansion multiplies
+    # work 32x, so paying one shuffle of the 1x input to spread it across
+    # the cluster is the right trade at any scale (and the fixture's
+    # single parquet split otherwise serializes the whole replicate pass
+    # on one core — measured 4.3 s -> ~1 s at sf0.1 on local[32]).
     rg = o.select(
+        "o_orderpriority", cents("o_totalprice").alias("c"), "o_orderkey"
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("o_orderkey")).select(
         "o_orderpriority",
-        cents("o_totalprice").alias("c"),
+        "c",
         "o_orderkey",
         F.explode(F.expr(f"sequence(0, {_BOOT_B // 8 - 1})")).alias("g"),
     ).withColumn(
@@ -4885,11 +4892,15 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u"
         ),
     )
-    rep = rw.groupBy("o_orderpriority", "b").agg(
-        F.expr(f"CAST(SUM({_BOOT_W_CASE}) AS BIGINT)").alias("n_b"),
-        F.expr(
-            f"CAST(SUM(CAST({_BOOT_W_CASE} AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"
-        ).alias("s_b"),
+    rep = (
+        rw.withColumn("w", F.expr(_BOOT_W_CASE))
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            F.expr("CAST(SUM(w) AS BIGINT)").alias("n_b"),
+            F.expr(
+                "CAST(SUM(CAST(w AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"
+            ).alias("s_b"),
+        )
     )
     m = rep.filter(F.col("n_b") > 0).select(
         "o_orderpriority", F.expr("(s_b * 1000000) div n_b").alias("m")
@@ -4911,4 +4922,40 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(sqrt(CAST(bb * sm2 - sm * sm AS DOUBLE)"
             " / CAST(bb * (bb - 1) AS DOUBLE)), 4)"
         ).alias("boot_se_micro"),
+    )
+
+
+_PARAM_SQL_ORACLE = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_totalprice >= 150000.0 AND o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderstatus
+"""
+
+
+@register("sql_parameterized_queries", oracle=_PARAM_SQL_ORACLE)
+def sql_parameterized_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter ``spark.sql(query, args={...})`` (Spark 3.4+/4):
+    the statement carries ``:cutoff`` / ``:since`` markers and values bind
+    server-side as typed literals — the injection-safe application surface
+    (string-concatenated SQL is the vulnerability class; EXECUTE IMMEDIATE
+    + USING covers the dynamic-statement variant, this covers the static
+    one every app uses).
+
+    Binds substitute during analysis, so the bound predicates push down
+    to the parquet scan exactly as hand-written literals would — the
+    plan is byte-identical to the inlined query, which is what the
+    oracle runs."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM orders_param
+        WHERE o_totalprice >= :cutoff AND o_orderdate >= :since
+        GROUP BY o_orderstatus
+        """,
+        args={"cutoff": 150000.0, "since": "1995-01-01"},
     )
