@@ -33,6 +33,8 @@ def main() -> None:
     sc.materialize_embeddings(spark)
 
     li1 = load_table(spark, sc.SF_DIR, "lineitem")
+    o1 = load_table(spark, sc.SF_DIR, "orders")
+    o10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "orders"))
     li10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "lineitem"))
     docs1 = load_table(spark, sc.SF_DIR, "documents").select("doc_id", "text")
     docs10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "documents"))
@@ -58,6 +60,9 @@ def main() -> None:
         "pca_gram": (lambda: sc.pca_gram_shape(emb1), lambda: sc.pca_gram_shape(emb10)),
         "countmin": (lambda: sc.countmin_shape(li1), lambda: sc.countmin_shape(li10)),
         "mad_2pass": (lambda: sc.mad_shape(ev1), lambda: sc.mad_shape(ev10)),
+        "lpa_4rounds": (lambda: sc.lpa_shape(li1), lambda: sc.lpa_shape(li10)),
+        "image_dhash": (lambda: sc.dhash_shape(docs1), lambda: sc.dhash_shape(docs10)),
+        "poisson_bootstrap": (lambda: sc.bootstrap_shape(o1), lambda: sc.bootstrap_shape(o10)),
     }
     # warmup
     sc.run_noop(lambda: sc.q1_shape(li1))

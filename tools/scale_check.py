@@ -871,3 +871,96 @@ def mad_shape(ev):
         dev.select("g", F.col("dv").alias("v")), "g", "v", width=1000
     )
     return m2.agg(F.count(F.lit(1)).alias("n"), F.sum("median").alias("s"))
+
+
+def lpa_shape(li):
+    """graph_community_lpa's core: relative-support edges + 4 synchronous
+    label rounds (join + two keyed aggs each). Edge count is sparsity-
+    stable, so rounds must track the edge build."""
+    e = _copurchase_edges(li)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl"))
+    K = 1_000_000_000
+    for _ in range(4):
+        counts = (e.join(labels.select(F.col("node").alias("src"), "lbl"), "src")
+                  .groupBy(F.col("dst").alias("node"), "lbl")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        labels = (counts.groupBy("node")
+                  .agg((F.lit(K) - (F.max(F.col("n") * K - F.col("lbl")) % K))
+                       .cast("long").alias("lbl"))
+                  .localCheckpoint())
+    return labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.count(F.lit(1)).alias("g"), F.sum("n").alias("s"))
+
+
+def dhash_shape(docs):
+    """multimodal_image_dhash's core: synthesize PGM -> REAL resize ->
+    dhash -> banded pair join + hamming verify. Per-image O(1) codec
+    work; band buckets stay ~unit-sized as the corpus grows, so the
+    pair join must stay linear."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
+        image_dhash, resize_image,
+    )
+
+    base = docs.select(
+        "doc_id",
+        F.repeat(F.md5(F.expr("CAST(doc_id div 4 AS STRING)")), 4).alias("b0"),
+        F.expr("CAST(doc_id % 4 AS INT) * 29 + 5").alias("p"),
+        F.expr("char(97 + doc_id % 13)").alias("ch"),
+    )
+    img = base.select(
+        "doc_id",
+        F.expr("concat(substr(b0, 1, p - 1), ch, substr(b0, p + 1, 128 - p))").alias("px"),
+    )
+    blobs = img.select(
+        "doc_id",
+        F.concat(F.encode(F.lit("P5\n16 8\n255\n"), "utf-8"),
+                 F.encode(F.col("px"), "utf-8")).alias("blob"),
+    )
+    hashed = image_dhash(resize_image(blobs, 9, 8), blob_col="data").localCheckpoint()
+    bands = hashed.select(
+        "doc_id", "h1", "h2",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("bi"), (F.col("h1") % 65536).alias("bv")),
+            F.struct(F.lit(1).alias("bi"), F.expr("h1 div 65536").alias("bv")),
+            F.struct(F.lit(2).alias("bi"), (F.col("h2") % 65536).alias("bv")),
+            F.struct(F.lit(3).alias("bi"), F.expr("h2 div 65536").alias("bv")),
+        )).alias("band"),
+    ).select("doc_id", "h1", "h2", "band.bi", "band.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+                    F.col("a.h1").alias("h1a"), F.col("a.h2").alias("h2a"),
+                    F.col("b.h1").alias("h1b"), F.col("b.h2").alias("h2b"))
+            .distinct())
+    ham = F.bit_count(F.expr("h1a ^ h1b")) + F.bit_count(F.expr("h2a ^ h2b"))
+    return cand.filter(ham <= 10).agg(F.count(F.lit(1)).alias("n"))
+
+
+def bootstrap_shape(o):
+    """sample_poisson_bootstrap's core: repartitioned 4x md5 + 32-lane
+    expansion folding into priority x replicate cells. Linear in orders;
+    no shuffle grows with B."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.relational import (
+        _BOOT_W_CASE,
+    )
+
+    rg = o.select(
+        "o_orderpriority", cents("o_totalprice").alias("c"), "o_orderkey"
+    ).repartition(32, F.col("o_orderkey")).select(
+        "o_orderpriority", "c", "o_orderkey",
+        F.explode(F.expr("sequence(0, 3)")).alias("g"),
+    ).withColumn("h", F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"),
+                                        F.col("g").cast("string"))))
+    rw = rg.select(
+        "o_orderpriority", "c",
+        F.explode(F.expr("sequence(0, 7)")).alias("slot"), "g", "h",
+    ).select(
+        "o_orderpriority", "c", (F.col("g") * 8 + F.col("slot")).alias("b"),
+        F.expr("CAST(conv(substring(h, 1 + slot * 4, 4), 16, 10) AS BIGINT)").alias("u"),
+    ).withColumn("w", F.expr(_BOOT_W_CASE))
+    rep = rw.groupBy("o_orderpriority", "b").agg(
+        F.sum("w").alias("n_b"), F.sum(F.col("w") * F.col("c")).alias("s_b"))
+    return rep.agg(F.count(F.lit(1)).alias("cells"), F.sum("s_b").alias("mass"))
