@@ -1063,3 +1063,189 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("min_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: confusion metrics + calibration — closes the
+# model-scoring loop (score -> decide -> EVALUATE)
+# ---------------------------------------------------------------------------
+
+_EVAL_LABEL = "n_chars >= 300"  # deterministic ground-truth proxy (~median)
+
+_CONFUSION_ORACLE = f"""
+WITH f AS (
+  SELECT
+    CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+    CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_uniq,
+    CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
+    ({_EVAL_LABEL}) AS label
+  FROM documents
+), s AS (
+  SELECT ({_W0} + {_W_TOK}*n_tok + {_W_UNIQ}*n_uniq + {_W_STOP}*n_stop) >= 0
+           AS pred, label
+  FROM f
+), c AS (
+  SELECT CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM s
+), m AS (
+  SELECT tp, fp, fn, tn,
+         (tp * 1000000) // GREATEST(tp + fp, 1) AS precision_ppm,
+         (tp * 1000000) // GREATEST(tp + fn, 1) AS recall_ppm,
+         ((tp + tn) * 1000000) // (tp + fp + fn + tn) AS accuracy_ppm
+  FROM c
+)
+SELECT 'tp' AS metric, tp AS value FROM m
+UNION ALL SELECT 'fp', fp FROM m
+UNION ALL SELECT 'fn', fn FROM m
+UNION ALL SELECT 'tn', tn FROM m
+UNION ALL SELECT 'precision_ppm', precision_ppm FROM m
+UNION ALL SELECT 'recall_ppm', recall_ppm FROM m
+UNION ALL SELECT 'accuracy_ppm', accuracy_ppm FROM m
+UNION ALL SELECT 'f1_ppm',
+  (2 * precision_ppm * recall_ppm) // GREATEST(precision_ppm + recall_ppm, 1) FROM m
+"""
+
+
+@register("ml_confusion_metrics", oracle=_CONFUSION_ORACLE)
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in one scan: the logistic head's decisions
+    (``ml_score_logistic``'s weights) against a deterministic ground
+    truth, reduced to the full confusion matrix and precision / recall /
+    accuracy / F1 — every metric an EXACT integer (counts and ppm ratios
+    via truncating div; F1 composed from the already-truncated ppm values
+    so both engines truncate in the same order). The long-form
+    (metric, value) report is the ``audit_expectations_suite`` posture
+    applied to model quality.
+
+    Scale: ONE aggregate over one scan produces the four cells;
+    everything after is arithmetic on a single row. Evaluation never
+    re-scores and never joins — predictions and labels are columns of
+    the same pass."""
+    docs = t(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    f = docs.select(
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_uniq"),
+        F.size(F.filter(tk, lambda x: x.isin(*TX.STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.expr(_EVAL_LABEL).alias("label"),
+    )
+    s = f.select(
+        (
+            F.lit(_W0)
+            + F.lit(_W_TOK) * F.col("n_tok")
+            + F.lit(_W_UNIQ) * F.col("n_uniq")
+            + F.lit(_W_STOP) * F.col("n_stop")
+            >= 0
+        ).alias("pred"),
+        "label",
+    )
+    c = s.agg(
+        F.sum(F.when(F.col("pred") & F.col("label"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("label"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("label"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("label"), 1).otherwise(0)).alias("tn"),
+    )
+    m = c.selectExpr(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "(tp * 1000000) div GREATEST(tp + fp, 1) AS precision_ppm",
+        "(tp * 1000000) div GREATEST(tp + fn, 1) AS recall_ppm",
+        "((tp + tn) * 1000000) div (tp + fp + fn + tn) AS accuracy_ppm",
+    )
+    return m.selectExpr(
+        "stack(8, 'tp', tp, 'fp', fp, 'fn', fn, 'tn', tn,"
+        " 'precision_ppm', precision_ppm, 'recall_ppm', recall_ppm,"
+        " 'accuracy_ppm', accuracy_ppm,"
+        " 'f1_ppm', (2 * precision_ppm * recall_ppm)"
+        " div GREATEST(precision_ppm + recall_ppm, 1)) AS (metric, value)"
+    ).select("metric", F.col("value").cast("long").alias("value"))
+
+
+_CALIB_ORACLE = f"""
+WITH f AS (
+  SELECT
+    CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+    CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_uniq,
+    CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
+    ({_EVAL_LABEL}) AS label
+  FROM documents
+), s AS (
+  SELECT 1.0 / (1.0 + exp(-(CAST({_W0} + {_W_TOK}*n_tok + {_W_UNIQ}*n_uniq
+                 + {_W_STOP}*n_stop AS DOUBLE) / 1000000.0))) AS prob, label
+  FROM f
+)
+SELECT LEAST(CAST(floor(prob * 10) AS BIGINT), 9) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST((SUM(CASE WHEN label THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS obs_rate_ppm
+FROM s GROUP BY 1
+"""
+
+
+@register("ml_calibration_bins", oracle=_CALIB_ORACLE)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram for the logistic head: predicted
+    probability binned into deciles, observed positive rate per bin — a
+    well-calibrated model's obs_rate tracks the bin midpoint; this is the
+    production check that a score threshold MEANS what it claims before
+    anyone sets business cutoffs on it. Binning floors a double both
+    engines compute from the identical expression (the logit is exact
+    integer micro-units underneath, so the sigmoid inputs are bit-equal);
+    the observed rate is an exact integer ppm.
+
+    Scale: one map stage + one bounded aggregate (≤10 groups) — the
+    evaluation twin of ``quantile_bucket_assignment``'s histogram
+    discipline, with zero sort and zero join."""
+    docs = t(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    f = docs.select(
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_uniq"),
+        F.size(F.filter(tk, lambda x: x.isin(*TX.STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.expr(_EVAL_LABEL).alias("label"),
+    )
+    s = f.select(
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        (
+                            F.lit(_W0)
+                            + F.lit(_W_TOK) * F.col("n_tok")
+                            + F.lit(_W_UNIQ) * F.col("n_uniq")
+                            + F.lit(_W_STOP) * F.col("n_stop")
+                        ).cast("double")
+                        / F.lit(1_000_000.0)
+                    )
+                )
+            )
+        ).alias("prob"),
+        "label",
+    )
+    return (
+        s.groupBy(
+            F.least(F.floor(F.col("prob") * 10).cast("long"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("(n_pos * 1000000) div n_docs").cast("long").alias("obs_rate_ppm"),
+        )
+    )

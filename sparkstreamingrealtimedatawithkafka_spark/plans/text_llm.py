@@ -3548,3 +3548,61 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 10)
+
+
+_NORM_DEDUP_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+              ' +', ' ', 'g')) AS k
+  FROM documents
+), g AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(MIN(doc_id) AS BIGINT) AS keeper
+  FROM norm GROUP BY k
+)
+SELECT group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_docs,
+       CAST(MIN(keeper) AS BIGINT) AS min_keeper
+FROM g GROUP BY group_size
+"""
+
+
+@register("dedup_exact_normalized", oracle=_NORM_DEDUP_ORACLE)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup — stage ZERO of every corpus
+    pipeline, upstream of MinHash: casefold, strip non-alphanumerics,
+    collapse whitespace, then hash-group the canonical key and keep the
+    smallest doc_id. Catches the trivial-variant duplicates (case,
+    punctuation, spacing) that near-dup LSH would spend real candidate
+    budget on; what survives goes to ``dedup_minhash_lsh``. Reported as
+    a group-size histogram (bounded output) plus keeper audit.
+
+    Scale: one shuffle keyed on the canonical text (same cost class as
+    ``dedup_exact_docs``); the normalization is three string expressions
+    inside the scan's codegen. At 100 TB the key should be
+    md5(canonical) rather than the canonical string itself — the
+    32-char shuffle-key trick the repeated-span miner uses — which
+    changes neither semantics nor this oracle."""
+    docs = t(spark, sf_dir, "documents")
+    k = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    g = (
+        docs.select("doc_id", k.alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+    return g.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+        F.min("keeper").alias("min_keeper"),
+    )

@@ -623,3 +623,18 @@ def test_poisson_bootstrap_no_python_no_window(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert plan.count("FileScan parquet") == 2  # replicate pass + point pass
+
+
+def test_confusion_metrics_single_scan(spark):
+    """All four confusion cells from ONE aggregate; metrics are row-local
+    arithmetic after it — no joins, no Python, no second scan."""
+    plan = _plan(spark, "ml_confusion_metrics")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_calibration_bounded_aggregate(spark):
+    plan = _plan(spark, "ml_calibration_bins")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan and "Sort" not in plan
