@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, t
+from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, sql_cents, t
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 
 _DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars int"
@@ -623,3 +623,89 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_milli").alias("sum_score_milli"),
         )
     )
+
+
+_MALFORMED_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                THEN {sql_cents('o_totalprice')} ELSE 0 END) AS BIGINT)
+         AS sum_cents_good,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_dropmalformed,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                THEN {sql_cents('o_totalprice')} ELSE 0 END) AS BIGINT)
+         AS sum_cents_dropmalformed
+FROM orders
+"""
+
+
+@register("source_csv_malformed_permissive", oracle=_MALFORMED_ORACLE)
+def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV error-path semantics — the ingest contract for dirty data:
+    every 7th order is written with a non-numeric amount field, then the
+    file is read back twice: PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` (malformed rows survive as NULLs + the
+    raw line in the corrupt column — countable, quarantineable, never
+    job-fatal) and DROPMALFORMED (malformed rows silently vanish — the
+    row-count delta IS the data-loss audit). The SURVEY §1.2 PERMISSIVE
+    posture and the ``variant_malformed_probes`` JSON twin, for CSV.
+
+    Scale: both reads are single-pass splittable line scans with
+    explicit schemas; the corruption audit is one aggregate. Production
+    quarantines ``_corrupt IS NOT NULL`` rows to a dead-letter sink —
+    that branch is this same DataFrame with a filter."""
+    o = t(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat_ws(
+            ",", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"),
+            F.lit("not_a_number"),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice").cast("string"),
+        )
+    )
+    path = _scratch("orders_dirty_csv")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = (
+        "o_orderkey LONG, o_orderstatus STRING, cents LONG, _corrupt STRING"
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    dropped = (
+        spark.read.schema("o_orderkey LONG, o_orderstatus STRING, cents LONG")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    p = permissive.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sum_cents_good"),
+    )
+    # Aggregate the cents column too: with CSV column pruning a bare
+    # COUNT(*) never parses the malformed field, so DROPMALFORMED drops
+    # nothing — the mode acts on the columns the query actually reads.
+    d = dropped.agg(
+        F.count(F.lit(1)).alias("n_after_dropmalformed"),
+        F.sum("cents").cast("long").alias("sum_cents_dropmalformed"),
+    )
+    return p.crossJoin(d)
