@@ -709,3 +709,54 @@ def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("cents").cast("long").alias("sum_cents_dropmalformed"),
     )
     return p.crossJoin(d)
+
+
+_DPP_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({sql_cents('"value"')}) AS BIGINT) AS sum_cents
+FROM events
+WHERE ((epoch_ns(ts)//1000) // 86400000000) % 5 = 2
+GROUP BY event_type
+"""
+
+
+@register("source_dynamic_partition_pruning", oracle=_DPP_ORACLE)
+def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the optimizer feature that makes
+    star-schema joins survive 100 TB: the fact table is laid out
+    partitioned by day, the dimension's filter (``label = 2``) is only
+    knowable at RUNTIME (it lives in another table, not the fact query),
+    and Spark injects the dim's surviving join keys as a partition filter
+    into the fact SCAN — so the fact side reads 1/5th of its directories
+    instead of all of them and filters nothing row-wise. Static pruning
+    (``sink_partitioned_parquet``) handles literal predicates; DPP
+    handles the join-shaped ones, which is what every date-dim warehouse
+    query actually is. The plan guard asserts ``dynamicpruning`` reached
+    the fact scan's partition filters.
+
+    Scale: pruning happens at planning/split-enumeration time — the win
+    is proportional to the partition selectivity (here 5×; on a 7-year
+    daily warehouse with a one-month campaign dim it's 85×) and costs
+    one broadcast of the dim keys."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        cents("value").alias("c"),
+        F.expr("ts_us div 86400000000").alias("day"),
+    )
+    fact_path = _scratch("events_by_day")
+    dim_path = _scratch("day_dim")
+    ev.write.mode("overwrite").partitionBy("day").parquet(fact_path)
+    ev.select("day").distinct().withColumn(
+        "label", F.col("day") % 5
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == 2)
+    return (
+        fact.join(dim, "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+        )
+    )

@@ -4959,3 +4959,47 @@ def sql_parameterized_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": 150000.0, "since": "1995-01-01"},
     )
+
+
+_HINTS_ORACLE = f"""
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o.o_totalprice')}) AS BIGINT) AS sum_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("sql_join_hints", oracle=_HINTS_ORACLE)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy hints — the manual override lane for when statistics
+    mislead the planner: ``SHUFFLE_HASH`` forces the orders⋈customer join
+    to hash (what you pick when the build side fits executor memory but
+    exceeds the broadcast threshold — skips both the sort and the
+    driver round-trip), and ``MERGE`` forces nation into a sort-merge
+    join that broadcasting would otherwise win (the defensive choice
+    when a "small" table's size estimate is a lie). The plan guard
+    asserts BOTH strategies actually planned — a hint Spark ignores is
+    worse than none, because the reader believes it.
+
+    Hints change the PHYSICAL strategy only; results are identical by
+    construction, which is exactly what the oracle (the unhinted query)
+    certifies."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_h")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_h")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_h")
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_HASH(c), MERGE(n) */
+               n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM orders_h o
+        JOIN customer_h c ON c.c_custkey = o.o_custkey
+        JOIN nation_h n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )

@@ -982,3 +982,119 @@ def streaming_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = from_agg.unionAll(from_raw).localCheckpoint()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+_DLQ_ORACLE = f"""
+WITH d AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN 'negative_value'
+              WHEN event_id % 13 = 0 THEN 'unknown_type'
+              ELSE 'ok' END AS reason,
+         CASE WHEN event_id % 11 = 0 THEN -100
+              ELSE {sql_cents('"value"')} END AS cents
+  FROM events
+)
+SELECT CASE WHEN reason = 'ok' THEN 'good' ELSE 'dlq' END AS sink,
+       reason,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("streaming_dead_letter_queue", oracle=_DLQ_ORACLE)
+def streaming_dead_letter_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter queue — the quarantine pattern every
+    production ingest needs: each micro-batch is validated row-wise
+    (domain and range rules), valid rows land in the good sink, invalid
+    rows land in a DLQ sink WITH their rejection reason — never dropped
+    (silent loss), never fatal (one poison message must not kill the
+    pipeline; the reference's fail-soft-``[]`` UDF contract at
+    pipeline granularity). Corruption is injected deterministically so
+    the oracle can replay the triage.
+
+    Both sinks partition by batch_id with dynamic partition overwrite —
+    the ``streaming_multi_sink_fanout`` idempotence posture — so replays
+    re-triage rather than duplicate. The result re-derives per-reason
+    totals from BOTH sinks; the oracle checks the full mass balance
+    (every input row is in exactly one sink with the right reason).
+
+    Scale: validation is a CASE expression inside the batch's scan; each
+    fork is one filtered append. The DLQ stays small by construction —
+    its size GROWING is the alert condition."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        as_stream_dir,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(-100))
+        .otherwise(F.round(F.col("value") * 100, 0).cast("long"))
+        .alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="ssk_dlq_")
+    files = []
+    for i in range(3):
+        slice_dir = f"{work}/slice{i}"
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(slice_dir)
+        files.extend(_glob.glob(f"{slice_dir}/part-*.parquet"))
+    stream_dir = as_stream_dir(*files)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("cents", LongType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    reason = (
+        F.when(F.col("event_id") % 11 == 0, "negative_value")
+        .when(F.col("event_id") % 13 == 0, "unknown_type")
+        .otherwise("ok")
+    )
+
+    def triage(batch_df, batch_id: int) -> None:
+        tagged = batch_df.withColumn("reason", reason).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        for sink, pred in (("good", "reason = 'ok'"), ("dlq", "reason <> 'ok'")):
+            (
+                tagged.filter(pred)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{work}/{sink}")
+            )
+
+    q = (
+        raw.writeStream.foreachBatch(triage)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _summarize(sink: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{work}/{sink}")
+            .groupBy("reason")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(sink).alias("sink"), "reason", "n_events", "sum_cents")
+        )
+
+    result = _summarize("good").unionAll(_summarize("dlq")).localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
+    return result

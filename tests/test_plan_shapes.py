@@ -638,3 +638,19 @@ def test_calibration_bounded_aggregate(spark):
     plan = _plan(spark, "ml_calibration_bins")
     assert "EvalPython" not in plan
     assert "Join" not in plan and "Sort" not in plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark):
+    """The dim filter must inject a dynamicpruning expression into the
+    fact scan's partition filters — without it the fact side reads every
+    day directory and DPP silently degraded to a plain join."""
+    plan = _plan(spark, "source_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_join_hints_are_honored(spark):
+    """SHUFFLE_HASH(c) must plan a ShuffledHashJoin and MERGE(n) a
+    SortMergeJoin — a silently ignored hint is worse than none."""
+    plan = _plan(spark, "sql_join_hints")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
