@@ -270,13 +270,41 @@ def encode_audio_pcm16(
     return df.mapInArrow(op, schema="doc_id bigint, blob binary")
 
 
+def parse_wav_pcm16(b: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE PCM16 container: (sample_rate, int64 samples).
+    Walks the chunk list (tolerating extra chunks before ``data``),
+    parses ``fmt ``; compressed formats / non-WAVE containers raise
+    ``NotImplementedError`` loudly. Pure function of the bytes."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unsupported audio container {b[:4]!r}: only "
+            "RIFF/WAVE has a built-in codec"
+        )
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, _channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 supported (fmt={fmt_tag}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or rate is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
 def decode_audio(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
-    """REAL audio decode for RIFF/WAVE PCM16 via ``mapInArrow``: walks the
-    chunk list (tolerating extra chunks before ``data``), parses ``fmt ``,
-    and reduces samples to exact integer stats (n, sum|x|, max|x|) — no
-    float accumulation, so the oracle replay is hash-exact. Compressed
-    formats (non-PCM ``fmt``, non-WAVE containers) raise
-    ``NotImplementedError`` loudly."""
+    """REAL audio decode for RIFF/WAVE PCM16 via ``mapInArrow``
+    (``parse_wav_pcm16``), reducing samples to exact integer stats
+    (n, sum|x|, max|x|) — no float accumulation, so the oracle replay is
+    hash-exact."""
 
     def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -284,30 +312,7 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
             blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
             rates, ns, sums, maxs = [], [], [], []
             for raw in blobs:
-                b = bytes(raw)
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise NotImplementedError(
-                        f"unsupported audio container {b[:4]!r}: only "
-                        "RIFF/WAVE has a built-in codec"
-                    )
-                pos, rate, bits, channels, data = 12, None, None, None, None
-                while pos + 8 <= len(b):
-                    cid = b[pos : pos + 4]
-                    (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-                    body = b[pos + 8 : pos + 8 + size]
-                    if cid == b"fmt ":
-                        fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
-                        (bits,) = struct.unpack("<H", body[14:16])
-                        if fmt_tag != 1 or bits != 16:
-                            raise NotImplementedError(
-                                f"only PCM16 supported (fmt={fmt_tag}, bits={bits})"
-                            )
-                    elif cid == b"data":
-                        data = body
-                    pos += 8 + size + (size & 1)  # chunks are word-aligned
-                if data is None or rate is None:
-                    raise ValueError("WAV missing fmt/data chunk")
-                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                rate, samples = parse_wav_pcm16(bytes(raw))
                 rates.append(rate)
                 ns.append(len(samples))
                 sums.append(int(np.abs(samples).sum()))
@@ -487,3 +492,53 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -
             )
 
     return df.mapInArrow(op, schema=DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, h1 bigint, h2 bigint"
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    frame: int = 4,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Amplitude-invariant audio fingerprint (the dHash idea in the time
+    domain): frame energies E_k = Σ|x| per ``frame`` samples, one bit per
+    adjacent-energy comparison ``E_{k+1} > E_k``, packed little-endian
+    into two BIGINT lanes (up to 64 bits; extra frames ignored). A
+    volume-scaled copy multiplies every E_k by the same factor, so the
+    comparison bits — and the fingerprint — are IDENTICAL: the invariance
+    that makes this a dedup key across re-encoded/normalized uploads.
+    Pure function of the bytes, replayable by a SQL oracle."""
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index(blob_col)).to_pylist()
+            h1s, h2s = [], []
+            for raw in blobs:
+                _rate, samples = parse_wav_pcm16(bytes(raw))
+                n_frames = len(samples) // frame
+                e = (
+                    np.abs(samples[: n_frames * frame])
+                    .reshape(n_frames, frame)
+                    .sum(axis=1)
+                )
+                bits = (e[1:] > e[:-1])[:64]
+                weights = np.left_shift(
+                    np.int64(1), np.arange(bits.size, dtype=np.int64) % 32
+                )
+                vals = bits.astype(np.int64) * weights
+                h1s.append(int(vals[:32].sum()))
+                h2s.append(int(vals[32:64].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(h1s, pa.int64()),
+                    pa.array(h2s, pa.int64()),
+                ],
+                names=["doc_id", "h1", "h2"],
+            )
+
+    return df.mapInArrow(op, schema=AUDIO_FP_SCHEMA)

@@ -5003,3 +5003,118 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+_IVM_JOIN_ORACLE = f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o.o_totalprice')}) AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("incremental_join_maintenance", oracle=_IVM_JOIN_ORACLE)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN maintenance — the delta-join identity that
+    completes the IVM pair with ``incremental_agg_maintenance``: with
+    order deltas ΔO and customer deltas ΔC arriving together,
+
+        (O ∪ ΔO) ⋈ (C ∪ ΔC) = (O ⋈ C) ∪ (ΔO ⋈ C) ∪ ((O ∪ ΔO) ⋈ ΔC)
+
+    — the maintained view is the OLD result plus two delta-sized joins;
+    each input row lands in exactly one term (ΔO⋈C covers new-order ×
+    old-customer, the last term covers everything touching a new
+    customer), so the union is disjoint and needs no dedup. The oracle
+    is the full recompute, proving the identity on real data.
+
+    Scale: the nightly 100 TB fact⋈dim recompute becomes two joins whose
+    LEFT sides are delta-sized (the big sides are probed, not rebuilt);
+    with the view stored group-aggregated (as here), the refresh merges
+    group-wise exactly like the agg-IVM entry. This is the algebra
+    Materialize/DBSP run continuously, expressed as two DataFrame
+    joins."""
+    o = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    c = cents("o_totalprice")
+    o_base, o_delta = (
+        o.filter(F.col("o_orderkey") % 16 != 0),
+        o.filter(F.col("o_orderkey") % 16 == 0),
+    )
+    c_base, c_delta = (
+        cu.filter(F.col("c_custkey") % 16 != 0),
+        cu.filter(F.col("c_custkey") % 16 == 0),
+    )
+
+    def state(join_df):
+        return join_df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(c).alias("sum_cents"),
+        )
+
+    old_view = state(
+        o_base.join(c_base, o_base.o_custkey == c_base.c_custkey)
+    ).localCheckpoint()
+    d1 = state(o_delta.join(c_base, o_delta.o_custkey == c_base.c_custkey))
+    d2 = state(o.join(c_delta, o.o_custkey == c_delta.c_custkey))
+    return (
+        old_view.unionByName(d1)
+        .unionByName(d2)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+_CACHE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority, {sql_cents('o_totalprice')} AS c
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(c) AS BIGINT) AS sum_cents,
+       CAST(MAX(c) AS BIGINT) AS max_cents
+FROM base GROUP BY o_orderpriority
+"""
+
+
+@register("sql_table_cache", oracle=_CACHE_ORACLE)
+def sql_table_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CACHE TABLE ... AS SELECT`` — the explicit materialization lane
+    for a hot intermediate consumed by many downstream queries: the
+    filtered projection is computed once into the columnar in-memory
+    store (compressed batches, partition-local) and later plans read
+    ``InMemoryTableScan`` instead of re-running the scan+filter. The
+    guard asserts the cache is actually IN the plan — a missed cache is
+    a silent full recompute. ``UNCACHE`` is the contract's other half:
+    caches pin executor storage memory, so ownership of the release is
+    part of the pattern (the entry uncaches in a finally-posture after
+    materializing its result).
+
+    Scale: caching trades storage memory for repeated scan cost — right
+    for dimension-sized or aggressively-filtered intermediates, WRONG
+    for anything fact-sized (it evicts and thrashes; at 100 TB you
+    persist hot intermediates as TABLES — the band-index/IVM pattern —
+    and let the page cache do its job)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_cache_src")
+    spark.sql("UNCACHE TABLE IF EXISTS orders_hot")
+    spark.sql(
+        """
+        CACHE TABLE orders_hot AS
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS c
+        FROM orders_cache_src WHERE o_orderstatus = 'O'
+        """
+    )
+    result = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(c) AS BIGINT) AS sum_cents,
+               CAST(MAX(c) AS BIGINT) AS max_cents
+        FROM orders_hot GROUP BY o_orderpriority
+        """
+    ).localCheckpoint()
+    spark.sql("UNCACHE TABLE orders_hot")
+    return result

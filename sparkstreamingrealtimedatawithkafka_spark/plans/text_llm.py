@@ -22,6 +22,7 @@ from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
     decode_audio,
     decode_binary_features,
     decode_image,
+    audio_fingerprint,
     encode_audio_pcm16,
     image_dhash,
     resize_image,
@@ -3605,4 +3606,83 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("group_size").alias("n_docs"),
         F.min("keeper").alias("min_keeper"),
+    )
+
+
+_AUDIO_FP_SAMPLE = "(((doc_id // 4) * 31 + i * 7919) % 8192 - 4096) * (doc_id % 4 + 1)"
+
+_AUDIO_FP_ORACLE = f"""
+WITH syn AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(generate_series(0, 255), i -> {_AUDIO_FP_SAMPLE}) AS s
+  FROM documents
+), e AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           k -> abs(s[4*k+1]) + abs(s[4*k+2]) + abs(s[4*k+3]) + abs(s[4*k+4]))
+           AS e
+  FROM syn
+), h AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(0, 31),
+      k -> CASE WHEN e[k+2] > e[k+1]
+           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h1,
+    CAST(list_sum(list_transform(generate_series(32, 62),
+      k -> CASE WHEN e[k+2] > e[k+1]
+           THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)) AS BIGINT) AS h2
+  FROM e
+)
+SELECT h1, h2, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_dup_pairs
+FROM h GROUP BY h1, h2 HAVING COUNT(*) >= 2
+"""
+
+
+@register("multimodal_audio_fingerprint", oracle=_AUDIO_FP_ORACLE)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection by amplitude-invariant energy
+    fingerprint — the audio twin of ``multimodal_image_dhash``: waveforms
+    arrive in 4-member families that differ ONLY in volume (each member
+    is the base signal scaled 1-4×, the commonest real-world re-upload
+    transform), go through the REAL codec chain — PCM16 samples packed
+    into genuine RIFF/WAVE containers (``encode_audio_pcm16``), parsed
+    back (``parse_wav_pcm16``) — and are fingerprinted by the SIGN of
+    adjacent frame-energy deltas (63 bits over 64 four-sample frames).
+    Volume scaling multiplies every frame energy by the same factor and
+    preserves ties, so family members produce bit-identical fingerprints
+    and dedup is an exact hash-group — no banding needed. The oracle
+    replays synthesis → framing → bit packing in SQL, so the container
+    round-trip is hash-verified.
+
+    Scale: per clip O(n_samples) inside one Arrow-batched map; the dedup
+    is ONE shuffle on a 16-byte key (the ``dedup_exact_docs`` cost
+    class). Production swaps the synthetic waveforms for real uploads
+    and the energy frames for spectral bands — the dataflow, invariance
+    argument, and exact-integer discipline are unchanged."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    syn = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 255), i -> CAST("
+            "(((doc_id div 4) * 31 + i * 7919) % 8192 - 4096)"
+            " * (doc_id % 4 + 1) AS INT))"
+        ).alias("samples"),
+    )
+    wav = encode_audio_pcm16(syn, sample_rate=8000)
+    fp = audio_fingerprint(wav)
+    return (
+        fp.groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "h1",
+            "h2",
+            "n_docs",
+            "min_doc",
+            F.expr("n_docs * (n_docs - 1) div 2").alias("n_dup_pairs"),
+        )
     )

@@ -654,3 +654,28 @@ def test_join_hints_are_honored(spark):
     plan = _plan(spark, "sql_join_hints")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_cache_table_plans_in_memory_scan(spark):
+    """The CACHE TABLE intermediate must be read via InMemoryTableScan —
+    a missed cache is a silent full recompute. Planned directly (the
+    entry localCheckpoints its result, which hides the upstream plan)."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+
+    t(spark, SF_DIR, "orders").createOrReplaceTempView("orders_cache_src")
+    spark.sql("UNCACHE TABLE IF EXISTS orders_hot_t")
+    spark.sql(
+        "CACHE TABLE orders_hot_t AS SELECT o_orderpriority,"
+        " CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS c"
+        " FROM orders_cache_src WHERE o_orderstatus = 'O'"
+    )
+    try:
+        df = spark.sql(
+            "SELECT o_orderpriority, COUNT(*) AS n FROM orders_hot_t GROUP BY 1"
+        )
+        df.collect()  # AQE: the cache stage appears in the FINAL plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryRelation" in plan  # Spark 4: 'Scan In-memory table'
+        assert "TableCacheQueryStage" in plan
+    finally:
+        spark.sql("UNCACHE TABLE orders_hot_t")
