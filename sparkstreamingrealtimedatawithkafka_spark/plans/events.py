@@ -1874,3 +1874,171 @@ def events_outlier_mad_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+_CLAMP_ORACLE = """
+WITH x AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS us, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value*100,0) AS BIGINT)
+              WHEN event_type = 'error'
+              THEN -CAST(ROUND(value*100,0) AS BIGINT)
+              ELSE 0 END AS delta
+  FROM events
+), s0 AS (
+  SELECT user_id, us, event_id, delta,
+         SUM(delta) OVER w AS run_sum
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT user_id, us, event_id, delta, run_sum,
+         MIN(run_sum) OVER w AS run_min
+  FROM s0
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), b AS (
+  SELECT user_id, us, event_id, delta,
+         run_sum - LEAST(CAST(0 AS BIGINT), run_min) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rk
+  FROM s
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(MAX(bal) AS BIGINT) AS max_balance_c,
+       CAST(MAX(CASE WHEN rk = 1 THEN bal END) AS BIGINT) AS final_balance_c,
+       CAST(SUM(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_floor_hits
+FROM b GROUP BY user_id
+"""
+
+
+@register("events_clamped_running_balance", oracle=_CLAMP_ORACLE)
+def events_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-at-zero running balance — the credit/inventory recurrence
+    ``b_t = max(0, b_{t-1} + x_t)`` that LOOKS inherently sequential (each
+    row depends on the previous clamp) but has the closed form
+
+        b_t = S_t - min(0, min_{k<=t} S_k)
+
+    over plain prefix sums S: once the balance floors at zero the deficit
+    is forgiven, and "total forgiven so far" is exactly the most negative
+    prefix. So the recurrence becomes TWO stacked windows (running sum,
+    then running min of it) — both partitioned by user and
+    merge-computable, no sequential scan, no UDF. Purchases credit the
+    account in cents, errors debit it; ``n_floor_hits`` counts debits
+    absorbed by the floor.
+
+    Scale: windows are per-user (keyed partitions, no global ordering);
+    the identity is what turns a "must replay history in order" pattern
+    into one exchange on the key — the same trick pack_blocks plays for
+    global offsets. At 100 TB the only concern is a single user's history
+    exceeding a partition, the standard mitigations (epoch checkpointing
+    the balance, carrying S/min-S per epoch) compose because both
+    statistics are associative."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents("value"))
+        .when(F.col("event_type") == "error", -cents("value"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("delta"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = ev.withColumn("run_sum", F.sum("delta").over(w))
+    b = s.withColumn("run_min", F.min("run_sum").over(w)).withColumn(
+        "bal", F.col("run_sum") - F.least(F.lit(0).cast("long"), F.col("run_min"))
+    )
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("bal").alias("max_balance_c"),
+        F.max_by("bal", F.struct("ts_us", "event_id")).alias("final_balance_c"),
+        F.sum(
+            F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1).otherwise(0)
+        ).alias("n_floor_hits"),
+    )
+
+
+_CEP_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         STRING_AGG(CASE event_type WHEN 'signup' THEN 's'
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'view' THEN 'v'
+                                    WHEN 'purchase' THEN 'p'
+                                    ELSE 'e' END, ''
+                    ORDER BY epoch_ns(ts)//1000, event_id) AS path,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(LENGTH(REGEXP_REPLACE(path, 's[cv]*p', '#', 'g'))
+            - LENGTH(REGEXP_REPLACE(path, 's[cv]*p', '', 'g')) AS BIGINT)
+         AS n_conversions,
+       CAST(CASE WHEN REGEXP_MATCHES(path, 'e{2}') THEN 1 ELSE 0 END AS BIGINT)
+         AS has_error_burst
+FROM seq
+"""
+
+
+@register("events_cep_pattern", oracle=_CEP_ORACLE)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the Flink CEP /
+    MATCH_RECOGNIZE shape) expressed as a per-key ordered symbol string +
+    regex: each user's event history becomes a compact path string (one
+    char per event, time-ordered), and the pattern "signup, then any
+    clicks/views, then purchase" is the regex ``s[cv]*p`` — counted
+    non-overlapping (both engines scan leftmost-greedy, and the count is
+    measured as the length drop from deleting matches vs replacing them
+    with one sentinel char). ``e{2}`` flags users with back-to-back
+    errors. The symbol encoding is the design point: pattern semantics
+    live in ONE regex, not a join pyramid — compare
+    ``events_funnel_conversion``, the 3-stage join formulation of the
+    same question.
+
+    Scale: one exchange on user_id; the path string is bounded by
+    per-user history (chars, not structs). For unbounded histories the
+    production form sessionizes first (events_session_window) so each
+    matched string is session-sized; the regex pass itself is
+    whole-stage-codegen string work, no UDF."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("s"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "view", F.lit("v"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .otherwise(F.lit("e"))
+        .alias("code"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "code"))),
+                lambda x: x["code"],
+            ),
+            "",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        (
+            F.length(F.regexp_replace("path", r"s[cv]*p", "#"))
+            - F.length(F.regexp_replace("path", r"s[cv]*p", ""))
+        )
+        .cast("long")
+        .alias("n_conversions"),
+        F.when(F.col("path").rlike("e{2}"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("has_error_burst"),
+    )
