@@ -2042,3 +2042,187 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("has_error_burst"),
     )
+
+
+_CUT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z, mid-fixture
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+           AS arm,
+         CAST(COALESCE(SUM(CASE WHEN epoch_ns(ts)//1000 < {_CUT_US}
+             THEN CAST(ROUND(value*100,0) AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch_ns(ts)//1000 >= {_CUT_US}
+                            AND event_type = 'purchase'
+             THEN CAST(ROUND(value*100,0) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(x*y) AS HUGEINT) AS sxy
+  FROM u GROUP BY arm
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS gn,
+         CAST(SUM(sx) AS BIGINT) AS gsx, CAST(SUM(sy) AS BIGINT) AS gsy,
+         CAST(SUM(sxx) AS HUGEINT) AS gsxx, CAST(SUM(sxy) AS HUGEINT) AS gsxy
+  FROM m
+), th AS (
+  SELECT gn, gsx,
+         (CAST(gsxy AS DOUBLE)*gn - CAST(gsx AS DOUBLE)*gsy)
+         / (CAST(gsxx AS DOUBLE)*gn - CAST(gsx AS DOUBLE)*gsx) AS theta
+  FROM g
+)
+SELECT arm, n AS n_users,
+  ROUND(CAST(sy AS DOUBLE)/n/100.0, 4) AS mean_y_dollars,
+  ROUND((CAST(sy AS DOUBLE)/n
+         - theta*(CAST(sx AS DOUBLE)/n - CAST(gsx AS DOUBLE)/gn))/100.0, 4)
+    AS cuped_mean_y_dollars,
+  ROUND(theta, 6) AS theta
+FROM m CROSS JOIN th
+"""
+
+
+@register("ab_cuped_adjustment", oracle=_CUPED_ORACLE)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the
+    experimentation-platform estimator that shrinks A/B confidence
+    intervals using pre-experiment behavior: adjusted metric
+    Y' = Y - theta*(X - mean(X)) with theta = cov(X,Y)/var(X), where X is
+    each user's PRE-cutoff spend and Y their post-cutoff purchase spend
+    (arms assigned by the engine-portable md5 split). The design point is
+    that because the adjustment is LINEAR, per-arm adjusted means need no
+    second pass over users: mean(Y')_arm = mean(Y)_arm -
+    theta*(mean(X)_arm - mean(X)); everything reduces to per-arm exact
+    integer moments (n, Sx, Sy, Sxx, Sxy) from ONE shuffle on user_id,
+    a two-row arm table, and a one-row broadcast of global moments —
+    theta and the means are then expression-identical double algebra on
+    both engines (the ``ab_test_welch_t`` discipline).
+
+    Scale: one user-keyed exchange over the facts regardless of arm
+    count; the moment tables are O(arms) and broadcast. This is the
+    production shape: CUPED at 100 TB is exactly "one pass to per-user
+    (X, Y), one pass to moments"."""
+    ev = t(spark, sf_dir, "events")
+    c = cents("value")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts_us") < _CUT_US, c)), F.lit(0)
+        ).cast("long").alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("ts_us") >= _CUT_US)
+                    & (F.col("event_type") == "purchase"),
+                    c,
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        ).otherwise("B"),
+    )
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    g = m.agg(
+        F.sum("n").alias("gn"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sy").alias("gsy"),
+        F.sum("sxx").alias("gsxx"),
+        F.sum("sxy").alias("gsxy"),
+    )
+    th = g.select(
+        "gn",
+        "gsx",
+        (
+            (F.col("gsxy").cast("double") * F.col("gn") - F.col("gsx").cast("double") * F.col("gsy"))
+            / (F.col("gsxx").cast("double") * F.col("gn") - F.col("gsx").cast("double") * F.col("gsx"))
+        ).alias("theta"),
+    )
+    return m.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.round(F.col("sy").cast("double") / F.col("n") / 100.0, 4).alias(
+            "mean_y_dollars"
+        ),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - F.col("theta")
+                * (F.col("sx").cast("double") / F.col("n") - F.col("gsx").cast("double") / F.col("gn"))
+            )
+            / 100.0,
+            4,
+        ).alias("cuped_mean_y_dollars"),
+        F.round("theta", 6).alias("theta"),
+    )
+
+
+_SURVIVAL_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         CAST((MAX(epoch_ns(ts)//1000)//86400000000
+               - MIN(epoch_ns(ts)//1000)//86400000000)//7 AS BIGINT) AS wk
+  FROM events GROUP BY user_id
+), died AS (
+  SELECT wk, COUNT(*) AS n_died FROM life GROUP BY wk
+)
+SELECT wk AS week, n_died,
+       CAST(SUM(n_died) OVER (ORDER BY wk DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_at_risk,
+       CAST(n_died * 1000000 // SUM(n_died) OVER (ORDER BY wk DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS hazard_ppm
+FROM died
+"""
+
+
+@register("events_survival_hazard", oracle=_SURVIVAL_ORACLE)
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis (the life-table / Kaplan-Meier
+    input): per user, observed lifetime in whole weeks (first to last
+    activity day); per week k, how many users "died" (lifetime == k), how
+    many were still at risk (lifetime >= k, the suffix sum), and the
+    exact-integer hazard d_k/n_k in ppm. The KM survival curve is the
+    running product S_k = prod_{j<=k}(1 - h_j) — derivable downstream
+    from this table's handful of rows; emitting exact hazards instead of
+    the float product is what keeps the result hash-portable.
+
+    Scale: one user-keyed exchange to lifetimes, one vocabulary-sized
+    shuffle to the week table; the suffix-sum window runs over #weeks
+    rows (bounded by calendar, not data — the quantile-bucket-table
+    argument), so nothing here grows with volume except the first
+    map-side-combinable pass."""
+    ev = t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.expr(
+            "(MAX(ts_us div 86400000000) - MIN(ts_us div 86400000000)) div 7"
+        ).alias("wk")
+    )
+    died = life.groupBy("wk").agg(F.count(F.lit(1)).alias("n_died"))
+    w = (
+        W.orderBy(F.desc("wk"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return died.select(
+        F.col("wk").alias("week"),
+        "n_died",
+        F.sum("n_died").over(w).alias("n_at_risk"),
+        F.expr(
+            "n_died * 1000000 div SUM(n_died) OVER (ORDER BY wk DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("hazard_ppm"),
+    )
