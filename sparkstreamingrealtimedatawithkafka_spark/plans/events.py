@@ -2226,3 +2226,55 @@ def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ).alias("hazard_ppm"),
     )
+
+
+_MARKOV_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)//1000, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_ppm
+FROM pairs
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences —
+    the sequence-model statistic behind next-action prediction, anomaly
+    scoring (improbable transitions), and the CEP entry's pattern design:
+    per user, adjacent event pairs via LAG on the time-ordered history;
+    per (prev, next) state pair, the count and the exact-integer row-
+    normalized transition probability in ppm (``events_cep_pattern``
+    consumes individual paths; this is their aggregate dynamics).
+
+    Scale: the LAG window is user-partitioned (one keyed exchange over
+    the facts, no global order); the pair table is |states|² — a
+    vocabulary-bounded result whose normalizing window runs over at most
+    |states| rows per partition. The classic trap here is normalizing
+    with a second join back to per-prev totals — the window over the
+    TINY pair table does it in-place."""
+    ev = t(spark, sf_dir, "events")
+    ws = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(ws).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr(
+            "n * 1000000 div SUM(n) OVER (PARTITION BY prev_type)"
+        ).alias("p_ppm"),
+    )

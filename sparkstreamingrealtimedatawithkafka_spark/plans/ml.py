@@ -1249,3 +1249,148 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_pos * 1000000) div n_docs").cast("long").alias("obs_rate_ppm"),
         )
     )
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:
+    head = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sup AS (
+  SELECT GREATEST(2, (COUNT(DISTINCT l_orderkey) * 13) // 1000000) AS min_n
+  FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), e0 AS (
+  SELECT pa AS src, pb AS dst FROM p, sup WHERE n >= min_n
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM p, sup WHERE n >= min_n
+)"""
+    steps = "".join(
+        f""", d{i} AS (SELECT src, COUNT(*) AS deg FROM e{i-1} GROUP BY src)
+, k{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {k})
+, e{i} AS (SELECT x.src, x.dst FROM e{i-1} x
+           JOIN k{i} a ON x.src = a.node JOIN k{i} c ON x.dst = c.node)"""
+        for i in range(1, rounds + 1)
+    )
+    tail = "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, COUNT(DISTINCT src) AS n_nodes,"
+        f" COUNT(*) AS n_edges,"
+        f" CAST(COALESCE(SUM(src), 0) AS BIGINT) AS sum_src FROM e{i}"
+        for i in range(rounds + 1)
+    )
+    return head + steps + "\n" + tail
+
+
+@register("graph_kcore", oracle=_kcore_oracle(4, 3))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman's degeneracy
+    algorithm, the dense-subgraph extractor behind community seeding and
+    spam-cluster mining): repeatedly drop nodes with degree < k and the
+    edges touching them, reporting (n_nodes, n_edges, sum_src) after each
+    of 3 peels of the 4-core over the co-purchase graph. Peeling is the
+    interesting part distributionally — removing a node LOWERS its
+    neighbors' degrees, so each round is degree-count + two semi-joins of
+    the edge list against the survivor set, and the fixture graph
+    genuinely peels (sf0.01: 1.9k nodes -> 243 over three rounds).
+
+    Scale: per round one groupBy on src plus survivor semi-joins keyed on
+    the same column; the edge list is localCheckpointed per round so the
+    next round's three references replay a materialized artifact, not the
+    growing join pyramid ([[self-referencing-plan-recompute]]). Round
+    count is a FIXED unroll like the PageRank/BFS entries; production
+    runs peel-to-fixpoint with the O(1)-scalar convergence probe
+    ``dedup_cc_clusters`` uses. Edge semantics are volume-relative via
+    ``copurchase_edges`` so the peel depth is scale-stable."""
+    li = t(spark, sf_dir, "lineitem")
+    e = copurchase_edges(li).localCheckpoint()
+
+    def stats(edges: DataFrame, rnd: int) -> DataFrame:
+        return edges.agg(
+            F.count_distinct(F.col("src")).alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(F.sum("src"), F.lit(0)).alias("sum_src"),
+        ).select(F.lit(rnd).cast("long").alias("round"), "n_nodes", "n_edges", "sum_src")
+
+    out = stats(e, 0)
+    for rnd in range(1, 4):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 4)
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        out = out.unionByName(stats(e, rnd))
+    return out
+
+
+_QNORM_ORACLE = """
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), v AS (
+  SELECT lang, n_chars, ((rk - 1) * 20) // n AS ventile FROM r
+), ref AS (
+  SELECT ventile, CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS ref_chars
+  FROM v GROUP BY ventile
+)
+SELECT v.lang, v.ventile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(v.n_chars) // COUNT(*) AS BIGINT) AS mean_raw_chars,
+       CAST(MIN(ref.ref_chars) AS BIGINT) AS ref_chars
+FROM v JOIN ref ON v.ventile = ref.ventile
+GROUP BY v.lang, v.ventile
+"""
+
+
+@register("ml_quantile_normalize", oracle=_QNORM_ORACLE)
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups (the microarray/bioinformatics
+    standard, used in ML feature pipelines to force identical marginal
+    distributions): each document is ranked WITHIN its language, ranks
+    are bucketed into 20 ventiles, and every ventile maps to the
+    cross-language reference value (exact integer mean of that ventile's
+    members over all groups). The emitted table is the normalization map
+    per (lang, ventile): group-local mean vs the reference it would be
+    replaced by — distribution shape differences between languages show
+    up as mean_raw != ref at the same ventile.
+
+    Scale: the rank windows are PARTITIONED by group (never global); the
+    reference table is 20 rows and broadcasts back; both aggregations are
+    map-side-combinable. This is the discrete form of QN — fixed bucket
+    count rather than per-rank interpolation — precisely so the map table
+    stays vocabulary-sized and the arithmetic stays exact-integer at any
+    corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    wr = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    v = r.select(
+        "lang", "n_chars", F.expr("((rk - 1) * 20) div n").alias("ventile")
+    )
+    ref = v.groupBy("ventile").agg(
+        F.expr("SUM(n_chars) div COUNT(*)").alias("ref_chars")
+    )
+    return (
+        v.join(F.broadcast(ref), "ventile")
+        .groupBy("lang", "ventile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(n_chars) div COUNT(*)").alias("mean_raw_chars"),
+            F.min("ref_chars").alias("ref_chars"),
+        )
+        .select("lang", "ventile", "n_docs", "mean_raw_chars", "ref_chars")
+    )
