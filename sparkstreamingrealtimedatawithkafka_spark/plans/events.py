@@ -2129,13 +2129,16 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "A",
         ).otherwise("B"),
     )
+    # referenced by BOTH the theta derivation and the final select —
+    # localCheckpoint the 2-row arm table so the fact scan runs once
+    # ([[self-referencing-plan-recompute]])
     m = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
-    )
+    ).localCheckpoint()
     g = m.agg(
         F.sum("n").alias("gn"),
         F.sum("sx").alias("gsx"),

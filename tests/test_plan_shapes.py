@@ -679,3 +679,40 @@ def test_cache_table_plans_in_memory_scan(spark):
         assert "TableCacheQueryStage" in plan
     finally:
         spark.sql("UNCACHE TABLE orders_hot_t")
+
+
+def test_clamped_balance_windows_are_user_partitioned(spark):
+    """events_clamped_running_balance: both stacked windows (running sum,
+    running min of it) must carry user_id in their partition spec — the
+    closed-form identity only beats the sequential recurrence if the
+    windows stay keyed; an unpartitioned window here would serialize the
+    whole fact table."""
+    import re
+
+    plan = _plan(spark, "events_clamped_running_balance")
+    assert re.search(r"windowspecdefinition\(user_id#\d+L", plan)
+    # no window without a partition column (bare orderBy over the facts)
+    assert not re.search(r"windowspecdefinition\((?:ts_us|event_id)#\d+L", plan)
+
+
+def test_markov_normalizes_in_window_not_join(spark):
+    """events_markov_transitions: one scan of the fact table (LAG +
+    pair-count), with the per-prev normalization done by a window over
+    the vocabulary-sized pair table — not a join back to a second
+    aggregate (which would re-scan events)."""
+    plan = _plan(spark, "events_markov_transitions")
+    assert plan.count("events.parquet") <= plan.count("Scan parquet")
+    assert sum(
+        "events.parquet" in ln for ln in plan.splitlines() if "Scan parquet" in ln
+    ) == 1
+    assert "Join" not in plan.split("HashAggregate")[0]  # no join above the pairs agg
+
+
+def test_quantile_normalize_ref_broadcasts(spark):
+    """ml_quantile_normalize: the 20-row ventile reference table must come
+    back via BroadcastHashJoin; rank windows must be partitioned by lang."""
+    import re
+
+    plan = _plan(spark, "ml_quantile_normalize")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"windowspecdefinition\(lang#\d+", plan)
