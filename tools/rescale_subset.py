@@ -63,6 +63,9 @@ def main() -> None:
         "lpa_4rounds": (lambda: sc.lpa_shape(li1), lambda: sc.lpa_shape(li10)),
         "image_dhash": (lambda: sc.dhash_shape(docs1), lambda: sc.dhash_shape(docs10)),
         "poisson_bootstrap": (lambda: sc.bootstrap_shape(o1), lambda: sc.bootstrap_shape(o10)),
+        "kcore_3peel": (lambda: sc.kcore_shape(li1), lambda: sc.kcore_shape(li10)),
+        "cep_paths": (lambda: sc.cep_shape(ev1), lambda: sc.cep_shape(ev10)),
+        "clamp_balance": (lambda: sc.clamp_shape(ev1), lambda: sc.clamp_shape(ev10)),
     }
     # warmup
     sc.run_noop(lambda: sc.q1_shape(li1))

@@ -964,3 +964,86 @@ def bootstrap_shape(o):
     rep = rw.groupBy("o_orderpriority", "b").agg(
         F.sum("w").alias("n_b"), F.sum(F.col("w") * F.col("c")).alias("s_b"))
     return rep.agg(F.count(F.lit(1)).alias("cells"), F.sum("s_b").alias("mass"))
+
+
+def kcore_shape(li):
+    """graph_kcore's core: relative-support edges + 3 peels (degree agg +
+    two survivor semi-joins each, localCheckpoint per round). Edge
+    sparsity is volume-relative, so peel cost must track the edge build,
+    not the fact growth."""
+    e = _copurchase_edges(li).localCheckpoint()
+    for _ in range(3):
+        keep = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 4).select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst").localCheckpoint()
+        )
+    return e.agg(F.count(F.lit(1)).alias("n"), F.sum("src").alias("s"))
+
+
+def cep_shape(ev):
+    """events_cep_pattern's core: per-user ordered symbol path via
+    array_sort(collect_list(struct)) + regex counting. Path length is
+    per-user history — the 10x fixture grows users AND events, so the
+    keyed exchange must stay linear."""
+    code = (
+        F.when(F.col("event_type") == "signup", F.lit("s"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "view", F.lit("v"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .otherwise(F.lit("e")).alias("code")
+    )
+    seq = (
+        ev.select("user_id", "ts_us", "event_id", code)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_us", "event_id", "code"))
+                    ),
+                    lambda x: x["code"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    hits = seq.select(
+        (
+            F.length(F.regexp_replace("path", r"s[cv]*p", "#"))
+            - F.length(F.regexp_replace("path", r"s[cv]*p", ""))
+        ).alias("k")
+    )
+    return hits.agg(F.sum("k").alias("s"), F.count(F.lit(1)).alias("n"))
+
+
+def clamp_shape(ev):
+    """events_clamped_running_balance's core: two stacked user-keyed
+    windows (running sum, running min) + final per-user agg. Purely
+    keyed — the ratio should track the exchange, ~linear."""
+    from pyspark.sql.window import Window as W
+
+    delta = (
+        F.when(F.col("event_type") == "purchase",
+               F.expr("CAST(ROUND(value*100,0) AS BIGINT)"))
+        .when(F.col("event_type") == "error",
+              -F.expr("CAST(ROUND(value*100,0) AS BIGINT)"))
+        .otherwise(F.lit(0).cast("long")).alias("delta")
+    )
+    w = (
+        W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = ev.select("user_id", "ts_us", "event_id", delta).withColumn(
+        "run_sum", F.sum("delta").over(w)
+    )
+    b = s.withColumn("run_min", F.min("run_sum").over(w)).withColumn(
+        "bal", F.col("run_sum") - F.least(F.lit(0).cast("long"), F.col("run_min"))
+    )
+    return b.groupBy("user_id").agg(
+        F.max("bal").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).agg(F.sum("mx").alias("s"), F.sum("n").alias("n"))
