@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "graph_community_lpa",
     "multimodal_image_dhash",
     "audit_expectations_suite",
+    "events_clamped_running_balance",
+    "events_cep_pattern",
+    "ab_cuped_adjustment",
+    "graph_kcore",
+    "multimodal_audio_fingerprint",
 ]
 
 

@@ -2281,3 +2281,63 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n * 1000000 div SUM(n) OVER (PARTITION BY prev_type)"
         ).alias("p_ppm"),
     )
+
+
+_SEASONAL_ORACLE = """
+WITH vol AS (
+  SELECT event_type, (epoch_ns(ts)//1000) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, day, n,
+         CAST(SUM(n) OVER w * 1000 // COUNT(n) OVER w AS BIGINT) AS trend_milli
+  FROM vol
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_type, day % 7 AS dow,
+       COUNT(*) AS n_days,
+       CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS mean_vol_milli,
+       CAST(SUM(n * 1000 - trend_milli) // COUNT(*) AS BIGINT)
+         AS seasonal_milli
+FROM tr GROUP BY event_type, day % 7
+"""
+
+
+@register("events_seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average half of STL):
+    daily volume per event type -> trend = centered 7-day moving average
+    -> weekly seasonal component = mean detrended deviation per
+    day-of-week. All in exact milli-units (volumes x1000, integer floor
+    division) so the decomposition is hash-portable; edge days average
+    over their actual window population (COUNT over the same frame), the
+    standard truncated-window convention.
+
+    Scale: the fact-sized work is ONE map-side-combinable count to the
+    (type, day) grid; the trend window and seasonal rollup both run over
+    the calendar-bounded grid (types x days), partitioned by type — the
+    same bounded-window argument as ``events_survival_hazard``. The
+    forecast consumer of this table is ``events_seasonal_naive_backtest``."""
+    ev = t(spark, sf_dir, "events")
+    vol = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {US_PER_DAY}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = vol.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr(
+            "SUM(n) OVER (PARTITION BY event_type ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000"
+            " div COUNT(n) OVER (PARTITION BY event_type ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+        ).alias("trend_milli"),
+    )
+    return tr.groupBy("event_type", (F.col("day") % 7).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("SUM(n) * 1000 div COUNT(*)").alias("mean_vol_milli"),
+        F.expr("SUM(n * 1000 - trend_milli) div COUNT(*)").alias(
+            "seasonal_milli"
+        ),
+    )

@@ -1394,3 +1394,54 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "ventile", "n_docs", "mean_raw_chars", "ref_chars")
     )
+
+
+_L_DIV_ORACLE = f"""
+WITH q AS (
+  SELECT ((epoch_ns(ts)//1000) // {US_PER_DAY}) % 7 AS dow,
+         user_id % 10 AS band,
+         COUNT(*) AS n,
+         COUNT(DISTINCT event_type) AS n_sensitive
+  FROM events GROUP BY 1, 2
+)
+SELECT dow,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity,
+       CAST(SUM(CASE WHEN n_sensitive < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+FROM q GROUP BY dow
+"""
+
+
+@register("privacy_l_diversity", oracle=_L_DIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3, Machanavajjhala et al. ICDE'06) — the gap
+    k-anonymity leaves open: a QI group can be large (k-safe) yet have
+    every member sharing ONE sensitive value, so group membership alone
+    discloses it. Per quasi-identifier group (day-of-week, user band),
+    count DISTINCT sensitive values (event_type); groups below l leak,
+    and their row mass is what generalization/suppression must absorb.
+    Completes the release-gate pair with ``privacy_k_anonymity``.
+
+    Scale: one fact-sized exchange on the QI key carrying a
+    COUNT(DISTINCT) whose domain is the sensitive vocabulary (partial
+    aggregation stays effective — the distinct set per group is bounded
+    by |event types|, not rows); the audit rollup runs over the bounded
+    QI-group table."""
+    ev = t(spark, sf_dir, "events")
+    q = ev.groupBy(
+        (F.expr(f"ts_us div {US_PER_DAY}") % 7).alias("dow"),
+        (F.col("user_id") % 10).alias("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_type").alias("n_sensitive"),
+    )
+    low = F.col("n_sensitive") < 3
+    return q.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(low, 1).otherwise(0)).alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).alias("rows_at_risk"),
+        F.min("n_sensitive").alias("min_diversity"),
+    )

@@ -5118,3 +5118,50 @@ def sql_table_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     spark.sql("UNCACHE TABLE orders_hot")
     return result
+
+
+_NULLSAFE_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer
+), n AS (
+  SELECT NULLIF(n_nationkey, 3) AS k, n_name FROM nation
+)
+SELECT n.n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_key_matches
+FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+GROUP BY n.n_name
+"""
+
+
+@register("join_nullsafe_eq", oracle=_NULLSAFE_ORACLE)
+def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    integration pipelines need when "unknown" is a legitimate join bucket
+    (here NULLIF carves nation 3 into the NULL bucket on both sides; a
+    plain `=` join would lose every one of those customers). The count of
+    null-key matches is emitted so the difference from `=` is visible in
+    the result, not just the plan.
+
+    Scale: `<=>` is still a HASH-JOINABLE equality (null hashes to a
+    regular bucket) — Spark plans BroadcastHashJoin here, not the
+    BroadcastNestedLoop a `c.k = n.k OR (c.k IS NULL AND n.k IS NULL)`
+    rewrite would produce. That plan difference is the whole point at
+    100 TB: same semantics, O(n) vs O(n·m)."""
+    cu = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("k")
+    )
+    na = t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("k"), "n_name"
+    )
+    return (
+        cu.join(F.broadcast(na), cu["k"].eqNullSafe(na["k"]))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(cu["k"].isNull(), 1).otherwise(0)).alias(
+                "n_null_key_matches"
+            ),
+        )
+    )

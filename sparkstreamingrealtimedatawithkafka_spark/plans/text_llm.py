@@ -3686,3 +3686,83 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * (n_docs - 1) div 2").alias("n_dup_pairs"),
         )
     )
+
+
+_WINNOW_ORACLE = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(toks) - 3),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(array_to_string(list_slice(toks, i, i+3), ' '), ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+             (h, x) -> (h * 1000003 + x) % 2147483647)) AS gh
+  FROM d WHERE len(toks) >= 8
+), w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(gh) - 4),
+      j -> list_min(list_slice(gh, j, j+4)))) AS fps
+  FROM g
+)
+SELECT fp, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM (SELECT doc_id, UNNEST(fps) AS fp FROM w)
+GROUP BY fp HAVING COUNT(*) >= 2
+"""
+
+
+@register("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detector algorithm): hash every
+    4-token shingle with the Rabin-Karp polynomial fold, then keep only
+    the MINIMUM hash of each sliding window of 5 — the selection rule
+    that GUARANTEES any shared run of >= 8 tokens contributes at least
+    one common fingerprint while storing ~1/w of the shingles. Shared
+    fingerprints (n_docs >= 2) are the local-match seeds that
+    position-blind MinHash can't give you: winnowing detects contiguous
+    overlapping PASSAGES, MinHash whole-document similarity. Everything
+    through the window-min runs as nested higher-order expressions
+    (transform/slice/aggregate) inside ONE codegen stage — per doc, zero
+    shuffle; the only exchange is the final fingerprint groupBy.
+
+    Scale: the density bound is the point — the shuffled volume is
+    ~2/(w+1) of the shingle count by the paper's expected-density
+    theorem, chosen by w, independent of corpus size. Guarantee span
+    (t = w + k - 1 = 8 tokens) is the same threshold the SQL side
+    filters on so short docs are excluded identically."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") >= 8)
+    poly = lambda s: F.aggregate(
+        F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda h, x: (h * F.lit(1000003) + x) % F.lit(2147483647),
+    )
+    g = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 3),
+            lambda i: poly(F.array_join(F.slice("toks", i, F.lit(4)), " ")),
+        ).alias("gh"),
+    )
+    w = g.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - 4),
+                lambda j: F.array_min(F.slice("gh", j, F.lit(5))),
+            )
+        ).alias("fps"),
+    )
+    return (
+        w.select("doc_id", F.explode("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )

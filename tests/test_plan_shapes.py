@@ -716,3 +716,23 @@ def test_quantile_normalize_ref_broadcasts(spark):
     plan = _plan(spark, "ml_quantile_normalize")
     assert "BroadcastHashJoin" in plan
     assert re.search(r"windowspecdefinition\(lang#\d+", plan)
+
+
+def test_nullsafe_join_plans_hash_not_nested_loop(spark):
+    """join_nullsafe_eq: `<=>` must stay a hash-joinable equality —
+    BroadcastHashJoin, never the BroadcastNestedLoopJoin an OR-of-IS-NULL
+    rewrite degenerates to."""
+    plan = _plan(spark, "join_nullsafe_eq")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_winnowing_is_pure_codegen_until_the_group(spark):
+    """text_winnowing_fingerprints: shingle hashing + window-min selection
+    run as nested higher-order expressions inside codegen — no Python
+    eval, one Generate for the fingerprint explode, and the only exchange
+    is the fingerprint groupBy."""
+    plan = _plan(spark, "text_winnowing_fingerprints")
+    assert "EvalPython" not in plan
+    assert plan.count("Generate explode") == 1
+    assert plan.count("Exchange") <= 2  # fp groupBy (+ AQE final agg read)
