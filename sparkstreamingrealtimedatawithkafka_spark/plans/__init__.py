@@ -41,12 +41,18 @@ DRIVER_WINDOW = [
     # joins
     "join_semi_orders_bigqty",
     "join_anti_customers_no_urgent",
-    "range_join_size_buckets",
+    # sixth-session r6 rotation: range-join (five-rounds green, family
+    # keeps 4/5 pool members in-window) cedes to the clamped-recurrence
+    # window identity — the sequential-looking b_t = max(0, b+x) family
+    "events_clamped_running_balance",
     "events_asof_last_purchase",
     # sorts / windows (order_limit_top_orders and events_window_range_frame
     # ceded their slots to the round-5 CDC + sequence-packing families —
     # topk/running-total keep the ordered-limit and frame evidence)
-    "topk_parts_per_brand",
+    # sixth-session r6 rotation: ordered-limit evidence stays via the
+    # WindowGroupLimit plan guards + BM25 top-k; the slot certifies
+    # winnowing passage fingerprints (the MOSS algorithm)
+    "text_winnowing_fingerprints",
     # third-session r6 rotation: running-total frame semantics stay green
     # out-of-window; the slot certifies robust order statistics (two-pass
     # exact median + MAD outliers, operators/orderstats.py)
@@ -56,7 +62,10 @@ DRIVER_WINDOW = [
     "pack_training_sequences",
     # scalar functions / SQL surface (math fns stay out-of-window; string+
     # date evidence §2.7 and the swapped-in §2.4 surfaces need the slots)
-    "date_functions_revenue",
+    # sixth-session r6 rotation: date-fn evidence stays out-of-window
+    # (five-rounds green); the slot certifies the audio fingerprint —
+    # amplitude-invariant dedup over the REAL WAV codec chain
+    "multimodal_audio_fingerprint",
     "scalar_string_functions",
     # UDAF / grouped-map surfaces (§2.4: scalar pandas UDF is
     # pipeline_parity_udf, UDTF is text_chunker — these complete the row)

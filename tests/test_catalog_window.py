@@ -33,6 +33,9 @@ def test_window_covers_every_operator_family():
         "joins": ({"join_semi_orders_bigqty", "join_anti_customers_no_urgent",
                    "range_join_size_buckets", "events_asof_last_purchase",
                    "events_interval_overlap"}, 4),
+        "recurrence_sequences": ({"events_clamped_running_balance",
+                                  "events_cep_pattern",
+                                  "events_markov_transitions"}, 1),
         "grouping": ({"agg_grouping_multi", "agg_distinct_counts",
                       "agg_stats_distribution"}, 2),
         "setops": ({"setop_union_intersect_except"}, 1),
@@ -48,7 +51,8 @@ def test_window_covers_every_operator_family():
                        "streaming_cdc_upsert"}, 6),
         "text": ({"text_token_stats", "text_quality", "text_langid",
                   "text_chunker", "pipeline_corpus_clean",
-                  "text_rolling_fingerprint"}, 5),
+                  "text_rolling_fingerprint",
+                  "text_winnowing_fingerprints"}, 5),
         "search": ({"search_bm25_topk", "text_tfidf_keywords"}, 1),
         "dedup": ({"dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
                    "dedup_embedding_cosine", "dedup_incremental_batch",
@@ -56,7 +60,8 @@ def test_window_covers_every_operator_family():
         "splits": ({"split_train_valid_test"}, 1),
         "similarity": ({"sim_topk_bruteforce", "sim_ivf_topk",
                         "sim_topk_int8_quantized"}, 3),
-        "multimodal": ({"multimodal_pipeline", "multimodal_decode_pgm"}, 1),
+        "multimodal": ({"multimodal_pipeline", "multimodal_decode_pgm",
+                        "multimodal_audio_fingerprint"}, 2),
         "model_scoring": ({"ml_tree_ensemble_score", "ml_score_logistic"}, 1),
         "web_curation": ({"web_url_normalize", "web_domain_quota",
                           "web_robots_filter"}, 1),
