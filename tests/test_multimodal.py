@@ -199,3 +199,50 @@ def test_decode_bmp_channel_sums(spark):
     )
     r = decode_bmp(df).collect()[0]
     assert (r.sum_b, r.sum_g, r.sum_r) == (1 + 4 + 7 + 10, 2 + 5 + 8 + 11, 3 + 6 + 9 + 12)
+
+
+def test_audio_fingerprint_volume_invariant(spark):
+    """The energy-sign fingerprint must be IDENTICAL under uniform volume
+    scaling (the invariance the dedup entry relies on) and must differ
+    for a genuinely different signal."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-8000, 8000, size=256).astype(np.int64)
+    other = rng.integers(-8000, 8000, size=256).astype(np.int64)
+    rows = [
+        (1, [int(x) for x in base]),
+        (2, [int(x) * 3 for x in base]),   # 3x volume
+        (3, [int(x) for x in other]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, samples array<int>")
+    fp = {
+        r.doc_id: (r.h1, r.h2)
+        for r in audio_fingerprint(
+            encode_audio_pcm16(df, sample_rate=8000)
+        ).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_audio_fingerprint_short_clip(spark):
+    """Clips shorter than 64 frames still fingerprint (fewer bits, zeros
+    beyond); a sub-frame clip yields the all-zero fingerprint rather than
+    erroring."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    rows = [(1, [100, -100, 50, 25, 999, 2, 3, 4]), (2, [5])]
+    df = spark.createDataFrame(rows, "doc_id long, samples array<int>")
+    fp = {
+        r.doc_id: (r.h1, r.h2)
+        for r in audio_fingerprint(
+            encode_audio_pcm16(df, sample_rate=8000)
+        ).collect()
+    }
+    assert fp[2] == (0, 0)
+    assert fp[1][1] == 0  # only 1 comparison bit available -> h2 empty
