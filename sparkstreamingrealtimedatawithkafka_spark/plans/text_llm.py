@@ -3692,16 +3692,22 @@ _WINNOW_ORACLE = """
 WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents WHERE text IS NOT NULL
+), th AS (
+  SELECT doc_id,
+    list_transform(toks,
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+             (h, x) -> (h * 1000003 + x) % 2147483647)) AS th
+  FROM d WHERE len(toks) >= 8
 ), g AS (
   SELECT doc_id,
-    list_transform(generate_series(1, len(toks) - 3),
+    list_transform(generate_series(1, len(th) - 3),
       i -> list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(
-                 string_split(array_to_string(list_slice(toks, i, i+3), ' '), ''),
-                 c -> CAST(unicode(c) AS BIGINT))),
+             list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i+3)),
              (h, x) -> (h * 1000003 + x) % 2147483647)) AS gh
-  FROM d WHERE len(toks) >= 8
+  FROM th
 ), w AS (
   SELECT doc_id,
     list_distinct(list_transform(generate_series(1, len(gh) - 4),
@@ -3727,7 +3733,31 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping PASSAGES, MinHash whole-document similarity. Everything
     through the window-min runs as nested higher-order expressions
     (transform/slice/aggregate) inside ONE codegen stage — per doc, zero
-    shuffle; the only exchange is the final fingerprint groupBy.
+    data-dependent shuffle; the only keyed exchange is the final
+    fingerprint groupBy.
+
+    Perf shape (r6 rework, measured 19 s → ~2 s warm at sf0.01): hash
+    each TOKEN's characters exactly once (``th``), then fold the 4 token
+    hashes per shingle — the classic Rabin-Karp layering. The naive
+    form re-hashed every character once per overlapping shingle and
+    built an ``array_join`` string per shingle: ~4× redundant char work
+    plus a string allocation per shingle, all interpreted per-element.
+    The docs projection round-robins to ``defaultParallelism`` first
+    because this stage is compute-bound, not IO-bound — a small corpus
+    arrives as one split and would otherwise hash on one core (at real
+    scale the input already has many splits and the repartition is a
+    cheap rebalance of (id, text) rows).
+
+    ``explode_outer`` (not ``explode``) is load-bearing: for a plain
+    explode, ``InferFiltersFromGenerate`` adds ``size(fps) > 0`` and
+    predicate pushdown then INLINES the whole nested fingerprint
+    expression into that filter below the repartition — and because the
+    inlined per-shingle lambda slices the inlined token-hash transform,
+    the filter evaluates it once PER SHINGLE: O(tokens²) per doc, on the
+    unparallelized scan stage (measured 157 s vs 1.9 s at sf0.01). The
+    rule skips outer generates, and the two are semantically identical
+    here: every doc that survives ``size(toks) >= 8`` produces >= 1
+    fingerprint, so no null rows are ever generated.
 
     Scale: the density bound is the point — the shuffled volume is
     ~2/(w+1) of the shingle count by the paper's expected-density
@@ -3736,19 +3766,32 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters on so short docs are excluded identically."""
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    d = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", toks.alias("toks")
-    ).filter(F.size("toks") >= 8)
-    poly = lambda s: F.aggregate(
-        F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
+    d = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 8)
+    )
+    fold = lambda arr: F.aggregate(
+        arr,
         F.lit(0).cast("long"),
         lambda h, x: (h * F.lit(1000003) + x) % F.lit(2147483647),
     )
-    g = d.select(
+    th = d.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 3),
-            lambda i: poly(F.array_join(F.slice("toks", i, F.lit(4)), " ")),
+            "toks",
+            lambda tok: fold(
+                F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long"))
+            ),
+        ).alias("th"),
+    )
+    g = th.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - 3),
+            lambda i: fold(F.slice("th", i, F.lit(4))),
         ).alias("gh"),
     )
     w = g.select(
@@ -3761,7 +3804,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fps"),
     )
     return (
-        w.select("doc_id", F.explode("fps").alias("fp"))
+        w.select("doc_id", F.explode_outer("fps").alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
         .filter(F.col("n_docs") >= 2)

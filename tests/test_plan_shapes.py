@@ -730,9 +730,22 @@ def test_nullsafe_join_plans_hash_not_nested_loop(spark):
 def test_winnowing_is_pure_codegen_until_the_group(spark):
     """text_winnowing_fingerprints: shingle hashing + window-min selection
     run as nested higher-order expressions inside codegen — no Python
-    eval, one Generate for the fingerprint explode, and the only exchange
-    is the fingerprint groupBy."""
+    eval, one Generate for the fingerprint explode, and the exchanges are
+    the compute-rebalance repartition plus the fingerprint groupBy.
+
+    The no-inlined-recompute assertions pin the r6 finding: a plain
+    explode triggers InferFiltersFromGenerate, whose size(fps)>0 filter
+    gets the whole fingerprint chain inlined and re-evaluates the token
+    hashes once per shingle (measured 157 s vs 1.9 s at sf0.01). The
+    guard fails if anyone swaps explode_outer back or the optimizer
+    regresses: no Filter may contain the hashing chain, and the
+    per-shingle lambda must slice an ATTRIBUTE, not an inlined
+    transform."""
     plan = _plan(spark, "text_winnowing_fingerprints")
     assert "EvalPython" not in plan
     assert plan.count("Generate explode") == 1
-    assert plan.count("Exchange") <= 2  # fp groupBy (+ AQE final agg read)
+    assert plan.count("Exchange") <= 3  # rebalance + fp groupBy (+ AQE)
+    assert "slice(transform(" not in plan
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "aggregate(" not in line, "hash chain inlined into a Filter"
