@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "ab_cuped_adjustment",
     "graph_kcore",
     "multimodal_audio_fingerprint",
+    # sixth-session round-6 additions (keys above stay fixed)
+    "text_winnowing_fingerprints",
+    "geo_grid_distance_join",
 ]
 
 
