@@ -66,6 +66,7 @@ def main() -> None:
         "kcore_3peel": (lambda: sc.kcore_shape(li1), lambda: sc.kcore_shape(li10)),
         "cep_paths": (lambda: sc.cep_shape(ev1), lambda: sc.cep_shape(ev10)),
         "clamp_balance": (lambda: sc.clamp_shape(ev1), lambda: sc.clamp_shape(ev10)),
+        "winnowing_fp": (lambda: sc.winnow_shape(docs1), lambda: sc.winnow_shape(docs10)),
     }
     # warmup
     sc.run_noop(lambda: sc.q1_shape(li1))

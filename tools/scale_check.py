@@ -559,6 +559,61 @@ def tfidf_shape(docs):
     return top.agg(F.count(F.lit(1)).alias("n"), F.sum("tfidf").alias("s"))
 
 
+def winnow_shape(docs):
+    """text_winnowing_fingerprints' full shape post-r6-rework: per-token
+    Rabin-Karp prehash, 4-token shingle fold, window-min selection,
+    explode_outer (NOT explode — InferFiltersFromGenerate would inline
+    the chain into a filter and go quadratic per doc), fingerprint
+    groupBy. The shuffled volume is ~2/(w+1) of the shingle count —
+    the ratio should track the compute (linear in corpus chars)."""
+    spark = _SPARK
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    d = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 8)
+    )
+    fold = lambda arr: F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * F.lit(1000003) + x) % F.lit(2147483647),
+    )
+    th = d.select(
+        "doc_id",
+        F.transform(
+            "toks",
+            lambda tok: fold(
+                F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long"))
+            ),
+        ).alias("th"),
+    )
+    g = th.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - 3),
+            lambda i: fold(F.slice("th", i, F.lit(4))),
+        ).alias("gh"),
+    )
+    w = g.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - 4),
+                lambda j: F.array_min(F.slice("gh", j, F.lit(5))),
+            )
+        ).alias("fps"),
+    )
+    shared = (
+        w.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return shared.agg(F.count(F.lit(1)).alias("n"), F.sum("n_docs").alias("s"))
+
+
 _SPARK = None
 
 
@@ -759,6 +814,7 @@ def main() -> None:
         ("khop_bfs", lambda: khop_shape(li1), lambda: khop_shape(li10)),
         ("link_prediction", lambda: linkpred_shape(li1), lambda: linkpred_shape(li10)),
         ("feature_hashing", lambda: feat_hash_shape(docs1), lambda: feat_hash_shape(docs10)),
+        ("winnowing_fp", lambda: winnow_shape(docs1), lambda: winnow_shape(docs10)),
     ):
         t1 = min(run_noop(d1), run_noop(d1))
         t10 = min(run_noop(d10), run_noop(d10))
