@@ -39,6 +39,48 @@ class ChunkText:
             yield i // chunk_tokens, " ".join(window), len(window)
 
 
+@udtf(
+    returnType=(
+        "lang string, n_docs int, first_doc bigint, last_doc bigint, "
+        "total_tokens bigint"
+    )
+)
+class LangPartitionSummary:
+    """Aggregating UDTF over a ``TABLE(...) PARTITION BY lang ORDER BY
+    doc_id`` argument — the Spark-4 table-argument plane the lateral-form
+    ``ChunkText`` doesn't touch: the engine shuffles the input on the
+    PARTITION BY key, feeds ONE partition's rows to ``eval`` in ORDER BY
+    order, and calls ``terminate`` once per partition for the summary row.
+
+    The work inside is deliberately a plain GROUP BY twin (count / first /
+    last / token sum) so a DuckDB oracle can replay it exactly — what the
+    surface buys over groupBy().agg() is *ordered, stateful* per-group
+    Python (sessionizers, legacy per-group parsers) when expressions can't
+    express it. Scale: one shuffle on the partition key, state is O(1) per
+    partition; a skewed key funnels that key's rows through one worker —
+    same salting discipline as any groupBy applies.
+    """
+
+    def __init__(self) -> None:
+        self._lang = None
+        self._n = 0
+        self._first = None
+        self._last = None
+        self._tokens = 0
+
+    def eval(self, row) -> None:
+        self._lang = row["lang"]
+        if self._first is None:
+            self._first = row["doc_id"]
+        self._last = row["doc_id"]
+        self._n += 1
+        self._tokens += int(row["n_toks"])
+
+    def terminate(self):
+        if self._n:
+            yield self._lang, self._n, self._first, self._last, self._tokens
+
+
 def chunk_expr(text: Column | str, chunk_tokens: int) -> Column:
     """Pure-expression chunking twin: array<struct<chunk_idx,chunk,n_tokens>>.
 

@@ -5254,3 +5254,70 @@ def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(d2).alias("min_d2"),
         )
     )
+
+
+_SKYLINE_ORACLE = """
+WITH px AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         p_size
+  FROM part
+)
+SELECT a.p_partkey, a.price_cents, a.p_size
+FROM px a
+WHERE NOT EXISTS (
+  SELECT 1 FROM px b
+  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+)
+"""
+
+
+@register("part_skyline_pareto", oracle=_SKYLINE_ORACLE)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query — parts not DOMINATED on
+    (minimize price, maximize size): another part dominates if it is no
+    worse on both dimensions and strictly better on one. The multi-
+    objective shortlist query (Borzsony et al. ICDE'01), distinct from
+    ``revenue_pareto_curve``'s cumulative-share curve.
+
+    Distributed shape — the 2-D skyline needs only running maxima, and the
+    repo's two-level discipline keeps every window partitioned: facts
+    bucket by a fixed price width (bucket count is bounded by the PRICE
+    DOMAIN, not SF); level 1 takes per-bucket max(size) and a prefix max
+    over the tiny bucket table; level 2 windows are partitioned by bucket
+    (strictly-cheaper-in-bucket via a range frame) and by exact price
+    (same-price-larger-size). A part survives iff no strictly-cheaper part
+    has size >= its own and no equal-price part has size > its own —
+    equal (price, size) twins are mutually non-dominating and both kept,
+    matching the oracle's strict-clause semantics. Zero unpartitioned
+    windows over SF-proportional input (the ``revenue_pareto_curve``
+    lesson); the quadratic NOT EXISTS lives only in the oracle."""
+    bucket_w = 1000  # cents; TPC-H price domain ~[90000, 100000) -> ~10 buckets
+    px = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    bkt = px.withColumn("bkt", F.expr(f"price_cents div {bucket_w}"))
+    bmax = bkt.groupBy("bkt").agg(F.max("p_size").alias("bkt_max"))
+    w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prev = bmax.select(
+        "bkt", F.max("bkt_max").over(w_prev).alias("prev_max")
+    )  # window over #buckets rows — domain-bounded, never SF-proportional
+    w_strict = (
+        W.partitionBy("bkt").orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("price_cents")
+    scored = (
+        bkt.join(F.broadcast(prev), "bkt")
+        .withColumn("in_bkt_max", F.max("p_size").over(w_strict))
+        .withColumn("same_price_max", F.max("p_size").over(w_same))
+    )
+    dominated = (
+        F.greatest(
+            F.coalesce(F.col("prev_max"), F.lit(-1)),
+            F.coalesce(F.col("in_bkt_max"), F.lit(-1)),
+        )
+        >= F.col("p_size")
+    ) | (F.col("same_price_max") > F.col("p_size"))
+    return scored.filter(~dominated).select("p_partkey", "price_cents", "p_size")

@@ -3809,3 +3809,146 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_PPJOIN_ORACLE = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, s
+  FROM (SELECT doc_id, {_BIGRAMS} AS s FROM documents)
+  WHERE len(s) > 0
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+         len(a.s) AS la, len(b.s) AS lb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE 5 * least(len(a.s), len(b.s)) >= 3 * greatest(len(a.s), len(b.s))
+)
+SELECT doc_a, doc_b, inter_cnt, CAST(la + lb - inter_cnt AS BIGINT) AS union_cnt
+FROM cand WHERE 5 * inter_cnt >= 3 * (la + lb - inter_cnt)
+"""
+
+
+@register("dedup_ppjoin_prefix", oracle=_PPJOIN_ORACLE)
+def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07): every pair with bigram-shingle Jaccard >= 3/5,
+    no LSH recall loss, no all-pairs comparison.
+
+    The filter principle: order every doc's shingle set by one GLOBAL
+    canonical order (document frequency ascending — rarest first — then
+    lexicographic); if J(A,B) >= t then |A∩B| >= ceil(t*|A|), so A and B
+    MUST share a token inside their first n - ceil(t*n) + 1 ordered tokens.
+    Candidates are therefore the equi-join of the ~0.4*n-length PREFIXES
+    only, further pruned by the length filter (J >= t forces
+    min(|A|,|B|) >= t*max(|A|,|B|)); exact intersection counts confirm.
+
+    Scale: the df table is vocabulary-sized; rarest-first ordering puts the
+    LOWEST-frequency tokens in prefixes, so expected candidate volume is
+    sum over prefix tokens of df(tok)^2 with df small by construction —
+    the same reason the inverted-postings entries bound their join on rare
+    terms. One shuffle to order tokens (vocabulary-keyed join + per-doc
+    re-collect), one equi-join on prefix tokens, one verify join-back;
+    the quadratic block lives only in the oracle. Exactness is the
+    contract LSH can't give: this is the ground-truth pass you run when a
+    compliance dedup needs provable completeness at a fixed threshold
+    (threshold kept as the integer ratio 3/5 so the gate is float-free).
+    """
+    docs = t(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            "doc_id", F.array_distinct(TX.word_shingles("text", 2)).alias("s")
+        )
+        .filter(F.size("s") > 0)
+        .localCheckpoint()  # feeds df build, prefix explode, AND verify join-back
+    )
+    df_tbl = (
+        s.select(F.explode("s").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # Canonical rarest-first order per doc: explode -> df join -> re-collect
+    # sorted by (df, tok). collect_list is non-deterministic in arrival
+    # order; array_sort on the (df, tok) struct restores determinism.
+    ordered = (
+        s.select("doc_id", F.explode("s").alias("tok"))
+        .join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("o"))
+        .select(
+            "doc_id",
+            F.transform("o", lambda x: x["tok"]).alias("toks"),
+            F.size("o").alias("n"),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1 with t = 3/5; ceil(3n/5) = (3n+4) div 5
+    pre = ordered.select(
+        "doc_id",
+        "n",
+        F.expr("slice(toks, 1, n - ((3*n + 4) div 5) + 1)").alias("prefix"),
+    ).select("doc_id", "n", F.explode("prefix").alias("tok"))
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok")
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.lit(5) * F.least("na", "nb") >= F.lit(3) * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_cnt"),
+            (F.size("set_a") + F.size("set_b") - inter).cast("long").alias("union_cnt"),
+        )
+        .filter(F.lit(5) * F.col("inter_cnt") >= F.lit(3) * F.col("union_cnt"))
+    )
+
+
+_UDTF_TABLE_ARG_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("udtf_table_argument", oracle=_UDTF_TABLE_ARG_ORACLE)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument with PARTITION BY / ORDER BY —
+    the Spark-4 table-function plane ``text_chunker``'s LATERAL form
+    doesn't exercise: the engine shuffles the input on ``lang``, streams
+    ONE partition's rows into ``eval`` in ``doc_id`` order, and calls
+    ``terminate`` once per partition (functions/chunking.py
+    LangPartitionSummary). The body is a deliberate GROUP BY twin so the
+    oracle replays it; the surface exists for ordered stateful per-group
+    Python that expressions can't express. Token counting stays JVM-side
+    (``size(tokenize(..))`` computed BEFORE the UDTF) so Python only sums
+    ints."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.chunking import (
+        LangPartitionSummary,
+    )
+
+    spark.udtf.register("lang_partition_summary", LangPartitionSummary)
+    docs = t(spark, sf_dir, "documents")
+    docs.select(
+        "lang", "doc_id", F.size(TX.tokenize("text")).alias("n_toks")
+    ).createOrReplaceTempView("docs_udtf_arg_src")
+    return spark.sql(
+        """
+        SELECT lang, n_docs, first_doc, last_doc, total_tokens
+        FROM lang_partition_summary(
+          TABLE(SELECT lang, doc_id, n_toks FROM docs_udtf_arg_src)
+          PARTITION BY lang ORDER BY doc_id)
+        """
+    )

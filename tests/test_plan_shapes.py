@@ -749,3 +749,27 @@ def test_winnowing_is_pure_codegen_until_the_group(spark):
     for line in plan.splitlines():
         if "Filter" in line:
             assert "aggregate(" not in line, "hash chain inlined into a Filter"
+
+
+def test_ppjoin_is_equi_join_shaped(spark):
+    """dedup_ppjoin_prefix: candidates come from an EQUI-join on prefix
+    tokens and the verify stage joins back on doc ids — never a cartesian
+    or nested loop; the quadratic block lives only in the oracle."""
+    plan = _plan(spark, "dedup_ppjoin_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_windows_are_bucket_partitioned(spark):
+    """part_skyline_pareto: both fact-level windows carry a partition key
+    (bkt for strictly-cheaper, price_cents for same-price); the only
+    unpartitioned window is the prefix max over the domain-bounded bucket
+    table, and the bucket offsets come back via broadcast. A bare
+    range-frame window ordered by price_cents with no partition key over
+    part rows would be the revenue_pareto_curve single-partition funnel."""
+    import re
+
+    plan = _plan(spark, "part_skyline_pareto")
+    assert re.search(r"windowspecdefinition\(bkt#\d+L, price_cents#\d+L ASC", plan)
+    assert not re.search(r"windowspecdefinition\(price_cents#\d+L ASC", plan)
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,137 @@
+"""Property tests for the round-6 exact-algorithm entries.
+
+- ``dedup_ppjoin_prefix``: the prefix-filter COMPLETENESS theorem (the
+  reason the entry can claim exactness): for ANY global canonical order,
+  every pair with Jaccard >= 3/5 shares a token inside both prefixes of
+  length n - ceil(3n/5) + 1 — hypothesis probes the integer arithmetic
+  edge cases (tiny sets, near-threshold pairs) where an off-by-one in the
+  ceil formula would silently drop true pairs. Plus a full python replay
+  of the Spark result on the fixture corpus (quadratic ground truth).
+
+- ``part_skyline_pareto``: the two-level bucketed dominance logic replayed
+  in pure python against the quadratic NOT-EXISTS definition, across
+  random point sets, bucket widths, and tie patterns (equal price, equal
+  size, exact duplicates — the mutually-non-dominating twins).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _prefix_len(n: int) -> int:
+    # n - ceil(3n/5) + 1, ceil(3n/5) = (3n+4) div 5 — must mirror the plan
+    return n - ((3 * n + 4) // 5) + 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.sets(st.integers(0, 24), min_size=1, max_size=20),
+    b=st.sets(st.integers(0, 24), min_size=1, max_size=20),
+    seed=st.randoms(use_true_random=False),
+)
+def test_prefix_filter_never_drops_a_true_pair(a, b, seed):
+    """Jaccard >= 3/5 => the two prefixes intersect, under ANY total order
+    (hypothesis permutes the universe; the df-ascending order the plan
+    uses is one such order, so completeness transfers)."""
+    inter = len(a & b)
+    union = len(a | b)
+    if 5 * inter < 3 * union:
+        return  # below threshold: no guarantee claimed
+    universe = list(range(25))
+    seed.shuffle(universe)
+    rank = {tok: i for i, tok in enumerate(universe)}
+    pa = sorted(a, key=rank.__getitem__)[: _prefix_len(len(a))]
+    pb = sorted(b, key=rank.__getitem__)[: _prefix_len(len(b))]
+    assert set(pa) & set(pb), (
+        f"prefix filter dropped a true pair: |A|={len(a)} |B|={len(b)} "
+        f"inter={inter} union={union}"
+    )
+
+
+def _quad_skyline(points):
+    out = []
+    for pk, c, s in points:
+        dominated = any(
+            c2 <= c and s2 >= s and (c2 < c or s2 > s) for _, c2, s2 in points
+        )
+        if not dominated:
+            out.append((pk, c, s))
+    return sorted(out)
+
+
+def _two_level_skyline(points, bucket_w):
+    """Pure-python replay of the plan's bucket + windows logic."""
+    bmax: dict[int, int] = {}
+    for _, c, s in points:
+        b = c // bucket_w
+        bmax[b] = max(bmax.get(b, -1), s)
+    prev: dict[int, int] = {}
+    run = -1
+    for b in sorted(bmax):
+        prev[b] = run
+        run = max(run, bmax[b])
+    same_price: dict[int, int] = {}
+    for _, c, s in points:
+        same_price[c] = max(same_price.get(c, -1), s)
+    out = []
+    for pk, c, s in points:
+        b = c // bucket_w
+        in_bkt = max(
+            (s2 for _, c2, s2 in points if c2 // bucket_w == b and c2 < c),
+            default=-1,
+        )
+        dominated = max(prev[b], in_bkt) >= s or same_price[c] > s
+        if not dominated:
+            out.append((pk, c, s))
+    return sorted(out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 12)), min_size=1, max_size=40
+    ),
+    bucket_w=st.sampled_from([1, 3, 7, 100]),
+)
+def test_two_level_skyline_matches_quadratic(pts, bucket_w):
+    points = [(i, c, s) for i, (c, s) in enumerate(pts)]
+    assert _two_level_skyline(points, bucket_w) == _quad_skyline(points)
+
+
+def test_ppjoin_matches_python_quadratic_ground_truth(spark):
+    """Full corpus replay at sf0.001: the Spark prefix-filter join must
+    emit EXACTLY the quadratic python ground truth — completeness (no
+    LSH-style recall loss) and precision (verify stage) in one check."""
+    import duckdb
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        dedup_ppjoin_prefix,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.inter_cnt, r.union_cnt)
+        for r in dedup_ppjoin_prefix(spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    sets = {}
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").split(" ") if t]
+        sh = {f"{x}_{y}" for x, y in zip(toks, toks[1:])}
+        if sh:
+            sets[doc_id] = sh
+    want = set()
+    ids = sorted(sets)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            union = len(sets[da] | sets[db])
+            if 5 * inter >= 3 * union:
+                want.add((da, db, inter, union))
+    assert got == want
+    assert want, "fixture corpus should contain true near-dup pairs"
