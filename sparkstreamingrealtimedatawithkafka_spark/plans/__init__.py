@@ -57,9 +57,15 @@ DRIVER_WINDOW = [
     # out-of-window; the slot certifies robust order statistics (two-pass
     # exact median + MAD outliers, operators/orderstats.py)
     "events_outlier_mad_2pass",
-    # round-5 families: CDC delta extraction; distributed-prefix-sum packing
-    "events_cdc_snapshot_diff",
-    "pack_training_sequences",
+    # eighth-session r6 rotation: the round-5 CDC-diff and sequence-packing
+    # flagships were driver-certified in CORRECTNESS_r05 (both "pass
+    # (driver)" in the r5 verdict table) and stay green in the local gate;
+    # their slots certify this session's exact-algorithm pair — the
+    # AllPairs/PPJoin prefix-filter join (provable-completeness counterpart
+    # to the LSH dedup ladder) and the two-level bucketed skyline (every
+    # fact window partitioned)
+    "dedup_ppjoin_prefix",
+    "part_skyline_pareto",
     # scalar functions / SQL surface (math fns stay out-of-window; string+
     # date evidence §2.7 and the swapped-in §2.4 surfaces need the slots)
     # sixth-session r6 rotation: date-fn evidence stays out-of-window
