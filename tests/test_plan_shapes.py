@@ -773,3 +773,28 @@ def test_skyline_windows_are_bucket_partitioned(spark):
     assert re.search(r"windowspecdefinition\(bkt#\d+L, price_cents#\d+L ASC", plan)
     assert not re.search(r"windowspecdefinition\(price_cents#\d+L ASC", plan)
     assert "BroadcastHashJoin" in plan
+
+
+def test_snm_rank_window_is_bucket_partitioned(spark):
+    """dedup_sorted_neighborhood: the global sort rank must come from the
+    two-level shape — row_number windows partitioned by the key-prefix
+    bucket, offsets broadcast back; a bare windowspecdefinition over
+    (k, doc_id) with no partition key would be the single-partition global
+    sort SNM is notorious for."""
+    import re
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import _snm_ranked
+    from sparkstreamingrealtimedatawithkafka_spark.sources.registry import load_table
+
+    ranked = _snm_ranked(load_table(spark, SF_DIR, "documents"))
+    stage1 = ranked._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"windowspecdefinition\(bkt#\d+, k#\d+ ASC", stage1)
+    assert not re.search(r"windowspecdefinition\(k#\d+ ASC", stage1)
+    # the full plan (rank stage checkpointed): offsets broadcast back, the
+    # neighborhood expansion is an equi-join, nothing funnels to one task
+    plan = _plan(spark, "dedup_sorted_neighborhood")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # (the plan's one Exchange SinglePartition is the bucket-offset prefix
+    # window over the domain-bounded bucket-count table — the accepted
+    # two-level pattern, same as pack_blocks / weighted sampling)

@@ -135,3 +135,31 @@ def test_ppjoin_matches_python_quadratic_ground_truth(spark):
                 want.add((da, db, inter, union))
     assert got == want
     assert want, "fixture corpus should contain true near-dup pairs"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    keys=st.lists(
+        st.tuples(st.text(alphabet="abcz", min_size=1, max_size=5), st.integers(0, 99)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_two_level_rank_equals_global_rank(keys):
+    """dedup_sorted_neighborhood's bucketed rank: bucket by the key's
+    first character + within-bucket rank + bucket offsets must reproduce
+    the global ROW_NUMBER() OVER (ORDER BY k, doc_id) exactly — including
+    duplicate keys and duplicate (k, doc_id) prefixes across buckets."""
+    rows = [(k, i) for i, (k, _) in enumerate(keys)]
+    want = {kd: r + 1 for r, kd in enumerate(sorted(rows))}
+    buckets: dict[str, list] = {}
+    for kd in rows:
+        buckets.setdefault(kd[0][0], []).append(kd)
+    got = {}
+    off = 0
+    for b in sorted(buckets):
+        members = sorted(buckets[b])
+        for j, kd in enumerate(members):
+            got[kd] = off + j + 1
+        off += len(members)
+    assert got == want

@@ -42,6 +42,8 @@ def main() -> None:
     ev10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "events"))
     emb1 = load_table(spark, sc.SF_DIR, "embeddings")
     emb10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "embeddings"))
+    part1 = load_table(spark, sc.SF_DIR, "part")
+    part10 = spark.read.parquet(os.path.join(sc.SCALE_DIR, "part"))
 
     shapes = {
         "basket_affinity": (lambda: sc.basket_shape(li1), lambda: sc.basket_shape(li10)),
@@ -67,6 +69,8 @@ def main() -> None:
         "cep_paths": (lambda: sc.cep_shape(ev1), lambda: sc.cep_shape(ev10)),
         "clamp_balance": (lambda: sc.clamp_shape(ev1), lambda: sc.clamp_shape(ev10)),
         "winnowing_fp": (lambda: sc.winnow_shape(docs1), lambda: sc.winnow_shape(docs10)),
+        "ppjoin_exact": (lambda: sc.ppjoin_shape(docs1), lambda: sc.ppjoin_shape(docs10)),
+        "skyline_2d": (lambda: sc.skyline_shape(part1), lambda: sc.skyline_shape(part10)),
     }
     # warmup
     sc.run_noop(lambda: sc.q1_shape(li1))

@@ -78,10 +78,14 @@ def materialize_parts(spark) -> None:
     part = load_table(spark, SF_DIR, "part")
     rep = F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("i")
     (
-        part.select("p_partkey", "p_name", rep)
+        part.select("p_partkey", "p_name", "p_size", "p_retailprice", rep)
         .select(
             (F.col("p_partkey") * FACTOR + F.col("i")).alias("p_partkey"),
             "p_name",
+            # jitter per replica so the skyline shape sees 10x DISTINCT
+            # (price, size) points, not 10 copies of each frontier point
+            ((F.col("p_size") + F.col("i")) % 50 + 1).alias("p_size"),
+            (F.col("p_retailprice") + F.col("i") * 0.01).alias("p_retailprice"),
         )
         .write.mode("overwrite")
         .parquet(os.path.join(SCALE_DIR, "part"))
@@ -612,6 +616,103 @@ def winnow_shape(docs):
         .filter(F.col("n_docs") >= 2)
     )
     return shared.agg(F.count(F.lit(1)).alias("n"), F.sum("n_docs").alias("s"))
+
+
+def ppjoin_shape(docs):
+    """dedup_ppjoin_prefix's full shape: bigram shingles → global df order
+    → prefix explode → equi-join on prefix tokens → exact verify. NOTE the
+    output is inherently pair-shaped: the 10x corpus replicates each doc
+    with a one-token suffix delta (bigram J ≈ 0.9 within a family), so
+    every original near-dup family becomes a 10x-larger clique and the
+    TRUE pair count grows ~Θ(clique²) ≈ 45-50x by problem definition —
+    judge the ratio against output growth, not row growth."""
+    s = (
+        docs.select(
+            "doc_id", F.array_distinct(TX.word_shingles("text", 2)).alias("s")
+        )
+        .filter(F.size("s") > 0)
+        .localCheckpoint()
+    )
+    df_tbl = (
+        s.select(F.explode("s").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        s.select("doc_id", F.explode("s").alias("tok"))
+        .join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("o"))
+        .select(
+            "doc_id",
+            F.transform("o", lambda x: x["tok"]).alias("toks"),
+            F.size("o").alias("n"),
+        )
+    )
+    pre = ordered.select(
+        "doc_id",
+        "n",
+        F.expr("slice(toks, 1, n - ((3*n + 4) div 5) + 1)").alias("prefix"),
+    ).select("doc_id", "n", F.explode("prefix").alias("tok"))
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok")
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.lit(5) * F.least("na", "nb") >= F.lit(3) * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    union = (F.size("set_a") + F.size("set_b") - inter).cast("long")
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("i"), union.alias("u"))
+        .filter(F.lit(5) * F.col("i") >= F.lit(3) * F.col("u"))
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+from pyspark.sql.window import Window  # noqa: E402
+
+
+def skyline_shape(parts):
+    """part_skyline_pareto's two-level shape: domain-bounded price buckets,
+    per-bucket max + tiny prefix window, fact windows partitioned by bucket
+    and exact price — cost must track the two fact-window passes
+    (~linear), never a single-partition rank."""
+    bucket_w = 1000
+    px = parts.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    bkt = px.withColumn("bkt", F.expr(f"price_cents div {bucket_w}"))
+    bmax = bkt.groupBy("bkt").agg(F.max("p_size").alias("bkt_max"))
+    w_prev = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prev = bmax.select("bkt", F.max("bkt_max").over(w_prev).alias("prev_max"))
+    w_strict = (
+        Window.partitionBy("bkt")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    scored = (
+        bkt.join(F.broadcast(prev), "bkt")
+        .withColumn("in_bkt_max", F.max("p_size").over(w_strict))
+        .withColumn("same_price_max", F.max("p_size").over(w_same))
+    )
+    dominated = (
+        F.greatest(
+            F.coalesce(F.col("prev_max"), F.lit(-1)),
+            F.coalesce(F.col("in_bkt_max"), F.lit(-1)),
+        )
+        >= F.col("p_size")
+    ) | (F.col("same_price_max") > F.col("p_size"))
+    return scored.filter(~dominated).agg(F.count(F.lit(1)).alias("n_frontier"))
 
 
 _SPARK = None
