@@ -100,6 +100,13 @@ BENCH_QUERIES = [
     # sixth-session round-6 additions (keys above stay fixed)
     "text_winnowing_fingerprints",
     "geo_grid_distance_join",
+    # eighth-session round-6 additions (keys above stay fixed).
+    # dedup_ppjoin_prefix is deliberately NOT a bench key: the sf0.1
+    # fixture's frozen vocabulary puts exact prefix blocking in its
+    # documented degenerate regime (~40 s; see SURVEY eighth-session scale
+    # triage) — benching it would measure the corpus, not the engine.
+    "part_skyline_pareto",
+    "dedup_sorted_neighborhood",
 ]
 
 

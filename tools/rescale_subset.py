@@ -70,6 +70,7 @@ def main() -> None:
         "clamp_balance": (lambda: sc.clamp_shape(ev1), lambda: sc.clamp_shape(ev10)),
         "winnowing_fp": (lambda: sc.winnow_shape(docs1), lambda: sc.winnow_shape(docs10)),
         "ppjoin_exact": (lambda: sc.ppjoin_shape(docs1), lambda: sc.ppjoin_shape(docs10)),
+        "snm_linear": (lambda: sc.snm_shape(docs1), lambda: sc.snm_shape(docs10)),
         "skyline_2d": (lambda: sc.skyline_shape(part1), lambda: sc.skyline_shape(part10)),
     }
     # warmup

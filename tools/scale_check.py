@@ -653,13 +653,28 @@ def ppjoin_shape(docs):
         "doc_id",
         "n",
         F.expr("slice(toks, 1, n - ((3*n + 4) div 5) + 1)").alias("prefix"),
-    ).select("doc_id", "n", F.explode("prefix").alias("tok"))
-    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok")
-    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok")
+    ).select("doc_id", "n", F.posexplode("prefix").alias("p0", "tok"))
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        (F.col("p0") + 1).alias("pa"),
+        "tok",
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        (F.col("p0") + 1).alias("pb"),
+        "tok",
+    )
+    alpha = F.floor((F.lit(3) * (F.col("na") + F.col("nb")) + F.lit(7)) / F.lit(8))
     cand = (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.lit(5) * F.least("na", "nb") >= F.lit(3) * F.greatest("na", "nb"))
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            >= alpha
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -671,6 +686,48 @@ def ppjoin_shape(docs):
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", inter.alias("i"), union.alias("u"))
+        .filter(F.lit(5) * F.col("i") >= F.lit(3) * F.col("u"))
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def snm_shape(docs):
+    """dedup_sorted_neighborhood's full shape on the SAME corpus as
+    ppjoin_shape — the contrast row: SNM candidates are exactly n*(w-1)
+    regardless of corpus diversity (two-level rank + one equi-join on
+    rank), so where exact prefix blocking degenerates under fixed-
+    vocabulary replication, the sort-based member of the triad stays
+    linear by construction."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        _SNM_W,
+        _snm_ranked,
+    )
+
+    ranked = _snm_ranked(docs).localCheckpoint()
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bkt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"))
+    )
+    rn = ranked.join(F.broadcast(offs), "bkt").select(
+        "doc_id", "sh", (F.col("off") + F.col("r_in")).alias("rn")
+    )
+    probe = rn.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sa"),
+        F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + (_SNM_W - 1))).alias(
+            "rn2"
+        ),
+    )
+    build = rn.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"), F.col("rn").alias("rn2")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    union = (F.size("sa") + F.size("sb") - inter).cast("long")
+    pairs = (
+        probe.join(build, "rn2")
+        .select("id_a", "id_b", inter.alias("i"), union.alias("u"))
         .filter(F.lit(5) * F.col("i") >= F.lit(3) * F.col("u"))
     )
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
