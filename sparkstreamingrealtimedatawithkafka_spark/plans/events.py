@@ -2341,3 +2341,80 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_milli"
         ),
     )
+
+
+_CUSUM_ORACLE = """
+WITH x AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS us, event_id,
+         CAST(ROUND(value*100,0) AS BIGINT) - 6000 AS d
+  FROM events
+), p AS (
+  SELECT user_id, us, event_id,
+         SUM(d) OVER w AS ps
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT user_id, event_id,
+         ps - LEAST(CAST(0 AS BIGINT), MIN(ps) OVER w) AS s
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_cusum_c,
+       MIN(CASE WHEN s > 20000 THEN event_id END) AS first_alarm_event
+FROM c
+GROUP BY user_id
+HAVING SUM(CASE WHEN s > 20000 THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection (Page 1954): per user, the
+    drift statistic ``S_t = max(0, S_{t-1} + (x_t - k))`` with reference
+    value k = $60.00 and alarm threshold h = $200.00 — S accumulates
+    upward deviations from the in-control mean and forgives downward ones,
+    firing when a sustained shift pushes it past h. The sequential-looking
+    recurrence is the SAME clamped-at-zero identity
+    ``events_clamped_running_balance`` pins (S_t = P_t − min(0, min
+    prefix)), so detection costs exactly two stacked user-partitioned
+    windows over one exchange — what's new here is the DETECTION layer:
+    per-user alarm counts, the peak statistic, and the first alarm event
+    (the estimated change point's upper edge). All math in exact integer
+    cents; only users with at least one alarm are emitted.
+
+    Scale: identical to the clamped-balance shape — one shuffle on
+    user_id, merge-computable windows, no global ordering anywhere; the
+    group-by alarm summary is a partial aggregate. Streaming twin:
+    the same statistic carries as (P_t, min-prefix) per key, both
+    associative, so applyInPandasWithState or the EWMA-style stateful
+    fold can maintain it online."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (cents("value") - F.lit(6000).cast("long")).alias("d"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = ev.withColumn("ps", F.sum("d").over(w))
+    c = p.withColumn(
+        "s",
+        F.col("ps") - F.least(F.lit(0).cast("long"), F.min("ps").over(w)),
+    )
+    alarm = F.col("s") > F.lit(20000)
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+            F.max("s").alias("max_cusum_c"),
+            F.min(F.when(alarm, F.col("event_id"))).alias("first_alarm_event"),
+        )
+        .filter(F.col("n_alarms") > 0)
+    )
