@@ -1098,3 +1098,40 @@ def streaming_dead_letter_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = _summarize("good").unionAll(_summarize("dlq")).localCheckpoint()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+from sparkstreamingrealtimedatawithkafka_spark.plans.events import (  # noqa: E402
+    _CUSUM_ORACLE,
+)
+
+
+# Same oracle VERBATIM as the batch entry (plans/events.py
+# events_cusum_changepoint): same constants, same output contract —
+# stream == batch is the claim, so they must share the ground truth.
+@register("streaming_cusum_alarms", oracle=_CUSUM_ORACLE)
+def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of ``events_cusum_changepoint``: Page's CUSUM
+    as a CUSTOM STATEFUL operator (``applyInPandasWithState``), carried
+    state = five int64 scalars per user (prefix sum, min-prefix, peak,
+    alarm count, first alarm) — the closed-form identity turns "replay
+    the history" into bounded per-key state, which is exactly what the
+    state store is for under continuous ingest. Same oracle as the batch
+    entry; every quantity is exact integer cents so stream == batch to
+    the cent (no float drift to hide behind). Cross-batch state
+    continuation is pinned by tests/test_streaming_cusum.py under a
+    2-way time-sliced stream."""
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.stateful import (
+        user_cusum,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.expr("CAST(ROUND(value*100,0) AS BIGINT)").alias("cents"),
+    )
+    out = run_to_memory(user_cusum(ev), output_mode="update")
+    return out.filter(F.col("n_alarms") > 0).select(
+        "user_id", "n_alarms", "max_cusum_c", "first_alarm_event"
+    )

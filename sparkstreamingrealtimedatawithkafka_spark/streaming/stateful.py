@@ -241,3 +241,83 @@ def user_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("ps", LongType()),
+        StructField("mn", LongType()),
+        StructField("s_max", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm", LongType()),
+    ]
+)
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("max_cusum_c", LongType()),
+        StructField("first_alarm_event", LongType()),
+    ]
+)
+
+_CUSUM_K_CENTS = 6000
+_CUSUM_H_CENTS = 20000
+
+
+def _update_cusum(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Continue the per-user one-sided CUSUM fold from carried state.
+
+    The carried state is (prefix sum, min(0, min prefix), peak statistic,
+    alarm count, first alarm event) — ALL exact int64, so stream == batch
+    to the last cent with no float drift. Rows are sorted by
+    (ts_us, event_id) within the batch; across batches correctness needs
+    time-ordered arrival, same contract as ``_update_ewma``. The identity
+    S_t = P_t - min(0, min prefix P) means the state is two running
+    integers, not history — the unbounded-ingest form of the batch
+    entry's stacked windows (plans/events.py events_cusum_changepoint).
+    """
+    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    if state.exists:
+        ps, mn, s_max, n_alarms, first_alarm = state.get
+    else:
+        ps, mn, s_max, n_alarms, first_alarm = 0, 0, 0, 0, -1
+    for cents_v, eid in zip(rows["cents"], rows["event_id"]):
+        ps += int(cents_v) - _CUSUM_K_CENTS
+        if ps < mn:
+            mn = ps
+        s = ps - mn
+        if s > s_max:
+            s_max = s
+        if s > _CUSUM_H_CENTS:
+            n_alarms += 1
+            if first_alarm < 0:
+                first_alarm = int(eid)
+    state.update((ps, mn, s_max, n_alarms, first_alarm))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_alarms": [n_alarms],
+            "max_cusum_c": [s_max],
+            "first_alarm_event": [first_alarm if first_alarm >= 0 else None],
+        }
+    )
+
+
+def user_cusum(events: DataFrame) -> DataFrame:
+    """Per-user streaming CUSUM (k=$60, h=$200, exact cents) as a custom
+    stateful operator; ``events`` must carry ``user_id``, ``event_id``,
+    ``ts_us``, ``cents``. Update mode: the latest alarm summary per user
+    per batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
