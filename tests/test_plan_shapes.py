@@ -798,3 +798,14 @@ def test_snm_rank_window_is_bucket_partitioned(spark):
     # (the plan's one Exchange SinglePartition is the bucket-offset prefix
     # window over the domain-bounded bucket-count table — the accepted
     # two-level pattern, same as pack_blocks / weighted sampling)
+
+
+def test_cusum_windows_are_user_partitioned(spark):
+    """events_cusum_changepoint: same invariant as the clamped balance it
+    derives from — both stacked windows keyed by user_id, no bare
+    orderBy-only window over the facts."""
+    import re
+
+    plan = _plan(spark, "events_cusum_changepoint")
+    assert re.search(r"windowspecdefinition\(user_id#\d+L", plan)
+    assert not re.search(r"windowspecdefinition\((?:ts_us|event_id)#\d+L", plan)

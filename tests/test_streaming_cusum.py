@@ -73,3 +73,37 @@ def test_stream_cusum_across_time_sliced_batches_equals_batch(spark):
     got = {v for v in latest.values() if v[1] > 0}
     assert got == batch
     assert batch, "fixture should alarm for at least one user"
+
+
+def test_cusum_closed_form_equals_recurrence():
+    """The identity both CUSUM entries ride on: S_t = max(0, S_{t-1} + d_t)
+    == P_t - min(0, min prefix P) — hypothesis over arbitrary int deltas,
+    plus alarm bookkeeping (count, first index over threshold) replayed
+    both ways."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        ds=st.lists(st.integers(-100, 100), min_size=1, max_size=60),
+        h=st.integers(0, 150),
+    )
+    def check(ds, h):
+        s, n_alarms_rec, first_rec = 0, 0, None
+        for i, d in enumerate(ds):
+            s = max(0, s + d)
+            if s > h:
+                n_alarms_rec += 1
+                if first_rec is None:
+                    first_rec = i
+        ps, mn, n_alarms_cf, first_cf = 0, 0, 0, None
+        for i, d in enumerate(ds):
+            ps += d
+            mn = min(mn, ps)
+            if ps - mn > h:
+                n_alarms_cf += 1
+                if first_cf is None:
+                    first_cf = i
+        assert (n_alarms_cf, first_cf) == (n_alarms_rec, first_rec)
+
+    check()
