@@ -2418,3 +2418,90 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_alarms") > 0)
     )
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE x AS (
+  SELECT user_id,
+         list(CAST(CAST(ROUND("value"*100,0) AS BIGINT) AS DOUBLE)
+              ORDER BY epoch_ns(ts)//1000, event_id) AS vs
+  FROM events GROUP BY user_id
+),
+it AS (
+  SELECT user_id, vs, 1 AS i, vs[1] AS l, CAST(0.0 AS DOUBLE) AS b FROM x
+  UNION ALL
+  SELECT user_id, vs, i+1,
+         vs[i+1]/2 + (l + b)/2,
+         ((vs[i+1]/2 + (l + b)/2) - l)/2 + b/2
+  FROM it WHERE i < len(vs)
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       l AS level_c, b AS trend_c, l + b AS forecast_c
+FROM it WHERE i = len(vs)
+"""
+
+
+@register("events_holt_linear_forecast", oracle=_HOLT_ORACLE)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per user
+    (alpha = beta = 1/2): level ``l_t = x_t/2 + (l+b)/2`` and trend
+    ``b_t = (l_t - l)/2 + b/2`` folded over the time-ordered value
+    sequence, one-step-ahead forecast ``l + b`` — the trend-aware upgrade
+    of ``events_ewma_smoothing`` (level-only) and the model-based
+    complement to ``events_seasonal_naive_backtest``.
+
+    Hash-exactness discipline for a recursive float, extended to VECTOR
+    state: both engines run the IDENTICAL (l, b) recurrence with the
+    TEXTUALLY IDENTICAL expression tree (the level expression is
+    deliberately duplicated inside the trend expression on BOTH sides
+    rather than let-bound, so the operand order is pinned) — Spark as
+    ``aggregate`` over an ``array_sort``-ordered per-user struct array
+    seeded with (l1 = x1, b1 = 0), DuckDB as a RECURSIVE CTE stepping the
+    same per-user list. IEEE-754 doubles make that bit-identical. The CTE
+    form is deliberate: DuckDB's ``list_reduce`` with a STRUCT
+    accumulator was observed evaluating later struct fields against a
+    partially-updated accumulator (the trend field saw the same
+    application's new level from the second application onward, but not
+    the first) — a cross-engine footgun this oracle avoids by never
+    folding structs in DuckDB.
+
+    Scale: same posture as the EWMA — one shuffle on user_id, per-user
+    arrays bounded by user activity, the fold runs inside the aggregation
+    stage. Streaming twin carries (l, b, n) per key — three scalars —
+    the ``user_ewma``/``user_cusum`` stateful pattern."""
+    ev = t(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts_us").alias("t"),
+            F.col("event_id").alias("e"),
+            F.expr("CAST(ROUND(value*100,0) AS BIGINT)").cast("double").alias("c"),
+        ).alias("r"),
+    )
+    per = rows.groupBy("user_id").agg(
+        F.transform(F.array_sort(F.collect_list("r")), lambda r: r["c"]).alias("vs")
+    )
+    states = F.transform(
+        "vs", lambda e: F.struct(e.alias("l"), F.lit(0.0).alias("b"))
+    )
+    per = per.select(
+        "user_id", F.size("vs").cast("long").alias("n_events"), states.alias("st")
+    )
+    hw = F.aggregate(
+        F.slice(F.col("st"), 2, F.greatest(F.size("st") - 1, F.lit(0))),
+        F.element_at("st", 1),
+        lambda acc, x: F.struct(
+            (x["l"] / 2 + (acc["l"] + acc["b"]) / 2).alias("l"),
+            (
+                ((x["l"] / 2 + (acc["l"] + acc["b"]) / 2) - acc["l"]) / 2
+                + acc["b"] / 2
+            ).alias("b"),
+        ),
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        hw["l"].alias("level_c"),
+        hw["b"].alias("trend_c"),
+        (hw["l"] + hw["b"]).alias("forecast_c"),
+    )
