@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     # triage) — benching it would measure the corpus, not the engine.
     "part_skyline_pareto",
     "dedup_sorted_neighborhood",
+    "events_cusum_changepoint",
+    "events_holt_linear_forecast",
 ]
 
 
