@@ -760,3 +760,41 @@ def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("c").alias("sum_cents"),
         )
     )
+
+
+_META_ORACLE = """
+SELECT 'events.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM events
+"""
+
+
+@register("source_file_metadata_provenance", oracle=_META_ORACLE)
+def source_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance via the hidden ``_metadata`` struct —
+    the lakehouse lineage surface (which physical file did this row come
+    from?) that debugging bad-file incidents and incremental-compaction
+    audits depend on. ``_metadata`` is only materialized when explicitly
+    selected (zero cost otherwise), so the entry reads the parquet
+    directly (the registry loader deliberately projects real columns
+    only) and aggregates rows per source file.
+
+    Scale: the provenance column is generated AT THE SCAN (no join against
+    a file manifest), so per-file audits group on a value that is
+    constant within each split — map-side combine collapses it to one row
+    per file per task. The fixture layout is exactly one file per table
+    (TESTDATA.md), so the oracle pins the literal base name — the check
+    still proves Spark's ``_metadata.file_name`` resolves to the actual
+    physical file AND that the per-file aggregates are right; multi-file
+    layouts exercise the same plan with more groups."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select("event_id", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )

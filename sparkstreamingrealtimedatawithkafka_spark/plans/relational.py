@@ -5321,3 +5321,33 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         >= F.col("p_size")
     ) | (F.col("same_price_max") > F.col("p_size"))
     return scored.filter(~dominated).select("p_partkey", "price_cents", "p_size")
+
+
+_TRANSPOSE_ORACLE = """
+SELECT 'r_name' AS key,
+       MAX(CASE WHEN r_regionkey = 0 THEN r_name END) AS "0",
+       MAX(CASE WHEN r_regionkey = 1 THEN r_name END) AS "1",
+       MAX(CASE WHEN r_regionkey = 2 THEN r_name END) AS "2",
+       MAX(CASE WHEN r_regionkey = 3 THEN r_name END) AS "3",
+       MAX(CASE WHEN r_regionkey = 4 THEN r_name END) AS "4"
+FROM region
+"""
+
+
+@register("dataframe_transpose", oracle=_TRANSPOSE_ORACLE)
+def dataframe_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose()`` — the Spark-4 rows↔columns flip: the
+    index column's values become column NAMES (sorted ascending), every
+    remaining row becomes a column of the output keyed by its former
+    column name. Run over the fixed 5-row region dimension; the oracle is
+    the equivalent manual pivot.
+
+    Scale honesty: transpose is BY CONSTRUCTION a dimension-table op —
+    the engine must enumerate the index column's distinct values to plan
+    the output schema (a driver-side schema decision, same class as
+    ``pivot`` without explicit values), so its domain is catalogs,
+    configs, and stats tables (bounded width), never fact tables. The
+    catalog pins the surface and that contract; wide-fact reshaping
+    belongs to ``unpivot_melt`` (rows stay rows)."""
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return region.transpose()
