@@ -809,3 +809,24 @@ def test_cusum_windows_are_user_partitioned(spark):
     plan = _plan(spark, "events_cusum_changepoint")
     assert re.search(r"windowspecdefinition\(user_id#\d+L", plan)
     assert not re.search(r"windowspecdefinition\((?:ts_us|event_id)#\d+L", plan)
+
+
+def test_udtf_table_argument_partitions_by_lang(spark):
+    """udtf_table_argument: the TABLE(...) PARTITION BY lang argument must
+    plan a hash exchange on lang feeding the Python UDTF — per-partition
+    ordered eval is the surface's contract, not a coincidence."""
+    plan = _plan(spark, "udtf_table_argument")
+    # Spark aliases the PARTITION BY key as partition_by_0 and plans
+    # exchange-on-key + in-partition sort feeding the Python UDTF
+    assert "hashpartitioning(partition_by_0" in plan
+    assert "Sort [partition_by_0" in plan
+    assert "PythonUDTF" in plan
+
+
+def test_file_metadata_provenance_has_no_join(spark):
+    """source_file_metadata_provenance: _metadata is generated AT THE SCAN
+    — the per-file audit must be scan → aggregate, never a join against a
+    file manifest."""
+    plan = _plan(spark, "source_file_metadata_provenance")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
