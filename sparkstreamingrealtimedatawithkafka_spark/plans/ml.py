@@ -1036,17 +1036,23 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparsity-stable as volume grows."""
     li = t(spark, sf_dir, "lineitem")
     e = copurchase_edges(li).localCheckpoint()
-    labels = e.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
+    labels = None
     for _ in range(_LPA_ROUNDS):
-        counts = (
-            e.join(
-                labels.select(F.col("node").alias("src"), "lbl"), "src"
+        if labels is None:
+            # round 1: labels are the identity map, so the label join is a
+            # no-op (lbl == src) — group the edge list directly and save a
+            # distinct + a join (two shuffles) off the front of the loop
+            counts = e.groupBy(
+                F.col("dst").alias("node"), F.col("src").alias("lbl")
+            ).agg(F.count(F.lit(1)).alias("n"))
+        else:
+            counts = (
+                e.join(
+                    labels.select(F.col("node").alias("src"), "lbl"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("n"))
             )
-            .groupBy(F.col("dst").alias("node"), "lbl")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
         labels = (
             counts.groupBy("node")
             .agg(
