@@ -52,15 +52,23 @@ def connected_components(
     # labels carries its node column as "lnode" so the per-round join
     # against sym can't hit Spark's ambiguous-self-join check (labels
     # derives from sym, so both would otherwise own the same attribute).
+    # Round 1 is FUSED: with identity labels, label(nbr) == nbr, so the
+    # propagation join is the edge list itself — one aggregate computes
+    # label1(node) = min(node, min of neighbors), saving the initial
+    # distinct + checkpoint and the first join round (the LPA round-1
+    # lesson applied to CC).
     labels = (
-        sym.select(F.col("node").alias("lnode"))
-        .distinct()
-        .withColumn("label", F.col("lnode"))
+        sym.select(F.col("node").alias("lnode"), F.col("node").alias("label"))
+        .union(
+            sym.select(F.col("node").alias("lnode"), F.col("nbr").alias("label"))
+        )
+        .groupBy("lnode")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         prop = sym.join(labels, sym["nbr"] == labels["lnode"]).select(
             F.col("node").alias("lnode"), F.col("label")
         )
@@ -106,13 +114,20 @@ def pagerank_int(
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = sym.join(deg, "src").localCheckpoint()
-    ranks = ed.select(F.col("src").alias("node")).distinct().withColumn(
-        "r", F.lit(1_000_000).cast("long")
-    )
+    ranks = None
     for _ in range(iterations):
-        contrib = ed.join(ranks, ed.src == ranks.node).select(
-            F.col("dst"), F.expr("r div deg").alias("c")
-        )
+        if ranks is None:
+            # round 1 fused: ranks are uniform (1_000_000), so the rank
+            # join is a no-op — contributions come straight off the edge
+            # list, saving the initial distinct and the first join (the
+            # LPA/CC round-1 lesson)
+            contrib = ed.select(
+                F.col("dst"), F.expr("1000000 div deg").alias("c")
+            )
+        else:
+            contrib = ed.join(ranks, ed.src == ranks.node).select(
+                F.col("dst"), F.expr("r div deg").alias("c")
+            )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg(
