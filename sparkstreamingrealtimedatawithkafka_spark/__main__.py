@@ -1,0 +1,157 @@
+"""CLI parity layer: ``python -m sparkstreamingrealtimedatawithkafka_spark``.
+
+Mirrors the reference's argparse surface (spark_entity_counter.py:91-98 —
+``--bootstrap-servers``, ``--input-topic``, ``--output-topic``,
+``--trigger``, ``--app-name``, with the same env-var defaults) and wires
+``kafka_source`` → article pipeline → ``kafka_sink`` exactly as the
+reference's ``main()`` does (spark_entity_counter.py:117-156).
+
+Engine extension: when no broker answers the TCP probe
+(``streaming.pipeline.kafka_broker_addr`` — the same auto-gating posture as
+the rest of the Kafka surface), the run falls back to the HERMETIC TWIN:
+a bounded parquet file stream of articles encoded as Kafka-shaped
+``value`` JSON, driven to completion with ``availableNow``, results
+written to ``--output-dir`` (or printed). The pipeline between source and
+sink is IDENTICAL in both modes — ``parse_articles`` (CAST → from_json →
+concat_ws) then ``entity_counts`` then ``to_output_json`` — so the twin
+exercises every operator the Kafka path would.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="python -m sparkstreamingrealtimedatawithkafka_spark",
+        description="PySpark streaming NER entity counter",
+    )
+    # Reference surface, verbatim defaults (spark_entity_counter.py:92-97).
+    parser.add_argument(
+        "--bootstrap-servers",
+        default=os.getenv("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092"),
+    )
+    parser.add_argument("--input-topic", default=os.getenv("INPUT_TOPIC", "topic1"))
+    parser.add_argument("--output-topic", default=os.getenv("OUTPUT_TOPIC", "topic2"))
+    parser.add_argument(
+        "--trigger",
+        default=os.getenv("TRIGGER", "30 seconds"),
+        help="Processing trigger interval, e.g. '30 seconds'",
+    )
+    parser.add_argument("--app-name", default="spark_entity_counter")
+    # Engine extensions (hermetic twin / execution knobs).
+    parser.add_argument(
+        "--input-path",
+        default=None,
+        help="Hermetic twin source: parquet of documents (doc_id, text, ...) "
+        "streamed as Kafka-shaped JSON values. Used when no broker answers.",
+    )
+    parser.add_argument(
+        "--output-dir",
+        default=None,
+        help="Hermetic twin sink: directory for the output-JSON parquet "
+        "(default: print a sample to stdout).",
+    )
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="Checkpoint location (default: a fresh temp dir, like the "
+        "reference's hardcoded /tmp path but collision-free).",
+    )
+    parser.add_argument(
+        "--use-udf",
+        action="store_true",
+        help="Run the Arrow pandas-UDF extractor plane (the reference's "
+        "execution shape) instead of the JVM column expression.",
+    )
+    return parser
+
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def _hermetic_source(spark: SparkSession, input_path: str):
+    """Bounded file stream of articles encoded EXACTLY as the producer
+    would put them on the wire: one JSON object per message in ``value``
+    (news_producer.py:127 emits the article dict; title carries the
+    fixture text so concat_ws(title, description, content) == text)."""
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import file_stream
+
+    stream = file_stream(spark, input_path, _DOCS_SCHEMA)
+    return stream.select(
+        F.to_json(F.struct(F.col("text").alias("title"))).alias("value")
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    from sparkstreamingrealtimedatawithkafka_spark.session import build_session
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        entity_counts,
+        kafka_broker_addr,
+        kafka_sink,
+        kafka_source,
+        parse_articles,
+        run_to_memory,
+        to_output_json,
+    )
+
+    args = build_parser().parse_args(argv)
+    spark = build_session(app_name=args.app_name)
+    checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="ssk_cli_ckpt_")
+
+    broker = kafka_broker_addr()
+    if broker is not None:
+        # Live path: verbatim reference wiring (spark_entity_counter.py:
+        # 117-156) — complete-mode republish per trigger until interrupted.
+        raw = kafka_source(spark, args.bootstrap_servers, args.input_topic)
+        out = to_output_json(
+            entity_counts(parse_articles(raw), use_udf=args.use_udf)
+        )
+        query = kafka_sink(
+            out,
+            args.bootstrap_servers,
+            args.output_topic,
+            checkpoint,
+            output_mode="complete",
+            trigger_interval=args.trigger,
+        )
+        query.awaitTermination()
+        return 0
+
+    # Hermetic twin: same pipeline, bounded file source, availableNow.
+    input_path = args.input_path or "/root/testdata/sf0.001/documents.parquet"
+    print(
+        f"no Kafka broker at {args.bootstrap_servers}; "
+        f"running hermetic twin over {input_path}",
+        file=sys.stderr,
+    )
+    raw = _hermetic_source(spark, input_path)
+    counts = entity_counts(parse_articles(raw), use_udf=args.use_udf)
+    result = run_to_memory(to_output_json(counts), output_mode="complete")
+    if args.output_dir:
+        result.write.mode("overwrite").parquet(args.output_dir)
+        print(f"wrote {result.count()} messages to {args.output_dir}")
+    else:
+        for row in result.orderBy("value").collect():
+            print(row["value"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

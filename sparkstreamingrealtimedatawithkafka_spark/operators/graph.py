@@ -85,6 +85,77 @@ def connected_components(
     return labels.select(F.col("lnode").alias("node"), "label")
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Synchronous label propagation (LPA) over a symmetric directed edge
+    list (both directions present, as ``copurchase_edges`` emits): every
+    node adopts the most frequent label among its neighbors each round,
+    ties broken to the smallest label so the result is deterministic.
+    Returns (node, lbl) for every node with an in-edge.
+
+    ``rounds=N`` is the FIXED-DEPTH mode the catalog entry uses
+    (oracle-replayable as an unrolled CTE chain — N=4 there is a demo
+    depth, not a convergence claim). ``rounds=None`` is CONVERGED MODE:
+    iterate until the label assignment reaches a fixpoint, detected per
+    round with the same O(1)-scalar discipline as
+    ``connected_components`` — one single-row aggregate,
+    BIT_XOR(xxhash64(node, lbl)), changes whenever any label changes
+    (w.h.p.; (node, lbl) rows are unique per node so no xor-cancellation,
+    and xor can't hit ANSI mode's int64 SUM overflow) and costs no
+    self-join diff. Capped at ``max_rounds`` because
+    synchronous LPA can 2-cycle on bipartite-ish neighborhoods (the
+    classic LPA caveat); a production run picks the cap by graph diameter
+    expectations and treats hitting it as "oscillating, take the current
+    assignment".
+
+    The per-round argmax rides one integer encoding (score = n·K − lbl,
+    decode lbl = K − score mod K), so each round is ONE equi-join keyed
+    on the edge source plus two keyed aggregates — no window, no UDF —
+    with per-round localCheckpoint lineage cuts. Round 1 is fused:
+    identity labels make the label join a no-op, so the edge list groups
+    directly (saves a distinct + join off the front).
+    """
+    K = 1_000_000_000  # argmax encoding: score = n*K - lbl (0 < lbl < K)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    labels = None
+    prev_hash = None
+    done = 0
+    while (rounds is not None and done < rounds) or (
+        rounds is None and done < max_rounds
+    ):
+        if labels is None:
+            counts = e.groupBy(
+                F.col("dst").alias("node"), F.col("src").alias("lbl")
+            ).agg(F.count(F.lit(1)).alias("n"))
+        else:
+            counts = (
+                e.join(labels.select(F.col("node").alias("src"), "lbl"), "src")
+                .groupBy(F.col("dst").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                (F.lit(K) - (F.max(F.col("n") * K - F.col("lbl")) % K))
+                .cast("long")
+                .alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        done += 1
+        if rounds is None:
+            h = labels.agg(F.expr("bit_xor(xxhash64(node, lbl))")).collect()[0][0]
+            if h == prev_hash:
+                break
+            prev_hash = h
+    return labels
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "src",
@@ -105,7 +176,12 @@ def pagerank_int(
     rows); each iteration is one join + one shuffle on the destination
     key with per-round localCheckpoint lineage cuts. Fixed iterations
     (not convergence-tested) keep the oracle replayable as an unrolled
-    SQL CTE chain. Returns (node, rank_ppm) for every node in an edge.
+    SQL CTE chain — a DEMO DEPTH, like ``label_propagation(rounds=N)``;
+    converged operation iterates until the rank assignment stabilizes,
+    probed per round with the same O(1) single-row scalar
+    (BIT_XOR(xxhash64(node, r)) — integer ranks make exact fixpoint
+    detection meaningful where float PageRank needs an epsilon).
+    Returns (node, rank_ppm) for every node in an edge.
     """
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

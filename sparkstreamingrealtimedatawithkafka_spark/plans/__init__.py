@@ -29,69 +29,49 @@ DRIVER_WINDOW = [
     "flagship_entity_count",
     "output_json_messages",
     "pipeline_parity_udf",
-    # relational core: scans/filters/aggs (q13's five-times-recertified
-    # slot ceded to the round-5 BM25 family — r5 verdict rotation ask)
+    # relational core: scans/filters/aggs. r7 rotation: q6 (six-rounds
+    # green) and the r6-certified audit_expectations_suite cede to two
+    # never-certified r6 families the r6 verdict named (rotation ask #2)
     "q1_pricing_summary",
-    "q6_forecast_revenue",
-    # third-session r6 rotation: q5 (five-times-green; all 22 TPC-H
-    # shapes stay green out-of-window) cedes to the data-quality
-    # expectations suite — the N-rules-one-scan audit family
-    "audit_expectations_suite",
+    "events_cusum_changepoint",
+    "events_holt_linear_forecast",
     "search_bm25_topk",
     # joins
     "join_semi_orders_bigqty",
     "join_anti_customers_no_urgent",
-    # sixth-session r6 rotation: range-join (five-rounds green, family
-    # keeps 4/5 pool members in-window) cedes to the clamped-recurrence
-    # window identity — the sequential-looking b_t = max(0, b+x) family
     "events_clamped_running_balance",
     "events_asof_last_purchase",
-    # sorts / windows (order_limit_top_orders and events_window_range_frame
-    # ceded their slots to the round-5 CDC + sequence-packing families —
-    # topk/running-total keep the ordered-limit and frame evidence)
-    # sixth-session r6 rotation: ordered-limit evidence stays via the
-    # WindowGroupLimit plan guards + BM25 top-k; the slot certifies
-    # winnowing passage fingerprints (the MOSS algorithm)
     "text_winnowing_fingerprints",
-    # third-session r6 rotation: running-total frame semantics stay green
-    # out-of-window; the slot certifies robust order statistics (two-pass
-    # exact median + MAD outliers, operators/orderstats.py)
-    "events_outlier_mad_2pass",
-    # eighth-session r6 rotation: the round-5 CDC-diff and sequence-packing
-    # flagships were driver-certified in CORRECTNESS_r05 (both "pass
-    # (driver)" in the r5 verdict table) and stay green in the local gate;
-    # their slots certify this session's exact-algorithm pair — the
-    # AllPairs/PPJoin prefix-filter join (provable-completeness counterpart
-    # to the LSH dedup ladder) and the two-level bucketed skyline (every
-    # fact window partitioned)
-    "dedup_ppjoin_prefix",
-    "part_skyline_pareto",
-    # scalar functions / SQL surface (math fns stay out-of-window; string+
-    # date evidence §2.7 and the swapped-in §2.4 surfaces need the slots)
-    # sixth-session r6 rotation: date-fn evidence stays out-of-window
-    # (five-rounds green); the slot certifies the audio fingerprint —
-    # amplitude-invariant dedup over the REAL WAV codec chain
+    # r7 rotation: the r6-certified order-stats and exact-algorithm slots
+    # (events_outlier_mad_2pass, dedup_ppjoin_prefix, part_skyline_pareto —
+    # all "pass (driver)" in the r6 verdict table) cede to the graph family
+    # (never driver-certified) and the new self-routing similarity triad
+    # entry, which transitively re-exercises the PPJoin path at sf0.01
+    # (under-budget -> ppjoin route) with the routing decision hash-checked
+    "graph_pagerank_copurchase",
+    "graph_kcore",
+    "dedup_similarity_auto",
     "multimodal_audio_fingerprint",
-    "scalar_string_functions",
-    # UDAF / grouped-map surfaces (§2.4: scalar pandas UDF is
-    # pipeline_parity_udf, UDTF is text_chunker — these complete the row)
+    # r7 rotation: scalar_string_functions + grouped_map_normalize (both
+    # multi-round green; string/date §2.7 evidence stays green out-of-window
+    # and the grouped-map surface keeps pytest + local-gate coverage) cede
+    # to the never-certified PCA power iteration and DP noisy counts
+    "emb_pca_power_iteration",
+    "privacy_dp_noisy_counts",
+    # UDAF surface (§2.4: scalar pandas UDF is pipeline_parity_udf,
+    # UDTF is text_chunker — this completes the row)
     "udaf_grouped_agg_pandas",
-    "grouped_map_normalize",
-    # set ops + grouped aggregates (corr stays out-of-window;
-    # agg_stats_distribution covers the exact-statistics family)
     "setop_union_intersect_except",
-    # late-r6 rotation: grouping keeps 2/3 pool members in-window;
-    # this slot certifies the web-curation family (URL canonicalization)
     "web_url_normalize",
     "agg_distinct_counts",
     "agg_stats_distribution",
-    # r6 rotation: approx-sketch and pivot slots (multi-round green) ceded
-    # to the round-5 quantile-histogram and reproducible-split families
-    "quantile_bucket_assignment",
+    # r7 rotation: quantile_bucket_assignment + events_from_json_struct
+    # (r5/r6-certified; from_json parity stays exercised in-window through
+    # streaming_entity_count's parse pipeline) cede to the sort-based
+    # member of the dedup triad and the streaming fan-out entry
+    "dedup_sorted_neighborhood",
     "split_train_valid_test",
-    # event-time semantics (batch twins; sliding-window slot ceded to the
-    # interval-overlap join — r6 rotation)
-    "events_from_json_struct",
+    "streaming_multi_sink_fanout",
     "events_tumbling_daily",
     "events_interval_overlap",
     "events_session_window",

@@ -1022,6 +1022,16 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohesion), k-hop (reach), link prediction (recommendation), LPA
     (mesoscale structure).
 
+    DEPTH CONTRACT: ``_LPA_ROUNDS = 4`` is the oracle-replayable DEMO
+    depth (the DuckDB oracle unrolls one CTE per round) — it is NOT a
+    converged community structure on a general graph. Converged operation
+    is ``operators.graph.label_propagation(e, rounds=None)``: iterate to
+    the label fixpoint with a per-round O(1)-scalar probe (single-row
+    BIT_XOR(xxhash64(node, lbl)) — the connected-components sum-trick
+    generalized to non-monotone labels), capped against synchronous LPA's
+    known 2-cycle oscillation. tests/test_graph_convergence.py pins both
+    the fixpoint property and the demo-depth equivalence.
+
     The neighborhood argmax rides ONE integer encoding, shared verbatim
     with the oracle: score = n·K − lbl maximizes count first, then
     minimal label, and lbl = K − (max_score mod K) decodes without a
@@ -1034,37 +1044,13 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the RELATIVE-support expansion (plans/ml.py:copurchase_edges),
     so graph density — and with it the per-round shuffle — stays
     sparsity-stable as volume grows."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+        label_propagation,
+    )
+
     li = t(spark, sf_dir, "lineitem")
     e = copurchase_edges(li).localCheckpoint()
-    labels = None
-    for _ in range(_LPA_ROUNDS):
-        if labels is None:
-            # round 1: labels are the identity map, so the label join is a
-            # no-op (lbl == src) — group the edge list directly and save a
-            # distinct + a join (two shuffles) off the front of the loop
-            counts = e.groupBy(
-                F.col("dst").alias("node"), F.col("src").alias("lbl")
-            ).agg(F.count(F.lit(1)).alias("n"))
-        else:
-            counts = (
-                e.join(
-                    labels.select(F.col("node").alias("src"), "lbl"), "src"
-                )
-                .groupBy(F.col("dst").alias("node"), "lbl")
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                (
-                    F.lit(_LPA_K)
-                    - (F.max(F.col("n") * _LPA_K - F.col("lbl")) % _LPA_K)
-                )
-                .cast("long")
-                .alias("lbl")
-            )
-            .localCheckpoint()
-        )
+    labels = label_propagation(e, rounds=_LPA_ROUNDS)
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("min_member"),

@@ -3865,21 +3865,32 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (kept as the integer ratio 3/5 so the gate is float-free).
     """
     docs = t(spark, sf_dir, "documents")
-    s = (
-        docs.select(
-            "doc_id", F.array_distinct(TX.word_shingles("text", 2)).alias("s")
-        )
-        .filter(F.size("s") > 0)
-        .localCheckpoint()  # feeds df build, prefix explode, AND verify join-back
-    )
+    s = _ppjoin_shingle_table(docs).localCheckpoint()
+    return _ppjoin_pairs(s, _ppjoin_prefix_table(s))
+
+
+def _ppjoin_shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): distinct bigram-shingle sets, empty sets dropped.
+    Callers localCheckpoint — it feeds df build, prefix explode, AND the
+    verify join-back."""
+    return docs.select(
+        "doc_id", F.array_distinct(TX.word_shingles("text", 2)).alias("s")
+    ).filter(F.size("s") > 0)
+
+
+def _ppjoin_prefix_table(s: DataFrame) -> DataFrame:
+    """(doc_id, n, p0, tok): each doc's PPJoin prefix, positionally exploded.
+
+    Canonical rarest-first order per doc: explode -> df join -> re-collect
+    sorted by (df, tok). collect_list is non-deterministic in arrival
+    order; array_sort on the (df, tok) struct restores determinism.
+    Prefix length = n - ceil(t*n) + 1 with t = 3/5; ceil(3n/5) = (3n+4) div 5.
+    """
     df_tbl = (
         s.select(F.explode("s").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    # Canonical rarest-first order per doc: explode -> df join -> re-collect
-    # sorted by (df, tok). collect_list is non-deterministic in arrival
-    # order; array_sort on the (df, tok) struct restores determinism.
     ordered = (
         s.select("doc_id", F.explode("s").alias("tok"))
         .join(df_tbl, "tok")
@@ -3891,12 +3902,16 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("o").alias("n"),
         )
     )
-    # prefix length = n - ceil(t*n) + 1 with t = 3/5; ceil(3n/5) = (3n+4) div 5
-    pre = ordered.select(
+    return ordered.select(
         "doc_id",
         "n",
         F.expr("slice(toks, 1, n - ((3*n + 4) div 5) + 1)").alias("prefix"),
     ).select("doc_id", "n", F.posexplode("prefix").alias("p0", "tok"))
+
+
+def _ppjoin_pairs(s: DataFrame, pre: DataFrame) -> DataFrame:
+    """Prefix equi-join + position/length filters + exact verification:
+    (doc_a, doc_b, inter_cnt, union_cnt) with doc_a < doc_b."""
     a = pre.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),
@@ -4053,6 +4068,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded to its w-1 successor ranks) — linear in the corpus, no
     quadratic anywhere outside the oracle's bounded fixture replay."""
     docs = t(spark, sf_dir, "documents")
+    return _snm_pairs(docs)
+
+
+def _snm_pairs(docs: DataFrame) -> DataFrame:
+    """SNM candidate+verify: (doc_lo, doc_hi, inter_cnt, union_cnt)."""
     ranked = _snm_ranked(docs).localCheckpoint()
     w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     offs = (
@@ -4085,3 +4105,140 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.lit(5) * F.col("inter_cnt") >= F.lit(3) * F.col("union_cnt"))
     )
+
+
+# Candidate budget for the exact-similarity router: below it PPJoin's
+# prefix join is provably cheap; above it the exact path degenerates
+# (measured 18.15x at 10x data on a frozen-vocabulary corpus,
+# tools/scale_check_r6e.json) and the router takes SNM instead. On the
+# fixtures: sf0.001 est=117,268 / sf0.01 est=110,214 (-> ppjoin) vs
+# sf0.1 est=12,825,369 and the 10x degenerate corpus est~410M (-> snm).
+_SIM_AUTO_BUDGET = 1_000_000
+
+_SIM_AUTO_ORACLE = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, s
+  FROM (SELECT doc_id, {_BIGRAMS} AS s FROM documents)
+  WHERE len(s) > 0
+),
+tok AS (SELECT doc_id, UNNEST(s) AS tok FROM s),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+ord AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, tok) AS pos,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM tok JOIN dfreq USING (tok)
+),
+pref AS (SELECT tok FROM ord WHERE pos <= n - ((3*n + 4) // 5) + 1),
+est AS (
+  SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS cand
+  FROM (SELECT COUNT(*) AS c FROM pref GROUP BY tok)
+),
+pp AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+           AS union_cnt
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE 5 * least(len(a.s), len(b.s)) >= 3 * greatest(len(a.s), len(b.s))
+    AND 5 * len(list_intersect(a.s, b.s))
+        >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+),
+snms AS MATERIALIZED (
+  SELECT doc_id, array_to_string(list_slice(tk, 1, 4), ' ') AS k, sh
+  FROM (SELECT doc_id, {_TOKS} AS tk, {_BIGRAMS} AS sh FROM documents)
+  WHERE len(tk) > 0
+),
+snmr AS MATERIALIZED (
+  SELECT doc_id, sh, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM snms
+),
+snm AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo,
+         GREATEST(a.doc_id, b.doc_id) AS doc_hi,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           AS union_cnt
+  FROM snmr a JOIN snmr b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}
+  WHERE 5 * len(list_intersect(a.sh, b.sh))
+        >= 3 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+)
+SELECT doc_lo, doc_hi, inter_cnt, union_cnt,
+       'ppjoin' AS route, (SELECT cand FROM est) AS cand_est
+FROM pp WHERE (SELECT cand FROM est) <= {_SIM_AUTO_BUDGET}
+UNION ALL
+SELECT doc_lo, doc_hi, inter_cnt, union_cnt,
+       'snm' AS route, (SELECT cand FROM est) AS cand_est
+FROM snm WHERE (SELECT cand FROM est) > {_SIM_AUTO_BUDGET}
+"""
+
+
+def similarity_auto_pairs(
+    docs: DataFrame, budget: int = _SIM_AUTO_BUDGET
+) -> DataFrame:
+    """Self-routing exact-similarity join: pre-flight candidate estimate,
+    then PPJoin below ``budget`` and sorted-neighborhood above it.
+
+    The gate is the closed-form candidate count of the prefix join —
+    sum over prefix tokens of C(df_prefix(tok), 2) — computed from one
+    vocabulary-sized aggregate over the SAME prefix table the PPJoin path
+    joins on, BEFORE any pair is emitted. Under the budget the estimate's
+    table is reused (localCheckpointed) so the gate costs one extra
+    vocabulary-keyed aggregate; over the budget the linear SNM path runs
+    and the abandoned prefix build is the (linear, corpus-sized) price of
+    knowing the exact path would have degenerated — measured 18.15x at
+    10x data in the frozen-vocabulary regime (tools/scale_check_r6e.json)
+    vs SNM's 3.55x on the same corpus.
+
+    The routing decision rides in the output schema (``route``,
+    ``cand_est``) so downstream consumers — and the DuckDB oracle, which
+    recomputes the identical integer estimate and takes the identical
+    branch — can audit which regime produced the pairs. Routes agree with
+    the oracle by construction: both sides compare the same integer to the
+    same budget. NOTE the two regimes are different SAMPLERS of the same
+    predicate (J >= 3/5): PPJoin is provably complete; SNM compares each
+    record to its w-1 sort-neighbors (recall 1.0 on the fixture corpora,
+    tunable via key/w/multi-pass on real data). The router's contract is
+    "exact when exact is affordable, the linear blocker when it is not" —
+    a compliance pass that NEEDS completeness regardless of cost calls
+    ``dedup_ppjoin_prefix`` directly.
+    """
+    spark = docs.sparkSession
+    s = _ppjoin_shingle_table(docs).localCheckpoint()
+    pre = _ppjoin_prefix_table(s).localCheckpoint()
+    est_row = (
+        pre.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("cand"))
+        .first()
+    )
+    est = int(est_row["cand"] or 0)
+    if est <= budget:
+        pairs = _ppjoin_pairs(s, pre).select(
+            F.col("doc_a").alias("doc_lo"),
+            F.col("doc_b").alias("doc_hi"),
+            "inter_cnt",
+            "union_cnt",
+        )
+        route = "ppjoin"
+    else:
+        pairs = _snm_pairs(docs)
+        route = "snm"
+    return pairs.select(
+        "doc_lo",
+        "doc_hi",
+        "inter_cnt",
+        "union_cnt",
+        F.lit(route).alias("route"),
+        F.lit(est).cast("bigint").alias("cand_est"),
+    )
+
+
+@register("dedup_similarity_auto", oracle=_SIM_AUTO_ORACLE)
+def dedup_similarity_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-similarity triad made self-routing (r6 verdict ask #1): all
+    pairs with bigram-shingle Jaccard >= 3/5, produced by PPJoin when the
+    pre-flight candidate estimate fits the budget and by the linear
+    sorted-neighborhood blocker when it does not — so a caller on a
+    skewed-vocabulary corpus never hits PPJoin's measured 18x-at-10x
+    cliff by default. See ``similarity_auto_pairs``."""
+    return similarity_auto_pairs(t(spark, sf_dir, "documents"))

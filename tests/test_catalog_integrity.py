@@ -49,3 +49,26 @@ def test_driver_contract_surface(fn_name):
     import __spark_entry__ as mod
 
     assert callable(getattr(mod, fn_name))
+
+
+def test_round_artifacts_are_git_tracked():
+    """The driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json after the
+    round's final commit, so they start each round untracked (r5 + r6
+    verdict housekeeping ding). This guard fails the suite until the
+    current round commits them — run `git add *_r*.json` at round open."""
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files"], cwd=repo, capture_output=True, text=True
+        ).stdout.splitlines()
+    )
+    on_disk = [
+        p.name
+        for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
+        for p in repo.glob(pat)
+    ]
+    untracked = sorted(set(on_disk) - tracked)
+    assert not untracked, f"round artifacts on disk but not in git: {untracked}"

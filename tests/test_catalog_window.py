@@ -44,6 +44,16 @@ def test_window_covers_every_operator_family():
                                 "agg_distinct_counts"}, 1),
         "event_time": ({"events_tumbling_daily", "events_sliding_24h_12h",
                         "events_session_window", "events_interval_overlap"}, 3),
+        "graph": ({"graph_pagerank_copurchase", "graph_kcore",
+                   "graph_community_lpa", "graph_link_prediction_jaccard",
+                   "graph_khop_reach", "graph_triangle_count"}, 2),
+        "forecast_changepoint": ({"events_cusum_changepoint",
+                                  "events_holt_linear_forecast",
+                                  "events_ewma_smoothing"}, 2),
+        "privacy": ({"privacy_dp_noisy_counts", "privacy_k_anonymity",
+                     "privacy_l_diversity", "privacy_pseudonymize_stable"}, 1),
+        "embeddings_ml": ({"emb_pca_power_iteration",
+                           "emb_centroids_by_label"}, 1),
         "streaming": ({"streaming_entity_count", "streaming_windowed_counts",
                        "streaming_session_window", "streaming_stream_stream_join",
                        "streaming_dedup_within_watermark",
@@ -57,6 +67,13 @@ def test_window_covers_every_operator_family():
         "dedup": ({"dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
                    "dedup_embedding_cosine", "dedup_incremental_batch",
                    "pipeline_full_dedup"}, 5),
+        # the exact-similarity triad: the self-routing entry must stay
+        # in-window (it is the user-facing default; its route decision is
+        # hash-checked), plus at least one direct member
+        "exact_similarity_triad": ({"dedup_similarity_auto"}, 1),
+        "exact_similarity_direct": ({"dedup_ppjoin_prefix",
+                                     "dedup_sorted_neighborhood"}, 1),
+        "streaming_fanout": ({"streaming_multi_sink_fanout"}, 1),
         "splits": ({"split_train_valid_test"}, 1),
         "similarity": ({"sim_topk_bruteforce", "sim_ivf_topk",
                         "sim_topk_int8_quantized"}, 3),

@@ -1,0 +1,101 @@
+"""LPA convergence-mode tests (r6 verdict ask #8): the graph family's
+fixed iteration counts are a documented demo depth; this pins that the
+CONVERGED mode (rounds=None) actually reaches a fixpoint, that the
+fixpoint is genuine (one more synchronous round is a no-op), and that the
+fixed-depth entry still equals the shared operator at the demo depth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+    label_propagation,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sym_edges(spark, pairs):
+    """Undirected pairs -> symmetric directed edge list (both directions)."""
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    return df.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        df.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def _one_more_round(e, labels):
+    """One synchronous LPA round applied to an existing assignment — the
+    fixpoint check's ground truth (same argmax encoding as the operator)."""
+    K = 1_000_000_000
+    return (
+        e.join(labels.select(F.col("node").alias("src"), "lbl"), "src")
+        .groupBy(F.col("dst").alias("node"), "lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("node")
+        .agg(
+            (F.lit(K) - (F.max(F.col("n") * K - F.col("lbl")) % K))
+            .cast("long")
+            .alias("lbl")
+        )
+    )
+
+
+def test_converged_mode_reaches_true_fixpoint_on_cliques(spark):
+    """Two disjoint triangles: converged LPA must label each by its min
+    member, and one further round must change nothing."""
+    e = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)])
+    labels = label_propagation(e, rounds=None, max_rounds=30)
+    got = {(r["node"], r["lbl"]) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+    again = {(r["node"], r["lbl"]) for r in _one_more_round(e, labels).collect()}
+    assert again == got, "claimed fixpoint moved under one more round"
+
+
+def test_converged_mode_caps_oscillation(spark):
+    """A single edge 2-cycles under synchronous LPA (labels swap every
+    round); converged mode must TERMINATE at the cap, not loop."""
+    e = _sym_edges(spark, [(1, 2)])
+    labels = label_propagation(e, rounds=None, max_rounds=5)
+    assert labels.count() == 2  # terminated with a full assignment
+
+
+def test_fixed_depth_entry_equals_operator_at_demo_depth(spark):
+    """graph_community_lpa (the oracle-gated demo-depth entry) must equal
+    the shared operator at rounds=_LPA_ROUNDS — the refactor onto
+    operators.graph.label_propagation cannot drift the certified entry."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.ml import (
+        _LPA_ROUNDS,
+        copurchase_edges,
+        graph_community_lpa,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+
+    entry = {
+        (r["community"], r["n_members"], r["min_member"])
+        for r in graph_community_lpa(spark, SF_DIR).collect()
+    }
+    e = copurchase_edges(t(spark, SF_DIR, "lineitem")).localCheckpoint()
+    labels = label_propagation(e, rounds=_LPA_ROUNDS)
+    direct = {
+        (r["community"], r["n_members"], r["min_member"])
+        for r in labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_member"),
+        )
+        .collect()
+    }
+    assert entry == direct and entry
+
+
+def test_converged_mode_terminates_on_fixture_graph(spark):
+    """The real co-purchase graph: converged mode must terminate (fixpoint
+    or cap) and emit one label per node with an in-edge."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.ml import copurchase_edges
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+
+    e = copurchase_edges(t(spark, SF_DIR, "lineitem")).localCheckpoint()
+    labels = label_propagation(e, rounds=None, max_rounds=15)
+    n_nodes = e.select(F.col("dst").alias("node")).distinct().count()
+    assert labels.count() == n_nodes
+    assert labels.select("node").distinct().count() == n_nodes

@@ -163,3 +163,46 @@ def test_two_level_rank_equals_global_rank(keys):
             got[kd] = off + j + 1
         off += len(members)
     assert got == want
+
+
+def test_similarity_auto_routes_ppjoin_under_budget(spark):
+    """At sf0.001 the candidate estimate (117,268) fits the budget, so the
+    router must take PPJoin and the pair set must equal the direct
+    dedup_ppjoin_prefix entry (modulo the lo/hi rename)."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        dedup_ppjoin_prefix,
+        dedup_similarity_auto,
+    )
+
+    auto = dedup_similarity_auto(spark, SF_DIR).collect()
+    assert auto, "fixture corpus has near-dup pairs"
+    assert {r["route"] for r in auto} == {"ppjoin"}
+    assert {r["cand_est"] for r in auto} == {117268}
+    direct = dedup_ppjoin_prefix(spark, SF_DIR).collect()
+    assert {
+        (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"]) for r in auto
+    } == {
+        (r["doc_a"], r["doc_b"], r["inter_cnt"], r["union_cnt"]) for r in direct
+    }
+
+
+def test_similarity_auto_routes_snm_over_budget(spark):
+    """budget=0 forces the over-budget branch: route must be snm and the
+    pair set must equal the direct dedup_sorted_neighborhood entry — the
+    escape hatch is the REAL linear path, not a stub."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        dedup_sorted_neighborhood,
+        similarity_auto_pairs,
+    )
+
+    docs = t(spark, SF_DIR, "documents")
+    auto = similarity_auto_pairs(docs, budget=0).collect()
+    assert auto
+    assert {r["route"] for r in auto} == {"snm"}
+    direct = dedup_sorted_neighborhood(spark, SF_DIR).collect()
+    assert {
+        (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"]) for r in auto
+    } == {
+        (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"]) for r in direct
+    }

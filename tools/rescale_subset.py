@@ -72,6 +72,26 @@ def main() -> None:
         "ppjoin_exact": (lambda: sc.ppjoin_shape(docs1), lambda: sc.ppjoin_shape(docs10)),
         "snm_linear": (lambda: sc.snm_shape(docs1), lambda: sc.snm_shape(docs10)),
         "skyline_2d": (lambda: sc.skyline_shape(part1), lambda: sc.skyline_shape(part10)),
+        "full_dedup_pipeline": (
+            lambda: sc.full_dedup_shape(docs1),
+            lambda: sc.full_dedup_shape(docs10),
+        ),
+        "containment": (
+            lambda: sc.containment_shape(docs1),
+            lambda: sc.containment_shape(docs10),
+        ),
+        "audio_fingerprint": (
+            lambda: sc.audio_fp_shape(docs1),
+            lambda: sc.audio_fp_shape(docs10),
+        ),
+        "similarity_auto": (
+            lambda: sc.sim_auto_shape(docs1),
+            lambda: sc.sim_auto_shape(docs10),
+        ),
+        "link_prediction": (
+            lambda: sc.linkpred_shape(li1),
+            lambda: sc.linkpred_shape(li10),
+        ),
     }
     # warmup
     sc.run_noop(lambda: sc.q1_shape(li1))

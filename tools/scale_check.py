@@ -902,6 +902,100 @@ def feat_hash_shape(docs):
             .agg(F.count(F.lit(1)).alias("g"), F.sum("s").alias("s")))
 
 
+def full_dedup_shape(docs):
+    """pipeline_full_dedup END-TO-END (r7: the stages were measured
+    individually in r6, the composition was not): tokenize-once exact
+    collapse -> LSH among representatives (bucket cap on) -> connected
+    components -> keeper map. The 10x corpus has 10x docs AND ~45x true
+    near-dup pairs (10-member families), so CC edge volume grows faster
+    than data by problem definition — judge against the LSH row
+    (dedup_shape) plus bounded extra rounds, not strict linearity."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+        connected_components,
+    )
+
+    prepared = docs.select(
+        "doc_id",
+        TX.word_shingles("text", 2).alias("sh"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    pre = prepared.select(
+        "doc_id",
+        "sh",
+        F.min("doc_id").over(w).alias("rep"),
+        F.row_number().over(w).alias("rk"),
+    ).localCheckpoint()
+    rep_of = pre.select("doc_id", "rep")
+    reps = pre.filter(F.col("rk") == 1).select("doc_id", "sh")
+    pairs = lsh_candidate_pairs(
+        reps, "doc_id", "sh", num_hashes=64, bands=16,
+        jaccard_threshold=0.4, max_bucket=512,
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    out = rep_of.join(cc, rep_of.rep == cc.node, "left").select(
+        "doc_id", F.coalesce("label", "rep").alias("canonical_id")
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("canonical_id").alias("n_canon"),
+    )
+
+
+def containment_shape(docs):
+    """dedup_containment's full shape: MinHash banding (same as the LSH
+    row) with max-containment verification — cost must track dedup_shape
+    (identical candidate generation; only the verify metric differs)."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
+        bucket_pairs,
+        minhash_band_table,
+        verify_containment,
+    )
+
+    sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
+    bt = minhash_band_table(sh, "doc_id", "sh", 64, 16)
+    cand = bucket_pairs(bt, ["band", "bhash"])
+    pairs = verify_containment(cand, sh, "doc_id", "sh", 0.8)
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def audio_fp_shape(docs):
+    """multimodal_audio_fingerprint's full shape: synthesize PCM16
+    waveforms, pack REAL RIFF/WAVE containers, parse back, energy-delta
+    fingerprint, exact hash-group. Per clip O(n_samples) in one
+    Arrow-batched map + one 16-byte-key shuffle — must be ~linear."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.multimodal import (
+        audio_fingerprint,
+        encode_audio_pcm16,
+    )
+
+    syn = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 255), i -> CAST("
+            "(((doc_id div 4) * 31 + i * 7919) % 8192 - 4096)"
+            " * (doc_id % 4 + 1) AS INT))"
+        ).alias("samples"),
+    )
+    wav = encode_audio_pcm16(syn, sample_rate=8000)
+    fp = audio_fingerprint(wav)
+    g = fp.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("n_docs"))
+    return g.agg(F.count(F.lit(1)).alias("n"), F.sum("n_docs").alias("s"))
+
+
+def sim_auto_shape(docs):
+    """dedup_similarity_auto's ROUTED path on the exact corpus where plain
+    PPJoin measured 18.15x at 10x (scale_check_r6e): the pre-flight gate
+    must send the 10x side to SNM and keep the whole operator sub-linear —
+    the r6 verdict's done-criterion for the self-routing triad."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        similarity_auto_pairs,
+    )
+
+    pairs = similarity_auto_pairs(docs)
+    return pairs.groupBy("route").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def run_noop(mk) -> float:
     """mk is a THUNK: the clock starts before construction so shapes with
     eager localCheckpoints (which execute at construction) are charged
