@@ -206,3 +206,32 @@ def test_similarity_auto_routes_snm_over_budget(spark):
     } == {
         (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"]) for r in direct
     }
+
+
+def test_candidate_estimate_is_exact_prefix_join_row_count(spark):
+    """The router's gate must measure EXACTLY what it claims: the
+    candidate estimate sum C(df_prefix(tok), 2) equals the number of
+    ordered (doc_a < doc_b) row pairs the prefix equi-join would emit
+    BEFORE the length/position filters and dedup — i.e. the work the
+    budget bounds, not a proxy for it."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        _ppjoin_prefix_table,
+        _ppjoin_shingle_table,
+    )
+
+    docs = t(spark, SF_DIR, "documents")
+    s = _ppjoin_shingle_table(docs).localCheckpoint()
+    pre = _ppjoin_prefix_table(s).localCheckpoint()
+    est = (
+        pre.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("cand"))
+        .first()["cand"]
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = pre.select(F.col("doc_id").alias("doc_b"), "tok")
+    actual = a.join(b, "tok").filter(F.col("doc_a") < F.col("doc_b")).count()
+    assert est == actual == 117268  # sf0.001 fixture value (also in the oracle A/B)
