@@ -1839,7 +1839,15 @@ def events_outlier_mad_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality in one partition; the deviation pass joins the per-group
     median back as a BROADCAST (group-vocabulary rows). Everything is
     exact integer cents — the 3×MAD cut can't ulp-flip. The oracle
-    affords direct cumulative scans; the engine never does."""
+    affords direct cumulative scans; the engine never does.
+
+    The deviation table is localCheckpointed: THREE consumers read it
+    (the MAD's two histogram passes and the final outlier count), and
+    as a derived self-reference each would otherwise replay the fact
+    scan + median join ([[self-referencing-plan-recompute]]; min-of-3
+    A/B at sf0.1: 2.25 s -> 1.62 s, outputs identical). It is a narrow
+    (group, |v−med|, med) projection — the tokenize-once posture's
+    spill-capable intermediate, not a corpus copy."""
     from sparkstreamingrealtimedatawithkafka_spark.operators.orderstats import (
         exact_median_2pass,
     )
@@ -1848,10 +1856,16 @@ def events_outlier_mad_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"), cents("value").alias("v")
     )
     m1 = exact_median_2pass(ev, "g", "v", width=1000)
-    dev = ev.join(
-        F.broadcast(m1.select(F.col("g").alias("mg"), F.col("median").alias("med"))),
-        F.col("g") == F.col("mg"),
-    ).select("g", F.abs(F.col("v") - F.col("med")).alias("dv"), "med")
+    dev = (
+        ev.join(
+            F.broadcast(
+                m1.select(F.col("g").alias("mg"), F.col("median").alias("med"))
+            ),
+            F.col("g") == F.col("mg"),
+        )
+        .select("g", F.abs(F.col("v") - F.col("med")).alias("dv"), "med")
+        .localCheckpoint()
+    )
     m2 = exact_median_2pass(
         dev.select("g", F.col("dv").alias("v")), "g", "v", width=1000
     ).select(F.col("g").alias("g2"), F.col("median").alias("mad"))
