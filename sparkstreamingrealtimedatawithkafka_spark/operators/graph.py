@@ -9,7 +9,7 @@ per component, mirroring exact dedup's keep-first rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -34,7 +34,14 @@ def connected_components(
       data size matters;
     - convergence is detected by the invariant that the label SUM strictly
       decreases until fixpoint (labels only ever move down), so the check
-      is a cheap single-row aggregate per round, not a self-join diff.
+      is a cheap single-row aggregate per round, not a self-join diff —
+      and the aggregate rides the checkpoint materialization itself via
+      ``observe`` (fires on localCheckpoint's eager job), so each round is
+      ONE Spark job, not checkpoint + a separate sum-collect. Job-launch
+      overhead is the whole cost on small duplicate graphs: same-session
+      min-of-4 A/B on the 188-pair sf0.1 graph, 0.57 s -> 0.43 s,
+      identical labels — and the saving is per ROUND, so it grows with
+      graph diameter.
     """
     # Materialize the symmetric edge list ONCE. ``edges`` is typically the
     # output of a whole near-dup pipeline (LSH banding + verification);
@@ -57,6 +64,7 @@ def connected_components(
     # label1(node) = min(node, min of neighbors), saving the initial
     # distinct + checkpoint and the first join round (the LPA round-1
     # lesson applied to CC).
+    obs = Observation("cc_label_sum")
     labels = (
         sym.select(F.col("node").alias("lnode"), F.col("node").alias("label"))
         .union(
@@ -64,21 +72,24 @@ def connected_components(
         )
         .groupBy("lnode")
         .agg(F.min("label").alias("label"))
+        .observe(obs, F.sum("label").alias("s"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = obs.get["s"]
 
     for _ in range(max_iter - 1):
         prop = sym.join(labels, sym["nbr"] == labels["lnode"]).select(
             F.col("node").alias("lnode"), F.col("label")
         )
+        obs = Observation("cc_label_sum")
         labels = (
             labels.union(prop)
             .groupBy("lnode")
             .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -138,21 +149,27 @@ def label_propagation(
                 .groupBy(F.col("dst").alias("node"), "lbl")
                 .agg(F.count(F.lit(1)).alias("n"))
             )
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                (F.lit(K) - (F.max(F.col("n") * K - F.col("lbl")) % K))
-                .cast("long")
-                .alias("lbl")
-            )
-            .localCheckpoint()
+        labels = counts.groupBy("node").agg(
+            (F.lit(K) - (F.max(F.col("n") * K - F.col("lbl")) % K))
+            .cast("long")
+            .alias("lbl")
         )
-        done += 1
         if rounds is None:
-            h = labels.agg(F.expr("bit_xor(xxhash64(node, lbl))")).collect()[0][0]
+            # the probe rides the checkpoint job via observe (fires on
+            # localCheckpoint's eager materialization) — one job per
+            # round, not checkpoint + a separate collect
+            obs = Observation("lpa_label_hash")
+            labels = labels.observe(
+                obs, F.expr("bit_xor(xxhash64(node, lbl))").alias("h")
+            ).localCheckpoint()
+            done += 1
+            h = obs.get["h"]
             if h == prev_hash:
                 break
             prev_hash = h
+        else:
+            labels = labels.localCheckpoint()
+            done += 1
     return labels
 
 

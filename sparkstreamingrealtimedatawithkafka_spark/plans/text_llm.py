@@ -12,7 +12,7 @@ rows-only by contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window as W
@@ -4035,18 +4035,21 @@ WHERE 5 * inter_cnt >= 3 * union_cnt
 """
 
 
-def _snm_ranked(docs: DataFrame) -> DataFrame:
+def _snm_ranked(docs: DataFrame, key: Column | None = None) -> DataFrame:
     """SNM stage 1: key + shingles + the two-level bucketed rank input
     (bucket by the key's first character, row_number per bucket). Factored
     out so the plan guard can assert the window is bucket-partitioned —
     the entry localCheckpoints this stage (it feeds both the offset
     aggregation and the rank join), which hides the window from the final
-    executed plan."""
+    executed plan. ``key`` defaults to the first-4-tokens sort key; the
+    multipass entry rotates it (last-4-tokens) for a second pass."""
     toks = TX.tokenize("text")
+    if key is None:
+        key = F.array_join(F.slice(toks, 1, 4), " ")
     s = (
         docs.select(
             "doc_id",
-            F.array_join(F.slice(toks, 1, 4), " ").alias("k"),
+            key.alias("k"),
             F.array_distinct(TX.word_shingles("text", 2)).alias("sh"),
         )
         .filter(F.size(toks) > 0)
@@ -4081,9 +4084,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snm_pairs(docs)
 
 
-def _snm_pairs(docs: DataFrame) -> DataFrame:
+def _snm_pairs(docs: DataFrame, key: Column | None = None) -> DataFrame:
     """SNM candidate+verify: (doc_lo, doc_hi, inter_cnt, union_cnt)."""
-    ranked = _snm_ranked(docs).localCheckpoint()
+    ranked = _snm_ranked(docs, key).localCheckpoint()
     w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     offs = (
         ranked.groupBy("bkt")
@@ -4252,3 +4255,74 @@ def dedup_similarity_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed-vocabulary corpus never hits PPJoin's measured 18x-at-10x
     cliff by default. See ``similarity_auto_pairs``."""
     return similarity_auto_pairs(t(spark, sf_dir, "documents"))
+
+
+def _snm_window_sql(ranked_cte: str) -> str:
+    """One SNM window pass in DuckDB over a ranked CTE: each record vs its
+    w-1 successors, exact bigram-Jaccard >= 3/5."""
+    return f"""
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo,
+         GREATEST(a.doc_id, b.doc_id) AS doc_hi,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           AS union_cnt
+  FROM {ranked_cte} a JOIN {ranked_cte} b
+    ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}
+  WHERE 5 * len(list_intersect(a.sh, b.sh))
+        >= 3 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""
+
+
+_SNM_MP_ORACLE = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, tk, sh
+  FROM (SELECT doc_id, {_TOKS} AS tk, {_BIGRAMS} AS sh FROM documents)
+  WHERE len(tk) > 0
+),
+r1 AS MATERIALIZED (
+  SELECT doc_id, sh,
+         ROW_NUMBER() OVER (
+           ORDER BY array_to_string(list_slice(tk, 1, 4), ' '), doc_id) AS rn
+  FROM base
+),
+r2 AS MATERIALIZED (
+  SELECT doc_id, sh,
+         ROW_NUMBER() OVER (
+           ORDER BY array_to_string(
+             list_slice(tk, greatest(len(tk)-3, 1), len(tk)), ' '), doc_id) AS rn
+  FROM base
+)
+SELECT DISTINCT doc_lo, doc_hi, inter_cnt, union_cnt FROM (
+{_snm_window_sql("r1")}
+  UNION ALL
+{_snm_window_sql("r2")}
+)
+"""
+
+
+@register("dedup_snm_multipass", oracle=_SNM_MP_ORACLE)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood (Hernandez & Stolfo's full method —
+    the single-key window is the DEMO form): two SNM passes under ROTATED
+    sort keys (first-4-tokens, then last-4-tokens), pair sets unioned.
+    A true pair escapes only if it falls outside the window under EVERY
+    key — rotated keys make the escape probability multiplicative, which
+    is the recall hardening the router's over-budget path leans on when
+    a corpus's head tokens are uninformative (boilerplate prefixes: pass
+    1 scatters near-dups; their tails still collide in pass 2).
+
+    Scale: exactly 2x the single-pass cost — each pass is the same
+    two-level bucketed rank + n*(w-1) equi-join (linear by construction);
+    the union dedups on the pair key only (counts are functionally
+    determined by the pair). Still never quadratic anywhere outside the
+    oracle. Recall on the fixture corpora is 1.0 for pass 1 alone, so
+    multipass == single-pass there; the pytest pins the superset
+    relation (multipass ⊇ single-pass) which is the property that holds
+    on EVERY corpus."""
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    last4 = F.array_join(
+        F.slice(toks, F.greatest(F.size(toks) - 3, F.lit(1)), 4), " "
+    )
+    p1 = _snm_pairs(docs)
+    p2 = _snm_pairs(docs, key=last4)
+    return p1.unionByName(p2).dropDuplicates(["doc_lo", "doc_hi"])

@@ -235,3 +235,30 @@ def test_candidate_estimate_is_exact_prefix_join_row_count(spark):
     b = pre.select(F.col("doc_id").alias("doc_b"), "tok")
     actual = a.join(b, "tok").filter(F.col("doc_a") < F.col("doc_b")).count()
     assert est == actual == 117268  # sf0.001 fixture value (also in the oracle A/B)
+
+
+def test_snm_multipass_is_superset_of_single_pass(spark):
+    """Rotated-key multipass can only ADD pairs (union semantics): its
+    pair set must contain the single-pass set — the recall-hardening
+    property that holds on every corpus, not just recall-1.0 fixtures.
+    On this fixture pass 1 already has recall 1.0, so the sets are equal
+    AND match the PPJoin exact ground truth."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        dedup_ppjoin_prefix,
+        dedup_snm_multipass,
+        dedup_sorted_neighborhood,
+    )
+
+    single = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup_sorted_neighborhood(spark, SF_DIR).collect()
+    }
+    multi = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup_snm_multipass(spark, SF_DIR).collect()
+    }
+    assert multi >= single and single
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_ppjoin_prefix(spark, SF_DIR).collect()
+    }
+    assert multi == exact  # fixture corpora: full recall
