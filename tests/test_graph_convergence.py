@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
     label_propagation,
+    pagerank_int,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -86,6 +87,56 @@ def test_fixed_depth_entry_equals_operator_at_demo_depth(spark):
         .collect()
     }
     assert entry == direct and entry
+
+
+def _one_more_pr_round(sym, ranks, base_ppm=150_000, damp_pct=85):
+    """One synchronous integer-PageRank round applied to an existing rank
+    assignment — ground truth for the converged-mode fixpoint check (same
+    ppm div algebra as the operator)."""
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = sym.join(deg, "src")
+    return (
+        ed.join(ranks, ed.src == ranks.node)
+        .select(F.col("dst"), F.expr("r div deg").alias("c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            (
+                F.lit(base_ppm) + F.expr(f"({damp_pct} * sum(c)) div 100")
+            ).alias("r")
+        )
+    )
+
+
+def test_pagerank_converged_mode_reaches_integer_fixpoint(spark):
+    """Path graph 1-2-3 plus a disjoint edge: converged-mode integer
+    PageRank must land on an assignment one further round cannot move.
+    damp=50% keeps the geometric creep to ~20 rounds (the exit count is
+    log(1e6)/log(100/damp) — resolution-driven, not graph-driven) so the
+    test stays fast; the contract under test is identical at any damp."""
+    e = _sym_edges(spark, [(1, 2), (2, 3), (10, 11)])
+    ranks = pagerank_int(e, iterations=None, damp_pct=50, max_iterations=40)
+    got = {(r["node"], r["rank_ppm"]) for r in ranks.collect()}
+    assert len(got) == 5 and all(v > 0 for _, v in got)
+    sym = e.distinct()
+    relabeled = ranks.select("node", F.col("rank_ppm").alias("r"))
+    again = {
+        (r["node"], r["r"])
+        for r in _one_more_pr_round(sym, relabeled, damp_pct=50).collect()
+    }
+    assert again == got, "claimed integer fixpoint moved under one more round"
+
+
+def test_pagerank_converged_mode_terminates_on_fixture_graph(spark):
+    """The real co-purchase graph: converged mode must terminate (fixpoint
+    or cap) with one positive integer rank per node."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.ml import copurchase_edges
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+
+    e = copurchase_edges(t(spark, SF_DIR, "lineitem")).localCheckpoint()
+    ranks = pagerank_int(e, iterations=None, max_iterations=25)
+    n_nodes = e.select(F.col("dst").alias("node")).distinct().count()
+    assert ranks.count() == n_nodes
+    assert ranks.filter(F.col("rank_ppm") <= 0).count() == 0
 
 
 def test_converged_mode_terminates_on_fixture_graph(spark):

@@ -733,6 +733,28 @@ def snm_shape(docs):
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def snm_multipass_shape(docs):
+    """dedup_snm_multipass's full shape: two SNM passes under rotated sort
+    keys (head-4-tokens, tail-4-tokens) + pair-key union-dedup. By
+    construction exactly 2x the single-pass linear cost — this row pins
+    that the measured ratio tracks snm_shape's (the recall hardening
+    can't smuggle in a super-linear stage)."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions import text as TXf
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import _snm_pairs
+
+    toks = TXf.tokenize("text")
+    last4 = F.array_join(
+        F.slice(toks, F.greatest(F.size(toks) - 3, F.lit(1)), 4), " "
+    )
+    p1 = _snm_pairs(docs)
+    p2 = _snm_pairs(docs, key=last4)
+    return (
+        p1.unionByName(p2)
+        .dropDuplicates(["doc_lo", "doc_hi"])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 from pyspark.sql.window import Window  # noqa: E402
 
 
