@@ -164,15 +164,22 @@ def main() -> None:
     probe_sec = round(probe_sec, 3)
 
     # min of 2 runs per query: single local[32] runs vary ±2x on GC/paging
-    # noise; the min is the reproducible plan cost. The explicit GC between
-    # queries keeps one query's heap debt from landing as a multi-second
-    # old-gen pause inside a *later* query's timing (observed: unchanged
-    # queries swinging 1.1s <-> 5.2s run-over-run without it).
+    # noise; the min is the reproducible plan cost. Before each run:
+    # deterministic unpersist of orphan checkpoint blocks from PRIOR runs
+    # (System.gc() + ContextCleaner is async and races the next timing —
+    # measured a checkpointing entry degrade 13s -> 40s within one session
+    # purely from accumulated orphans), then the explicit GC that keeps one
+    # query's heap debt from landing as a multi-second old-gen pause inside
+    # a *later* query's timing (observed: unchanged queries swinging
+    # 1.1s <-> 5.2s run-over-run without it).
+    from tools.perf_protocol import _clear_orphan_persistent_rdds
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        spark._jvm.System.gc()
         best = None
         for _ in range(2):
+            _clear_orphan_persistent_rdds(spark)
+            spark._jvm.System.gc()
             t0 = time.time()
             df = REGISTRY[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -51,10 +51,23 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _clear_orphan_persistent_rdds(spark) -> None:
+    """Synchronously unpersist every persistent RDD between timed runs.
+    System.gc() alone hands cleanup to the ASYNC ContextCleaner, which
+    races the next run — orphan localCheckpoint blocks from run N of a
+    shape then pollute run N+1 of the SAME shape (measured: a checkpointing
+    entry degrading 13 s -> 40 s within one session purely from
+    accumulation). Nothing under measurement is alive at the call sites,
+    so nothing correct can be evicted."""
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+
+
 def measure_probe(spark) -> float:
     """q1 at sf0.01, min-of-3 — the fixed CPU-bound host-speed probe."""
     best = None
     for _ in range(3):
+        _clear_orphan_persistent_rdds(spark)
         spark._jvm.System.gc()
         t0 = time.time()
         _noop(REGISTRY["q1_pricing_summary"].fn(spark, PROBE_SF))
@@ -87,6 +100,7 @@ def main() -> int:
         _noop(REGISTRY[name].fn(spark, WARM_SF))  # compile ITS plan once
         best = None
         for _ in range(3):
+            _clear_orphan_persistent_rdds(spark)
             spark._jvm.System.gc()
             t0 = time.time()
             _noop(REGISTRY[name].fn(spark, sf_dir))

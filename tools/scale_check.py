@@ -1018,15 +1018,28 @@ def sim_auto_shape(docs):
     return pairs.groupBy("route").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def clear_orphan_persistent_rdds(spark) -> None:
+    """Synchronously unpersist every persistent RDD. System.gc() +
+    ContextCleaner is ASYNC — the cleaner thread races the next timed run,
+    so orphan localCheckpoint blocks from earlier runs of the SAME shape
+    still pollute it (observed: dedup_snm_multipass 13.1 s fresh-session
+    vs 40.2 s third-in-session — a 3x phantom regression purely from
+    accumulated ranked-table checkpoints). Called between timed runs, when
+    nothing under measurement is alive, so nothing correct can be evicted."""
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+
+
 def run_noop(mk) -> float:
     """mk is a THUNK: the clock starts before construction so shapes with
     eager localCheckpoints (which execute at construction) are charged
-    their full end-to-end cost. The explicit GC before each run lets the
-    ContextCleaner unpersist dropped localCheckpoint blocks from EARLIER
-    shapes — without it block-manager pressure from the dedup shapes was
-    charged to whatever ran later (observed: basket 3x -> 17x run-over-run
-    purely from accumulation order)."""
+    their full end-to-end cost. Before each run: deterministic unpersist
+    of ALL orphan checkpoint blocks (see clear_orphan_persistent_rdds),
+    then an explicit GC — without both, block-manager pressure from
+    earlier shapes was charged to whatever ran later (observed: basket
+    3x -> 17x run-over-run purely from accumulation order)."""
     if _SPARK is not None:
+        clear_orphan_persistent_rdds(_SPARK)
         _SPARK._jvm.System.gc()
     t0 = time.time()
     df = mk()
