@@ -187,6 +187,24 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 3)
 
+    # End-of-run probe: the same q1@sf0.01 min-of-3 re-measured AFTER the
+    # keys. If probe_sec_end drifts from probe_sec the host load CHANGED
+    # mid-run and per-key comparisons against other runs need the wider of
+    # the two windows — single-probe normalization silently assumes the
+    # run-long load was flat (observed ±25% graph-key wobble traced to
+    # exactly this).
+    probe_end = None
+    for _ in range(3):
+        _clear_orphan_persistent_rdds(spark)
+        spark._jvm.System.gc()
+        t0 = time.time()
+        REGISTRY["q1_pricing_summary"].fn(spark, probe_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        e = time.time() - t0
+        probe_end = e if probe_end is None else min(probe_end, e)
+    probe_end = round(probe_end, 3)
+
     total = round(sum(times.values()), 3)
     # Probe-normalized total (r6 verdict ask #6): raw_total scaled by
     # PROBE_REF / probe_sec cancels whole-host load drift, so BENCH_rN vs
@@ -203,6 +221,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "probe_sec": probe_sec,
+                "probe_sec_end": probe_end,
                 "probe_ref": PROBE_REF,
                 "normalized_total": round(total * PROBE_REF / probe_sec, 3),
             }

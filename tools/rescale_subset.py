@@ -71,6 +71,10 @@ def main() -> None:
         "winnowing_fp": (lambda: sc.winnow_shape(docs1), lambda: sc.winnow_shape(docs10)),
         "ppjoin_exact": (lambda: sc.ppjoin_shape(docs1), lambda: sc.ppjoin_shape(docs10)),
         "snm_linear": (lambda: sc.snm_shape(docs1), lambda: sc.snm_shape(docs10)),
+        "decontaminate": (
+            lambda: sc.decon_shape(docs1),
+            lambda: sc.decon_shape(docs10),
+        ),
         "snm_multipass": (
             lambda: sc.snm_multipass_shape(docs1),
             lambda: sc.snm_multipass_shape(docs10),

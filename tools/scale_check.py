@@ -733,6 +733,32 @@ def snm_shape(docs):
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def decon_shape(docs):
+    """decontaminate_ngram_overlap's full shape: word-3-gram explode, the
+    deterministic eval slice's distinct grams built first and BROADCAST,
+    train side streams through one hash join on the gram string + one
+    groupBy(doc_id). The 100 TB claim is that the corpus is never
+    shuffled on raw text — this row pins that the broadcast-side build
+    (which grows with the eval slice, also 10x here) doesn't quietly
+    dominate."""
+    tk = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.array_join(F.slice(tk, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    eval_grams = g.filter(F.col("doc_id") % 199 == 0).select("g").distinct()
+    train = g.filter(F.col("doc_id") % 199 != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hit_grams"))
+    )
+
+
 def snm_multipass_shape(docs):
     """dedup_snm_multipass's full shape: two SNM passes under rotated sort
     keys (head-4-tokens, tail-4-tokens) + pair-key union-dedup. By
