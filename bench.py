@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     # corpus to the linear SNM path — benching it measures the router
     # doing its job.
     "dedup_similarity_auto",
+    # the recall-hardened form of the triad's linear member: exactly the
+    # single-pass shape twice under rotated keys + a pair-key union
+    "dedup_snm_multipass",
 ]
 
 

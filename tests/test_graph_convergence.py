@@ -126,6 +126,27 @@ def test_pagerank_converged_mode_reaches_integer_fixpoint(spark):
     assert again == got, "claimed integer fixpoint moved under one more round"
 
 
+def test_interval_checkpointing_preserves_fixed_depth_results(spark):
+    """rounds > checkpoint_interval exercises the mid-loop lineage cut;
+    the cut must be invisible in the labels (interval=1 replays the old
+    per-round discipline, interval=100 never cuts — all three must
+    agree at depth 6)."""
+    e = _sym_edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (2, 4)],
+    )
+    outs = []
+    for interval in (1, 4, 100):
+        labels = label_propagation(e, rounds=6, checkpoint_interval=interval)
+        outs.append({(r["node"], r["lbl"]) for r in labels.collect()})
+    assert outs[0] == outs[1] == outs[2] and outs[0]
+    ranks = []
+    for interval in (1, 4, 100):
+        r = pagerank_int(e, iterations=6, checkpoint_interval=interval)
+        ranks.append({(x["node"], x["rank_ppm"]) for x in r.collect()})
+    assert ranks[0] == ranks[1] == ranks[2] and ranks[0]
+
+
 def test_pagerank_converged_mode_terminates_on_fixture_graph(spark):
     """The real co-purchase graph: converged mode must terminate (fixpoint
     or cap) with one positive integer rank per node."""
