@@ -195,6 +195,7 @@ def pagerank_int(
     damp_pct: int = 85,
     max_iterations: int = 120,
     checkpoint_interval: int = 4,
+    tol_ppm: int = 0,
 ) -> DataFrame:
     """PageRank with EXACT INTEGER arithmetic (ppm-scaled):
     r'(v) = base_ppm + damp_pct% * Σ_{u→v} (r(u) div deg(u)), all in
@@ -228,11 +229,17 @@ def pagerank_int(
     5-node fixture). ``max_iterations`` defaults above that; truncation
     can in principle leave a ±1ppm limit cycle instead of a strict
     fixpoint, and hitting the cap means "take the current assignment"
-    (the converged-LPA cap contract). A production run wanting fewer
-    rounds relaxes the exit to a rank-DELTA tolerance instead of the
-    exact-hash probe; the exact probe is what makes THIS mode
-    cross-engine replayable. Returns (node, rank_ppm) for every node in
-    an edge.
+    (the converged-LPA cap contract).
+
+    ``tol_ppm > 0`` (converged mode only) is the PRODUCTION exit: stop
+    when no rank moved more than tol_ppm this round — max|Δ| ≤ tol exits
+    after ~log(1e6/tol)/log(100/damp_pct) rounds (~43 at tol=1000, damp
+    85%) instead of the exact probe's ~85, at the cost of an extra
+    equi-join per round against the previous (checkpointed, so
+    replayed-from-blocks) assignment. The delta scalar rides the same
+    checkpoint job via ``observe``. tol_ppm=0 keeps the exact-hash
+    probe, which is what makes that mode cross-engine replayable.
+    Returns (node, rank_ppm) for every node in an edge.
     """
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -259,12 +266,38 @@ def pagerank_int(
             contrib = ed.join(ranks, ed.src == ranks.node).select(
                 F.col("dst"), F.expr("r div deg").alias("c")
             )
+        prev = ranks
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (
                 F.lit(base_ppm) + F.expr(f"({damp_pct} * sum(c)) div 100")
             ).alias("r")
         )
-        if iterations is None:
+        if iterations is None and tol_ppm > 0:
+            if prev is None:
+                # no previous assignment to diff against — round 1 just
+                # materializes; the delta exit starts at round 2
+                ranks = ranks.localCheckpoint()
+                done += 1
+                continue
+            obs = Observation("pr_rank_delta")
+            ranks = (
+                ranks.join(
+                    prev.select(
+                        F.col("node").alias("pn"), F.col("r").alias("pr")
+                    ),
+                    F.col("node") == F.col("pn"),
+                )
+                .select(
+                    "node", "r", F.abs(F.col("r") - F.col("pr")).alias("d")
+                )
+                .observe(obs, F.max("d").alias("m"))
+                .select("node", "r")
+                .localCheckpoint()
+            )
+            done += 1
+            if int(obs.get["m"] or 0) <= tol_ppm:
+                break
+        elif iterations is None:
             obs = Observation("pr_rank_hash")
             ranks = ranks.observe(
                 obs, F.expr("bit_xor(xxhash64(node, r))").alias("h")

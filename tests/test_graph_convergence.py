@@ -147,6 +147,32 @@ def test_interval_checkpointing_preserves_fixed_depth_results(spark):
     assert ranks[0] == ranks[1] == ranks[2] and ranks[0]
 
 
+def test_pagerank_delta_tolerance_exit(spark):
+    """tol_ppm is the production exit: it must terminate and land within
+    tol of the exact integer fixpoint (computed via the exact-hash probe
+    on the same graph). damp=50 keeps both runs ~20 rounds."""
+    e = _sym_edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    exact = {
+        (r["node"], r["rank_ppm"])
+        for r in pagerank_int(
+            e, iterations=None, damp_pct=50, max_iterations=40
+        ).collect()
+    }
+    tol = 2000
+    approx = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank_int(
+            e, iterations=None, damp_pct=50, max_iterations=40, tol_ppm=tol
+        ).collect()
+    }
+    exact_d = dict(exact)
+    assert set(approx) == set(exact_d)
+    # one more round moves each rank by <= damp * tol; geometric tail from
+    # there bounds the distance to the fixpoint by tol * damp/(1-damp) = tol
+    for n, r in approx.items():
+        assert abs(r - exact_d[n]) <= tol, (n, r, exact_d[n])
+
+
 def test_pagerank_converged_mode_terminates_on_fixture_graph(spark):
     """The real co-purchase graph: converged mode must terminate (fixpoint
     or cap) with one positive integer rank per node."""
