@@ -1038,9 +1038,10 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass — no window, no argmax UDF, just MAX over a bigint.
 
     Scale: each round is one equi-join keyed on the edge source + two
-    keyed aggregates — Pregel rounds as DataFrame ops with per-round
-    localCheckpoint lineage cuts (the [[self-referencing-plan-recompute]]
-    discipline: labels feed both the join and next round). Edges come
+    keyed aggregates — Pregel rounds as DataFrame ops with INTERVAL
+    lineage cuts (checkpoint_interval=4, never after the final round —
+    at this demo depth the plan unrolls into ONE Spark job; measured
+    3.11 -> 2.60 s at sf0.1). Edges come
     from the RELATIVE-support expansion (plans/ml.py:copurchase_edges),
     so graph density — and with it the per-round shuffle — stays
     sparsity-stable as volume grows."""
