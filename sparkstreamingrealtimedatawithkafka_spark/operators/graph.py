@@ -186,6 +186,68 @@ def label_propagation(
     return labels
 
 
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+    rounds: int | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core peeling (Seidman's degeneracy algorithm) over a SYMMETRIC
+    directed edge list (both directions present, as ``copurchase_edges``
+    emits — so out-degree IS degree): repeatedly drop nodes with degree
+    < k and the edges touching them. Returns the surviving edge list
+    (src, dst).
+
+    ``rounds=N`` is fixed-depth (the ``graph_kcore`` catalog entry's
+    oracle-replayable demo form — it keeps its own loop because its
+    output is per-round STATS, but it must stay in lockstep with this
+    operator; pinned by test). ``rounds=None`` is CONVERGED mode —
+    peel to the true k-core — with the O(1)-scalar discipline of the
+    other iterative operators: edges only ever shrink, so the edge
+    COUNT is monotone and "count unchanged" means "edge set unchanged";
+    the count rides each round's localCheckpoint job via ``observe``.
+    Per-round checkpoints are load-bearing here (not hygiene): each
+    round's edge list is referenced three times by the next round
+    (degree aggregate + two semi-joins), so skipping the cut would
+    replay the whole peel pyramid per reference. AQE converts the
+    survivor semi-joins to broadcasts at fixture scale and keeps
+    shuffle joins when the survivor set outgrows the threshold —
+    verified in the executed plan (ReusedExchange on the edge side,
+    BroadcastHashJoin x2).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    prev_n = None
+    done = 0
+    while (rounds is not None and done < rounds) or (
+        rounds is None and done < max_rounds
+    ):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        obs = Observation("kcore_n_edges")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        done += 1
+        if rounds is None:
+            n = obs.get["n"]
+            if n == prev_n:
+                break
+            prev_n = n
+    return e
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "src",

@@ -1292,10 +1292,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same column; the edge list is localCheckpointed per round so the
     next round's three references replay a materialized artifact, not the
     growing join pyramid ([[self-referencing-plan-recompute]]). Round
-    count is a FIXED unroll like the PageRank/BFS entries; production
-    runs peel-to-fixpoint with the O(1)-scalar convergence probe
-    ``dedup_cc_clusters`` uses. Edge semantics are volume-relative via
-    ``copurchase_edges`` so the peel depth is scale-stable."""
+    count is a FIXED unroll like the PageRank/BFS entries (this loop
+    stays because the OUTPUT is per-round stats); production runs peel
+    to the true core with ``operators.graph.kcore(rounds=None)``, whose
+    fixpoint probe is the monotone edge COUNT riding each checkpoint job
+    via observe — lockstep with this entry is pinned in
+    tests/test_graph_convergence.py. Edge semantics are volume-relative
+    via ``copurchase_edges`` so the peel depth is scale-stable."""
     li = t(spark, sf_dir, "lineitem")
     e = copurchase_edges(li).localCheckpoint()
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+    kcore,
     label_propagation,
     pagerank_int,
 )
@@ -184,6 +185,53 @@ def test_pagerank_converged_mode_terminates_on_fixture_graph(spark):
     n_nodes = e.select(F.col("dst").alias("node")).distinct().count()
     assert ranks.count() == n_nodes
     assert ranks.filter(F.col("rank_ppm") <= 0).count() == 0
+
+
+def test_kcore_converged_peels_to_true_core(spark):
+    """4-clique with a pendant path: the 3-core is exactly the clique.
+    Converged mode must reach it, and one more peel must be a no-op."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    e = _sym_edges(spark, clique + tail)
+    core = kcore(e, k=3, rounds=None)
+    got = {(r["src"], r["dst"]) for r in core.collect()}
+    want = {(a, b) for a, b in clique} | {(b, a) for a, b in clique}
+    assert got == want
+    again = kcore(core, k=3, rounds=1)
+    assert {(r["src"], r["dst"]) for r in again.collect()} == want
+
+
+def test_kcore_converged_handles_fully_peeled_graph(spark):
+    """A bare path has no 3-core: converged mode must terminate on the
+    empty edge set, not loop at the cap."""
+    e = _sym_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    core = kcore(e, k=3, rounds=None, max_rounds=10)
+    assert core.count() == 0
+
+
+def test_kcore_entry_in_lockstep_with_operator(spark):
+    """graph_kcore keeps its own loop (it outputs per-round stats); its
+    final-round stats must equal the operator at the same fixed depth on
+    the same edges — the two implementations cannot drift."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.ml import (
+        copurchase_edges,
+        graph_kcore,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+
+    entry_last = (
+        graph_kcore(spark, SF_DIR).filter(F.col("round") == 3).collect()[0]
+    )
+    e = copurchase_edges(t(spark, SF_DIR, "lineitem")).localCheckpoint()
+    op = kcore(e, k=4, rounds=3)
+    stats = op.agg(
+        F.count_distinct(F.col("src")).alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(F.sum("src"), F.lit(0)).alias("sum_src"),
+    ).collect()[0]
+    assert (entry_last["n_nodes"], entry_last["n_edges"], entry_last["sum_src"]) == (
+        stats["n_nodes"], stats["n_edges"], stats["sum_src"]
+    )
 
 
 def test_converged_mode_terminates_on_fixture_graph(spark):
