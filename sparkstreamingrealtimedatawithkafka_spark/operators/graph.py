@@ -96,6 +96,100 @@ def connected_components(
     return labels.select(F.col("lnode").alias("node"), "label")
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 50
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round alternative to
+    ``connected_components``'s min-label propagation, whose round count
+    is the graph DIAMETER. Near-dup graphs are dense blobs (diameter
+    2-3), so min-label is the right default there; this operator is for
+    adversarial long-path / high-diameter graphs (linkage chains, road
+    networks, time-adjacency graphs), where diameter-many shuffles is
+    the difference between 3 rounds and 3000.
+
+    One round = large-star (every node's strictly-larger neighbors
+    attach to its minimum neighborhood member) then small-star (every
+    node's smaller-or-equal neighbors re-attach to the local minimum):
+    each is ONE groupBy(min) + one equi-join back — same shuffle shape
+    as a propagation round, but the edge set contracts geometrically
+    instead of labels creeping one hop per round. Convergence: the edge
+    set reaches the star forest (node -> component min) and stops
+    changing; probed per round with the O(1) scalar discipline
+    (BIT_XOR(xxhash64(a, b)) + count riding the localCheckpoint job via
+    ``observe`` — the pair rows are unique, so the hash moves whenever
+    the set does, w.h.p.). Returns (node, label) for every node that
+    appears in an edge, label = min node id of its component — the SAME
+    contract as ``connected_components``; equality on random graphs and
+    a 200-node path is pinned in tests.
+    """
+    # canonical undirected pairs (a > b not required yet; just a != b)
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_hash = None
+    for _ in range(max_rounds):
+        # ---- large-star: from each node u, every neighbor v > u attaches
+        # to m(u) = min(neighborhood(u) + u). Processes each undirected
+        # edge from BOTH endpoints via the symmetric expansion; output
+        # edges all point strictly downward (v > m by construction).
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mn = sym.groupBy("u").agg(F.min("v").alias("mnv"))
+        ls = (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("mnv"), F.col("u")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star: edges now point downward (b < a). For each a,
+        # re-attach its smaller endpoints (and a itself) to m = min(b).
+        mn2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+        rewired = (
+            ls.join(mn2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        obs = Observation("cc_star_edge_hash")
+        e = (
+            rewired.union(mn2.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .observe(
+                obs,
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .localCheckpoint()
+        )
+        h = (obs.get["h"], obs.get["n"])
+        if h == prev_hash:
+            break
+        prev_hash = h
+    # e is now the star forest: (node, component-min) for non-roots.
+    # Roots (and only roots) never appear on the left; they label
+    # themselves. Isolated nodes can't occur (every input row is an edge).
+    return nodes.join(
+        e.select(F.col("a").alias("node"), F.col("b").alias("label")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("label", F.col("node")).alias("label"))
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

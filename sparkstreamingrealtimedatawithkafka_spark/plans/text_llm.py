@@ -1781,6 +1781,28 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_cc_clusters_star", oracle=_CC_ORACLE)
+def dedup_cc_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster collapse via LARGE-STAR/SMALL-STAR contraction
+    (operators/graph.py connected_components_star; Kiveris et al.,
+    SoCC'14) over the same near-dup pair graph as ``dedup_cc_clusters``
+    — the O(log n)-round engine path for HIGH-DIAMETER duplicate graphs
+    (linkage chains, time-adjacency), where min-label propagation costs
+    diameter-many shuffles. Same output contract (node -> component
+    min), so the SAME recursive-CTE oracle hash-checks both engine
+    paths; star == min-label equality on random graphs and a 200-node
+    path is additionally pinned in tests/test_graph_convergence.py."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    cc = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 _FP_SQL = (
     "md5(array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' '))"
 )

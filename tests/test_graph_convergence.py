@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
     kcore,
     label_propagation,
     pagerank_int,
@@ -185,6 +187,50 @@ def test_pagerank_converged_mode_terminates_on_fixture_graph(spark):
     n_nodes = e.select(F.col("dst").alias("node")).distinct().count()
     assert ranks.count() == n_nodes
     assert ranks.filter(F.col("rank_ppm") <= 0).count() == 0
+
+
+def test_cc_star_equals_min_label_on_random_graphs(spark):
+    """Large-star/small-star must produce exactly min-label CC's
+    (node, label) assignment — seeded random graphs with several
+    components and dangling chains."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        pairs = set()
+        for comp_base in (0, 1000, 2000):
+            members = [comp_base + i for i in range(rng.randint(2, 25))]
+            for idx, m in enumerate(members[1:], start=1):
+                # attach to a random EARLIER member -> component stays
+                # connected; extra random edges densify it
+                pairs.add((rng.choice(members[:idx]), m))
+            for _ in range(len(members) // 2):
+                a, b = rng.sample(members, 2)
+                pairs.add((a, b))
+        pairs = {(a, b) for a, b in pairs if a != b}
+        edges = spark.createDataFrame(sorted(pairs), ["src", "dst"])
+        star = {
+            (r["node"], r["label"])
+            for r in connected_components_star(edges).collect()
+        }
+        minlbl = {
+            (r["node"], r["label"])
+            for r in connected_components(edges).collect()
+        }
+        assert star == minlbl and star, f"trial {trial} diverged"
+
+
+def test_cc_star_handles_high_diameter_path(spark):
+    """A 200-node path: min-label needs diameter-many rounds (200);
+    star contraction must label the whole path with its min inside the
+    50-round cap (it converges in ~log n alternations)."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["src", "dst"]
+    )
+    labels = connected_components_star(edges)
+    got = {(r["node"], r["label"]) for r in labels.collect()}
+    assert got == {(i, 1) for i in range(1, n + 1)}
 
 
 def test_kcore_converged_peels_to_true_core(spark):
