@@ -733,6 +733,25 @@ def snm_shape(docs):
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def ccstar_path_shape(n_nodes):
+    """connected_components_star on a PATH of n_nodes — the adversarial
+    high-diameter graph min-label propagation cannot finish (it needs
+    diameter-many rounds; the star contraction needs ~log n
+    alternations). The 10x row grows the path 10x, so the expected cost
+    is ~10x * (log 10n / log n) — near-linear, NOT diameter-linear."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    e = _SPARK.range(1, n_nodes).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = connected_components_star(e)
+    return labels.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("s")
+    )
+
+
 def decon_shape(docs):
     """decontaminate_ngram_overlap's full shape: word-3-gram explode, the
     deterministic eval slice's distinct grams built first and BROADCAST,
