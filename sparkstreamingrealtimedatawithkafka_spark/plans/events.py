@@ -2519,3 +2519,122 @@ def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         hw["b"].alias("trend_c"),
         (hw["l"] + hw["b"]).alias("forecast_c"),
     )
+
+
+_TSSS_W = 7  # query length in days
+_TSSS_K = 10
+
+_TSSS_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, (epoch_ns(ts)//1000) // 86400000000 AS day FROM events
+), mn AS (SELECT MIN(day) AS d0 FROM e),
+s AS (
+  SELECT event_type, day - d0 AS d, COUNT(*) AS c
+  FROM e, mn GROUP BY event_type, day - d0
+),
+days AS (SELECT DISTINCT d FROM s),
+types AS (SELECT DISTINCT event_type FROM s),
+dense AS (
+  SELECT t.event_type, days.d, COALESCE(s.c, 0) AS c
+  FROM types t CROSS JOIN days
+  LEFT JOIN s ON s.event_type = t.event_type AND s.d = days.d
+),
+qt AS (SELECT MIN(event_type) AS qtype FROM types),
+q AS (
+  SELECT d.d AS i, d.c AS qc
+  FROM dense d, qt WHERE d.event_type = qt.qtype AND d.d < {_TSSS_W}
+),
+pairs AS (
+  SELECT dense.event_type, dense.d - q.i AS o,
+         (dense.c - q.qc) * (dense.c - q.qc) AS sq
+  FROM dense CROSS JOIN q
+  WHERE dense.d - q.i >= 0
+),
+w AS (
+  SELECT event_type, o, CAST(SUM(sq) AS BIGINT) AS ssd, COUNT(*) AS npts
+  FROM pairs GROUP BY event_type, o
+)
+SELECT event_type, CAST(o AS BIGINT) AS win_start, ssd
+FROM w, qt
+WHERE npts = {_TSSS_W} AND NOT (event_type = qt.qtype AND o = 0)
+ORDER BY ssd, event_type, o
+LIMIT {_TSSS_K}
+"""
+
+
+@register("events_ts_subsequence_search", oracle=_TSSS_ORACLE)
+def events_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SUBSEQUENCE similarity search (the UCR-suite / distributed
+    streaming-similarity family — PAPERS.md: "Time Series Similarity Search
+    for Streaming Data in Distributed Systems", EDBT 2019): take the first
+    7-day window of the lexicographically-first event type's daily-count
+    series as the query, slide it across EVERY type's series, and return
+    the top-10 closest windows by EXACT INTEGER sum-of-squared-differences
+    (counts are integers, so SSD is a bigint and the oracle hash-matches
+    bit-for-bit — z-normalized distance is the float variant; for ranking
+    on series with comparable scale, SSD is the same family).
+
+    Scale shape: the heavy reduction is events -> per-(type, day) counts —
+    one keyed aggregate over the raw corpus; everything after runs on the
+    REDUCED series. The dense grid is (types x observed days) built by a
+    broadcast cross join; the query vector (w rows) broadcasts; window
+    scoring is one explode-free cross join against those w rows + one
+    groupBy (type, offset): candidate volume = series_len x w, independent
+    of the raw event count. Windows overlapping globally-absent days are
+    excluded by the npts = w guard — identically on both engines, so the
+    day grid never needs a generator. Top-k is ordered (ssd, type, offset)
+    — fully tiebroken."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    )
+    mn = ev.agg(F.min("day").alias("d0"))
+    s = (
+        ev.crossJoin(F.broadcast(mn))
+        .select("event_type", (F.col("day") - F.col("d0")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    days = s.select("d").distinct()
+    types = s.select("event_type").distinct()
+    dense = (
+        types.crossJoin(days)
+        .join(s, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    qt = types.agg(F.min("event_type").alias("qtype"))
+    q = (
+        dense.crossJoin(F.broadcast(qt))
+        .filter(
+            (F.col("event_type") == F.col("qtype")) & (F.col("d") < _TSSS_W)
+        )
+        .select(F.col("d").alias("i"), F.col("c").alias("qc"))
+    )
+    pairs = (
+        dense.crossJoin(F.broadcast(q))
+        .select(
+            "event_type",
+            (F.col("d") - F.col("i")).alias("o"),
+            ((F.col("c") - F.col("qc")) * (F.col("c") - F.col("qc"))).alias(
+                "sq"
+            ),
+        )
+        .filter(F.col("o") >= 0)
+    )
+    w = pairs.groupBy("event_type", "o").agg(
+        F.sum("sq").alias("ssd"), F.count(F.lit(1)).alias("npts")
+    )
+    return (
+        w.crossJoin(F.broadcast(qt))
+        .filter(
+            (F.col("npts") == _TSSS_W)
+            & ~((F.col("event_type") == F.col("qtype")) & (F.col("o") == 0))
+        )
+        .select(
+            "event_type",
+            F.col("o").cast("long").alias("win_start"),
+            F.col("ssd").cast("long").alias("ssd"),
+        )
+        .orderBy("ssd", "event_type", "win_start")
+        .limit(_TSSS_K)
+    )
