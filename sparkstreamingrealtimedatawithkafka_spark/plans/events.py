@@ -2524,6 +2524,41 @@ def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TSSS_W = 7  # query length in days
 _TSSS_K = 10
 
+
+def _tsss_inputs(spark: SparkSession, sf_dir: str):
+    """Shared construction for the subsequence-search twins: the dense
+    (type x observed-day) daily-count grid, the query-type one-row frame,
+    and the broadcastable w-point query vector. The reduced series is
+    localCheckpointed — both the grid's left join and the query filter
+    consume it."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    )
+    mn = ev.agg(F.min("day").alias("d0"))
+    s = (
+        ev.crossJoin(F.broadcast(mn))
+        .select("event_type", (F.col("day") - F.col("d0")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    days = s.select("d").distinct()
+    types = s.select("event_type").distinct()
+    dense = (
+        types.crossJoin(days)
+        .join(s, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    qt = types.agg(F.min("event_type").alias("qtype"))
+    q = (
+        dense.crossJoin(F.broadcast(qt))
+        .filter(
+            (F.col("event_type") == F.col("qtype")) & (F.col("d") < _TSSS_W)
+        )
+        .select(F.col("d").alias("i"), F.col("c").alias("qc"))
+    )
+    return dense, qt, q
+
 _TSSS_ORACLE = f"""
 WITH e AS (
   SELECT event_type, (epoch_ns(ts)//1000) // 86400000000 AS day FROM events
@@ -2584,32 +2619,7 @@ def events_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded by the npts = w guard — identically on both engines, so the
     day grid never needs a generator. Top-k is ordered (ssd, type, offset)
     — fully tiebroken."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.expr("ts_us div 86400000000").alias("day")
-    )
-    mn = ev.agg(F.min("day").alias("d0"))
-    s = (
-        ev.crossJoin(F.broadcast(mn))
-        .select("event_type", (F.col("day") - F.col("d0")).alias("d"))
-        .groupBy("event_type", "d")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
-    days = s.select("d").distinct()
-    types = s.select("event_type").distinct()
-    dense = (
-        types.crossJoin(days)
-        .join(s, ["event_type", "d"], "left")
-        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
-    )
-    qt = types.agg(F.min("event_type").alias("qtype"))
-    q = (
-        dense.crossJoin(F.broadcast(qt))
-        .filter(
-            (F.col("event_type") == F.col("qtype")) & (F.col("d") < _TSSS_W)
-        )
-        .select(F.col("d").alias("i"), F.col("c").alias("qc"))
-    )
+    dense, qt, q = _tsss_inputs(spark, sf_dir)
     pairs = (
         dense.crossJoin(F.broadcast(q))
         .select(
@@ -2636,5 +2646,145 @@ def events_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ssd").cast("long").alias("ssd"),
         )
         .orderBy("ssd", "event_type", "win_start")
+        .limit(_TSSS_K)
+    )
+
+
+_TSZN_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, (epoch_ns(ts)//1000) // 86400000000 AS day FROM events
+), mn AS (SELECT MIN(day) AS d0 FROM e),
+s AS (
+  SELECT event_type, day - d0 AS d, COUNT(*) AS c
+  FROM e, mn GROUP BY event_type, day - d0
+),
+days AS (SELECT DISTINCT d FROM s),
+types AS (SELECT DISTINCT event_type FROM s),
+dense AS (
+  SELECT t.event_type, days.d, COALESCE(s.c, 0) AS c
+  FROM types t CROSS JOIN days
+  LEFT JOIN s ON s.event_type = t.event_type AND s.d = days.d
+),
+qt AS (SELECT MIN(event_type) AS qtype FROM types),
+q AS (
+  SELECT d.d AS i, d.c AS qc
+  FROM dense d, qt WHERE d.event_type = qt.qtype AND d.d < {_TSSS_W}
+),
+qs AS (
+  SELECT CAST(SUM(qc) AS BIGINT) AS sq,
+         CAST({_TSSS_W} * SUM(qc * qc) - SUM(qc) * SUM(qc) AS BIGINT) AS denq
+  FROM q
+),
+pairs AS (
+  SELECT dense.event_type, dense.d - q.i AS o, dense.c AS c, q.qc AS qc
+  FROM dense CROSS JOIN q
+  WHERE dense.d - q.i >= 0
+),
+win AS (
+  SELECT event_type, o,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c * c) AS BIGINT) AS sx2,
+         CAST(SUM(c * qc) AS BIGINT) AS sxq,
+         COUNT(*) AS npts
+  FROM pairs GROUP BY event_type, o
+),
+scored AS (
+  SELECT event_type, CAST(o AS BIGINT) AS win_start,
+         CAST({_TSSS_W} * sxq - sx * qs.sq AS BIGINT) AS corr_num,
+         CAST({_TSSS_W} * sx2 - sx * sx AS BIGINT) AS corr_denx,
+         ({_TSSS_W} * sxq - sx * qs.sq)
+           / SQRT(CAST({_TSSS_W} * sx2 - sx * sx AS DOUBLE)
+                  * CAST(qs.denq AS DOUBLE)) AS r,
+         npts
+  FROM win, qs
+)
+SELECT event_type, win_start, corr_num, corr_denx, r
+FROM scored, qt
+WHERE npts = {_TSSS_W} AND corr_denx > 0
+      AND NOT (event_type = qt.qtype AND win_start = 0)
+ORDER BY r DESC, event_type, win_start
+LIMIT {_TSSS_K}
+"""
+
+
+@register("events_ts_znorm_search", oracle=_TSZN_ORACLE)
+def events_ts_znorm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-NORMALIZED subsequence similarity search — the scale/offset-
+    invariant twin of ``events_ts_subsequence_search`` and what UCR-style
+    matching actually ranks by: top-10 windows by Pearson correlation r
+    with the query (znorm distance² = 2w(1−r), so ordering by r DESC is
+    ordering by z-normalized distance ASC).
+
+    Determinism discipline for a FLOAT score: every sufficient statistic
+    is an exact integer (sx, sx², sxq over integer counts), the
+    correlation numerator w·sxq − sx·sq and variance terms w·sx2 − sx²
+    stay bigint, and r is ONE identical-expression double at the end
+    (int/sqrt(double·double) — IEEE sqrt and division are correctly
+    rounded, so identical integer inputs give identical bits on both
+    engines; the integer num/denx ride along in the output so the hash
+    would catch any drift in the stats themselves). Constant windows
+    (denx = 0, r undefined) are excluded by an exact integer predicate.
+    Same reduced-series scale shape as the SSD twin (shared
+    ``_tsss_inputs``)."""
+    dense, qt, q = _tsss_inputs(spark, sf_dir)
+    qs = q.agg(
+        F.sum("qc").cast("long").alias("sq"),
+        (
+            F.lit(_TSSS_W) * F.sum(F.col("qc") * F.col("qc"))
+            - F.sum("qc") * F.sum("qc")
+        )
+        .cast("long")
+        .alias("denq"),
+    )
+    pairs = (
+        dense.crossJoin(F.broadcast(q))
+        .select(
+            "event_type",
+            (F.col("d") - F.col("i")).alias("o"),
+            "c",
+            "qc",
+        )
+        .filter(F.col("o") >= 0)
+    )
+    win = pairs.groupBy("event_type", "o").agg(
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sx2"),
+        F.sum(F.col("c") * F.col("qc")).cast("long").alias("sxq"),
+        F.count(F.lit(1)).alias("npts"),
+    )
+    num = (F.lit(_TSSS_W) * F.col("sxq") - F.col("sx") * F.col("sq")).cast(
+        "long"
+    )
+    denx = (F.lit(_TSSS_W) * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    scored = (
+        win.crossJoin(F.broadcast(qs))
+        .select(
+            "event_type",
+            F.col("o").cast("long").alias("win_start"),
+            num.alias("corr_num"),
+            denx.alias("corr_denx"),
+            (
+                num
+                / F.sqrt(
+                    denx.cast("double") * F.col("denq").cast("double")
+                )
+            ).alias("r"),
+            "npts",
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(qt))
+        .filter(
+            (F.col("npts") == _TSSS_W)
+            & (F.col("corr_denx") > 0)
+            & ~(
+                (F.col("event_type") == F.col("qtype"))
+                & (F.col("win_start") == 0)
+            )
+        )
+        .select("event_type", "win_start", "corr_num", "corr_denx", "r")
+        .orderBy(F.desc("r"), "event_type", "win_start")
         .limit(_TSSS_K)
     )
