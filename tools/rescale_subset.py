@@ -71,6 +71,10 @@ def main() -> None:
         "winnowing_fp": (lambda: sc.winnow_shape(docs1), lambda: sc.winnow_shape(docs10)),
         "ppjoin_exact": (lambda: sc.ppjoin_shape(docs1), lambda: sc.ppjoin_shape(docs10)),
         "snm_linear": (lambda: sc.snm_shape(docs1), lambda: sc.snm_shape(docs10)),
+        "ts_subseq_search": (
+            lambda: sc.tsss_shape(ev1),
+            lambda: sc.tsss_shape(ev10),
+        ),
         "ccstar_path": (
             lambda: sc.ccstar_path_shape(100_000),
             lambda: sc.ccstar_path_shape(1_000_000),

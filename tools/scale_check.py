@@ -752,6 +752,58 @@ def ccstar_path_shape(n_nodes):
     )
 
 
+def tsss_shape(ev):
+    """events_ts_subsequence_search's full shape on a raw events frame:
+    the claim under test is that only the events -> (type, day) count
+    reduction scales with the corpus; window scoring runs on the REDUCED
+    series (types x days x w rows), so 10x events should cost ~the extra
+    aggregate input alone."""
+    from pyspark.sql import functions as FF
+
+    ev2 = ev.select(
+        "event_type", FF.expr("ts_us div 86400000000").alias("day")
+    )
+    mn = ev2.agg(FF.min("day").alias("d0"))
+    s = (
+        ev2.crossJoin(FF.broadcast(mn))
+        .select("event_type", (FF.col("day") - FF.col("d0")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(FF.count(FF.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    w = 7
+    days = s.select("d").distinct()
+    types = s.select("event_type").distinct()
+    dense = (
+        types.crossJoin(days)
+        .join(s, ["event_type", "d"], "left")
+        .select("event_type", "d", FF.coalesce("c", FF.lit(0)).alias("c"))
+    )
+    qt = types.agg(FF.min("event_type").alias("qtype"))
+    q = (
+        dense.crossJoin(FF.broadcast(qt))
+        .filter((FF.col("event_type") == FF.col("qtype")) & (FF.col("d") < w))
+        .select(FF.col("d").alias("i"), FF.col("c").alias("qc"))
+    )
+    pairs = (
+        dense.crossJoin(FF.broadcast(q))
+        .select(
+            "event_type",
+            (FF.col("d") - FF.col("i")).alias("o"),
+            ((FF.col("c") - FF.col("qc")) * (FF.col("c") - FF.col("qc"))).alias("sq"),
+        )
+        .filter(FF.col("o") >= 0)
+    )
+    res = pairs.groupBy("event_type", "o").agg(
+        FF.sum("sq").alias("ssd"), FF.count(FF.lit(1)).alias("npts")
+    )
+    return (
+        res.filter(FF.col("npts") == w)
+        .orderBy("ssd", "event_type", "o")
+        .limit(10)
+    )
+
+
 def decon_shape(docs):
     """decontaminate_ngram_overlap's full shape: word-3-gram explode, the
     deterministic eval slice's distinct grams built first and BROADCAST,
