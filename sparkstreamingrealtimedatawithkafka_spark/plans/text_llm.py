@@ -855,6 +855,74 @@ def vector_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_incremental_topk", oracle=_SIM_TOPK_ORACLE)
+def sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact top-k maintenance (the interactive-session top-k
+    family — PAPERS.md: "Incremental Based Framework for Efficient Top-K
+    Similarity Search in Interactive Data Analysis Sessions", EDBT 2020):
+    an ingest delta (vec_id % 10 == 0, the ``dedup_incremental_batch``
+    slice convention) arrives against a maintained per-query top-k state
+    over the base corpus; the updated top-k is re-rank(state ∪
+    delta-scores) — the base corpus is NEVER rescanned, because the true
+    top-k of base ∪ delta is provably contained in (top-k of base) ∪
+    delta (top-k is a monotone selection).
+
+    The oracle is the FULL-corpus brute-force recompute (the same SQL as
+    ``sim_topk_bruteforce``, since base ∪ delta = everything) — so the
+    hash check IS the slice-invariance property: incremental maintenance
+    must equal recompute bit-for-bit, including the float sims (raw
+    doubles ride through the merge; rounding happens once at the end,
+    mirroring the oracle's rank-then-round)."""
+    from sparkstreamingrealtimedatawithkafka_spark.functions.vector import (
+        dot,
+        norm,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        .withColumn("qnorm", norm(F.col("qvec")))
+    )
+
+    def scored(corpus):
+        c = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+        ).withColumn("cnorm", norm(F.col("cvec")))
+        return (
+            c.crossJoin(F.broadcast(q))
+            .withColumn(
+                "sim",
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+            )
+            .select("query_id", "neighbor_id", "sim")
+        )
+
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    # the maintained state: per-query top-5 over the base corpus, RAW sims
+    state = (
+        scored(base)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "sim")
+    )
+    merged = state.unionByName(scored(delta))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+        )
+    )
+
+
 @register("sim_ivf_kmeans_topk")  # rows-only: iterative centroid refinement
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with spherical-k-means-refined centroids
