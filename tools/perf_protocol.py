@@ -107,12 +107,14 @@ def main() -> int:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 3)
+    probe_end = measure_probe(spark)
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
                 "runs": 3,
                 "probe_sec": probe,
+                "probe_sec_end": probe_end,
                 "probe_ref": PROBE_REF,
                 "times": times,
                 "normalized": {
