@@ -830,3 +830,25 @@ def test_file_metadata_provenance_has_no_join(spark):
     plan = _plan(spark, "source_file_metadata_provenance")
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ts_subsequence_twins_plan_shape(spark):
+    """The r7 time-series twins: no Python in the plan, top-k planned as
+    TakeOrderedAndProject (never a full sort), no Cartesian blow-up —
+    every cross join is against a broadcast one-row/w-row frame or the
+    domain-bounded types x days grid."""
+    for name in ("events_ts_subsequence_search", "events_ts_znorm_search"):
+        plan = _plan(spark, name)
+        for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert python_node not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_incremental_topk_plan_shape(spark):
+    """sim_incremental_topk: queries broadcast over the corpus (the
+    brute-force posture — corpus never shuffles for the join) and the
+    whole plan stays JVM-side."""
+    plan = _plan(spark, "sim_incremental_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_node not in plan
