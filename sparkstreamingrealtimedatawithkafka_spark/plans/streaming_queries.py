@@ -1135,3 +1135,81 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_alarms") > 0).select(
         "user_id", "n_alarms", "max_cusum_c", "first_alarm_event"
     )
+
+
+from pyspark.sql.types import ArrayType, FloatType  # noqa: E402
+
+_EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+# the full-corpus brute-force ranking — slice-invariance makes it the
+# streaming maintenance's ground truth too
+from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (  # noqa: E402
+    _SIM_TOPK_ORACLE as _SIM_TOPK_ORACLE_STREAM,
+)
+
+
+@register("streaming_incremental_topk", oracle=_SIM_TOPK_ORACLE_STREAM)
+def streaming_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k similarity maintenance as a CONTINUOUS ingest process:
+    the embedding corpus arrives in three micro-batches (file source,
+    maxFilesPerTrigger=1); each batch keeps only its per-batch top-5 per
+    query into a batch_id-partitioned state table (k rows per query per
+    batch — state grows with batch count, never corpus size), and the
+    final answer is the rank over the union of per-batch winners
+    (streaming/incremental.py:incremental_topk_query).
+
+    The oracle is the full-corpus brute-force top-k (the same SQL as
+    ``sim_topk_bruteforce``): the streaming maintenance must equal the
+    batch recompute bit-for-bit no matter how the input is sliced —
+    monotone selection makes the union of per-batch top-ks a superset of
+    the true top-k, and identical float expressions make the sims
+    hash-exact. The batch twin of the maintenance algebra is
+    ``sim_incremental_topk``; the replay discipline (dynamic partition
+    overwrite by batch_id) is the dedup index's."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.incremental import (
+        incremental_topk_query,
+    )
+    from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import (
+        as_stream_dir,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    work = tempfile.mkdtemp(prefix="ssk_incr_topk_")
+    files = []
+    for i in range(3):
+        slice_dir = f"{work}/slice{i}"
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(slice_dir)
+        files.extend(_glob.glob(f"{slice_dir}/part-*.parquet"))
+    stream_dir = as_stream_dir(*files)
+    raw = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = incremental_topk_query(spark, raw, work, queries, k=5).start()
+    q.awaitTermination()
+    state = spark.read.parquet(f"{work}/topk")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

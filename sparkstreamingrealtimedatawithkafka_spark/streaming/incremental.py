@@ -153,3 +153,79 @@ def incremental_dedup_query(
         .option("checkpointLocation", f"{work_dir}/ckpt")
         .trigger(availableNow=True)
     )
+
+
+def incremental_topk_query(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    work_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous exact top-k maintenance over an embedding stream
+    (caller starts/awaits): each micro-batch is scored against the
+    broadcast query set and only its PER-BATCH top-k survives into the
+    state table — k rows per query per batch, so state grows with batch
+    COUNT, never corpus size. The final global top-k is the rank over
+    the union of per-batch winners, correct because top-k is a monotone
+    selection (the true top-k of the whole stream is contained in the
+    union of per-batch top-ks, each batch's non-winners can never enter
+    the global top-k).
+
+    Replay safety is the same discipline as the dedup index: the state
+    table is partitioned by batch_id and written with dynamic partition
+    overwrite, so a replayed batch REPLACES its own winners instead of
+    duplicating them. No read-modify-write on shared state at all — the
+    rolling-merge formulation (re-rank state ∪ batch, overwrite) would
+    read and overwrite the same path inside one foreachBatch, which is
+    not crash-atomic on plain parquet.
+    """
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
+
+    state_dir = f"{work_dir}/topk"
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("qnorm", norm(F.col("qvec")))
+        .localCheckpoint()
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        c = batch_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ).withColumn("cnorm", norm(F.col("cvec")))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .withColumn(
+                "sim",
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+            )
+            .select("query_id", "neighbor_id", "sim")
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        top = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim")
+        )
+        (
+            top.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+    )
