@@ -124,19 +124,19 @@ def connected_components_star(
     contract as ``connected_components``; equality on random graphs and
     a 200-node path is pinned in tests.
     """
-    # canonical undirected pairs (a > b not required yet; just a != b)
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # nodes come off the RAW edge list so a node appearing only in a
+    # self-loop edge still gets its (x, x) row — the same contract as
+    # ``connected_components``, which unions both endpoints before any
+    # filtering. The contraction rounds below then drop self-loops.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    # canonical undirected pairs (a > b not required yet; just a != b)
+    e = raw.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     prev_hash = None
     for _ in range(max_rounds):
         # ---- large-star: from each node u, every neighbor v > u attaches
@@ -397,6 +397,12 @@ def pagerank_int(
     probe, which is what makes that mode cross-engine replayable.
     Returns (node, rank_ppm) for every node in an edge.
     """
+    if tol_ppm > 0 and iterations is not None:
+        raise ValueError(
+            "tol_ppm is a converged-mode exit (iterations=None); "
+            f"got iterations={iterations} with tol_ppm={tol_ppm} — a "
+            "fixed-depth run would silently ignore the tolerance"
+        )
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))

@@ -29,16 +29,24 @@ DRIVER_WINDOW = [
     "flagship_entity_count",
     "output_json_messages",
     "pipeline_parity_udf",
-    # relational core: scans/filters/aggs. r7 rotation: q6 (six-rounds
-    # green) and the r6-certified audit_expectations_suite cede to two
-    # never-certified r6 families the r6 verdict named (rotation ask #2)
-    "q1_pricing_summary",
+    # r8 rotation (verdict ask #2): the ten 7-round-green veterans —
+    # q1_pricing_summary, join_semi_orders_bigqty,
+    # join_anti_customers_no_urgent, agg_distinct_counts,
+    # agg_stats_distribution, text_token_stats, text_quality,
+    # text_langid, pipeline_corpus_clean, dedup_exact_docs (every
+    # non-parity entry certified in ALL of r1-r7) — cede to the ten
+    # never-certified entries the r7 verdict named. Family coverage
+    # survives the swap: relational core via sql_recursive_cte +
+    # setop/search slots, joins via asof/interval, text via chunker +
+    # winnowing, exact dedup transitively via pipeline_full_dedup's
+    # exact-collapse stage.
+    "sql_recursive_cte",
     "events_cusum_changepoint",
     "events_holt_linear_forecast",
     "search_bm25_topk",
-    # joins
-    "join_semi_orders_bigqty",
-    "join_anti_customers_no_urgent",
+    # joins (semi/anti veterans out; asof + interval stay below)
+    "events_seasonal_decompose",
+    "events_ts_subsequence_search",
     "events_clamped_running_balance",
     "events_asof_last_purchase",
     "text_winnowing_fingerprints",
@@ -50,7 +58,11 @@ DRIVER_WINDOW = [
     # (under-budget -> ppjoin route) with the routing decision hash-checked
     "graph_pagerank_copurchase",
     "graph_kcore",
+    "graph_community_lpa",
+    "graph_triangle_count",
     "dedup_similarity_auto",
+    "dedup_cc_clusters_star",
+    "dedup_snm_multipass",
     "multimodal_audio_fingerprint",
     # r7 rotation: scalar_string_functions + grouped_map_normalize (both
     # multi-round green; string/date §2.7 evidence stays green out-of-window
@@ -63,8 +75,7 @@ DRIVER_WINDOW = [
     "udaf_grouped_agg_pandas",
     "setop_union_intersect_except",
     "web_url_normalize",
-    "agg_distinct_counts",
-    "agg_stats_distribution",
+    "events_ts_znorm_search",
     # r7 rotation: quantile_bucket_assignment + events_from_json_struct
     # (r5/r6-certified; from_json parity stays exercised in-window through
     # streaming_entity_count's parse pipeline) cede to the sort-based
@@ -85,20 +96,16 @@ DRIVER_WINDOW = [
     "streaming_stream_stream_join",
     "streaming_dedup_within_watermark",
     "streaming_stateful_user_stats",
-    # text analysis
-    "text_token_stats",
-    "text_quality",
+    # text analysis (token_stats/quality/langid/corpus_clean veterans
+    # out; chunker + winnowing keep the family in-window)
     # late-r6 rotation: lang/source mix stays covered out-of-window
     # (corpus_mixture_weights, corpus_source_entropy); the slot certifies
     # model-inference-as-expressions (GBT ensemble scoring)
     "ml_tree_ensemble_score",
-    "text_langid",
     "text_chunker",
-    "pipeline_corpus_clean",
     # dedup family (the bounded-block ngram kernel stays out-of-window;
     # the full pipeline composition transitively exercises exact-collapse,
     # LSH banding AND the connected-components collapse)
-    "dedup_exact_docs",
     "pipeline_full_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -111,6 +118,8 @@ DRIVER_WINDOW = [
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_topk_int8_quantized",
+    "sim_incremental_topk",
+    "streaming_incremental_topk",
     # late-r6 rotation: the struct/binary plumbing entry cedes to the
     # REAL codec (PGM decode via mapInArrow) — the r5 verdict's top
     # capability gap, now certified inside the window

@@ -2695,12 +2695,13 @@ scored AS (
          ({_TSSS_W} * sxq - sx * qs.sq)
            / SQRT(CAST({_TSSS_W} * sx2 - sx * sx AS DOUBLE)
                   * CAST(qs.denq AS DOUBLE)) AS r,
+         qs.denq AS denq,
          npts
   FROM win, qs
 )
 SELECT event_type, win_start, corr_num, corr_denx, r
 FROM scored, qt
-WHERE npts = {_TSSS_W} AND corr_denx > 0
+WHERE npts = {_TSSS_W} AND corr_denx > 0 AND denq > 0
       AND NOT (event_type = qt.qtype AND win_start = 0)
 ORDER BY r DESC, event_type, win_start
 LIMIT {_TSSS_K}
@@ -2723,8 +2724,12 @@ def events_ts_znorm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded, so identical integer inputs give identical bits on both
     engines; the integer num/denx ride along in the output so the hash
     would catch any drift in the stats themselves). Constant windows
-    (denx = 0, r undefined) are excluded by an exact integer predicate.
-    Same reduced-series scale shape as the SSD twin (shared
+    (denx = 0, r undefined) are excluded by an exact integer predicate,
+    and so is a constant QUERY window (denq = 0 — r would be num/0,
+    where Spark's IEEE Inf/NaN and DuckDB's division-by-zero semantics
+    can diverge in ordering on degenerate fixtures); both guards are
+    exact integer predicates applied identically on both engines. Same
+    reduced-series scale shape as the SSD twin (shared
     ``_tsss_inputs``)."""
     dense, qt, q = _tsss_inputs(spark, sf_dir)
     qs = q.agg(
@@ -2771,6 +2776,7 @@ def events_ts_znorm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     denx.cast("double") * F.col("denq").cast("double")
                 )
             ).alias("r"),
+            "denq",
             "npts",
         )
     )
@@ -2779,6 +2785,7 @@ def events_ts_znorm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("npts") == _TSSS_W)
             & (F.col("corr_denx") > 0)
+            & (F.col("denq") > 0)
             & ~(
                 (F.col("event_type") == F.col("qtype"))
                 & (F.col("win_start") == 0)

@@ -8,7 +8,13 @@ a refactor can't silently push an operator family out of the checked set.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
 from sparkstreamingrealtimedatawithkafka_spark import plans
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+from certification import ever_driver_certified  # noqa: E402
 
 
 def test_window_is_exactly_the_priority_list():
@@ -23,11 +29,16 @@ def test_every_windowed_entry_has_an_oracle():
 
 
 def test_window_covers_every_operator_family():
-    """Every operator family must keep AT LEAST ``need`` members inside the
-    window. Membership is a pool, not a pinned list — the r5 verdict asked
-    for round-over-round rotation of multi-round-green slots, so the guard
-    protects family coverage while letting individual slots rotate."""
+    """Every operator family must keep AT LEAST ``need`` members CERTIFIED —
+    in the current window OR driver-green in a committed CORRECTNESS round
+    (``tools/certification.py``). The r5-r7 verdicts pushed round-over-round
+    rotation of multi-round-green slots toward never-certified entries; a
+    window-only floor pinned the window solid (r8 finding), so the floor is
+    now over window ∪ history: a family can rotate out only AFTER the driver
+    has actually certified its members. Parity stays pinned in-window (it is
+    the reference surface the driver smoke-checks every round)."""
     window = set(list(plans.queries())[:50])
+    certified = window | ever_driver_certified()
     families = {
         "parity": ({"flagship_entity_count", "pipeline_parity_udf"}, 2),
         "joins": ({"join_semi_orders_bigqty", "join_anti_customers_no_urgent",
@@ -83,8 +94,26 @@ def test_window_covers_every_operator_family():
         "web_curation": ({"web_url_normalize", "web_domain_quota",
                           "web_robots_filter"}, 1),
     }
+    assert families["parity"][0] <= window, "parity must stay in-window"
     for family, (members, need) in families.items():
-        got = len(members & window)
+        got = len(members & certified)
         assert got >= need, (
-            f"family {family}: {got} members in window, need >= {need}"
+            f"family {family}: {got} members certified (window ∪ driver "
+            f"history), need >= {need}"
         )
+
+
+def test_window_rotates_toward_never_certified_entries():
+    """Certification-debt burndown is structural (r7 verdict ask #4): while
+    many entries have never been driver-certified, each round's window must
+    carry a meaningful batch of them. Floor: at least 10 never-certified
+    entries in-window while 50+ remain uncertified (scaled down as the debt
+    shrinks so the guard can't deadlock in late rounds)."""
+    window = set(list(plans.queries())[:50])
+    never = set(plans.REGISTRY) - ever_driver_certified()
+    need = min(10, len(never))
+    fresh = len(window & never)
+    assert fresh >= need, (
+        f"window carries {fresh} never-certified entries; need >= {need} "
+        f"({len(never)} uncertified remain)"
+    )

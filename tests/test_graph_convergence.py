@@ -233,6 +233,38 @@ def test_cc_star_handles_high_diameter_path(spark):
     assert got == {(i, 1) for i in range(1, n + 1)}
 
 
+def test_cc_star_keeps_self_loop_only_nodes(spark):
+    """A node that appears ONLY in a self-loop edge must still get its
+    (x, x) row from BOTH engine paths — the shared (node, label)
+    contract (r7 advisory: star built nodes after the a != b filter and
+    silently dropped them)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (9, 9), (2, 1)], ["src", "dst"]
+    )
+    want = {(1, 1), (2, 1), (7, 7), (9, 9)}
+    star = {
+        (r["node"], r["label"])
+        for r in connected_components_star(edges).collect()
+    }
+    minlbl = {
+        (r["node"], r["label"])
+        for r in connected_components(edges).collect()
+    }
+    assert star == want
+    assert minlbl == want
+
+
+def test_pagerank_rejects_tol_with_fixed_iterations(spark):
+    """tol_ppm is a converged-mode exit; combining it with a fixed
+    iteration count must raise instead of silently ignoring the
+    tolerance (r7 advisory)."""
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    with pytest.raises(ValueError, match="tol_ppm"):
+        pagerank_int(edges, iterations=10, tol_ppm=500)
+
+
 def test_kcore_converged_peels_to_true_core(spark):
     """4-clique with a pendant path: the 3-core is exactly the clique.
     Converged mode must reach it, and one more peel must be a no-op."""

@@ -1,0 +1,120 @@
+"""Certification history as a queryable fact (r7 verdict ask #4).
+
+Parses the committed round artifacts —
+
+- ``CORRECTNESS_r{N}.json``: the DRIVER's sf0.01 oracle gate over the
+  50-entry window (rows + schema + value-hash vs DuckDB). The strongest
+  signal: it ran on the judge's side of the fence.
+- ``LOCALGATE_r{N}.json``: the full-catalog local run of the SAME harness
+  (``tools/driver_sim.py`` with ``LOCALGATE_OUT`` set), every entry, with
+  per-entry wall-time.
+
+— into per-entry certification history, so "which entries has the driver
+ever certified" is one function call instead of judge archaeology. Used
+by ``tools/gen_catalog.py`` (CATALOG.md's last-certified columns + the
+no-orphan check) and by ``tests/test_catalog_window.py`` (family coverage
+over window ∪ ever-certified; rotation-freshness guard).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _round_of(path: Path) -> int:
+    m = re.search(r"_r0*(\d+)\.json$", path.name)
+    if not m:
+        raise ValueError(f"unparseable round artifact name: {path.name}")
+    return int(m.group(1))
+
+
+def driver_history(repo: Path = REPO) -> dict[str, dict[int, bool]]:
+    """name -> {round: green} from the driver's CORRECTNESS artifacts.
+
+    Green = no error, rows + schema match, and the value hash matches
+    (or is absent by rows-only contract)."""
+    hist: dict[str, dict[int, bool]] = {}
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = _round_of(path)
+        for name, rec in json.loads(path.read_text()).items():
+            if not isinstance(rec, dict):
+                continue
+            green = (
+                rec.get("err") in (None, "")
+                and bool(rec.get("rows_match"))
+                and bool(rec.get("schema_match"))
+                and rec.get("hash_match") in (True, None)
+            )
+            hist.setdefault(name, {})[rnd] = green
+    return hist
+
+
+def localgate_history(repo: Path = REPO) -> dict[str, dict[int, bool]]:
+    """name -> {round: ok} from the committed full-catalog local gates."""
+    hist: dict[str, dict[int, bool]] = {}
+    for path in sorted(repo.glob("LOCALGATE_r*.json")):
+        rnd = _round_of(path)
+        entries = json.loads(path.read_text()).get("entries", {})
+        for name, rec in entries.items():
+            hist.setdefault(name, {})[rnd] = bool(rec.get("ok"))
+    return hist
+
+
+def ever_driver_certified(repo: Path = REPO) -> set[str]:
+    """Entries green in at least one driver CORRECTNESS round."""
+    return {
+        name
+        for name, rounds in driver_history(repo).items()
+        if any(rounds.values())
+    }
+
+
+def last_certified(repo: Path = REPO) -> dict[str, dict]:
+    """name -> {driver: last green driver round or None,
+    localgate: last green local-gate round or None,
+    localgate_sec: wall-time in that local-gate run or None}."""
+    drv = driver_history(repo)
+    lg = localgate_history(repo)
+    sec: dict[str, dict[int, float]] = {}
+    for path in sorted(repo.glob("LOCALGATE_r*.json")):
+        rnd = _round_of(path)
+        for name, rec in json.loads(path.read_text()).get("entries", {}).items():
+            if "sec" in rec:
+                sec.setdefault(name, {})[rnd] = rec["sec"]
+    out: dict[str, dict] = {}
+    for name in set(drv) | set(lg):
+        d = max((r for r, g in drv.get(name, {}).items() if g), default=None)
+        g = max((r for r, g in lg.get(name, {}).items() if g), default=None)
+        out[name] = {
+            "driver": d,
+            "localgate": g,
+            "localgate_sec": sec.get(name, {}).get(g) if g else None,
+        }
+    return out
+
+
+def orphans(registry_names: set[str], repo: Path = REPO) -> list[str]:
+    """Registered entries appearing in NO committed artifact — i.e. added
+    since the last full local gate. Should be empty at round close."""
+    seen = set(driver_history(repo)) | set(localgate_history(repo))
+    return sorted(registry_names - seen)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY
+
+    info = last_certified()
+    ever = ever_driver_certified()
+    print(f"registry: {len(REGISTRY)} entries")
+    print(f"ever driver-certified: {len(ever & set(REGISTRY))}")
+    never = sorted(set(REGISTRY) - ever)
+    print(f"never driver-certified: {len(never)}")
+    orph = orphans(set(REGISTRY))
+    print(f"orphans (in no committed artifact): {orph or 'none'}")

@@ -12,7 +12,8 @@ Set LOCALGATE_OUT=/path/LOCALGATE_rN.json to also write the per-entry
 gate results as a committed artifact (full runs only; --only skips it).
 
 ``--only`` runs just the catalog entries whose name contains SUBSTRING
-(skips the entry() smoke) — the quick loop for iterating on one query.
+(comma-separate for several; skips the entry() smoke) — the quick loop
+for iterating on one query.
 """
 
 from __future__ import annotations
@@ -65,7 +66,7 @@ def main() -> int:
     failed, inexact = [], []
     gate: dict[str, dict] = {}
     for pos, name in enumerate(qs, start=1):
-        if only is not None and only not in name:
+        if only is not None and not any(s in name for s in only.split(",")):
             continue
         in_window = pos <= DRIVER_WINDOW
         t0 = time.time()

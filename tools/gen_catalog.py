@@ -10,6 +10,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
 from sparkstreamingrealtimedatawithkafka_spark.plans import REGISTRY  # noqa: E402
 
@@ -31,14 +32,23 @@ def first_line(doc: str) -> str:
     return ""
 
 
-def main() -> None:
+def main(check_orphans: bool = False) -> int:
+    from certification import last_certified, orphans
+
+    cert = last_certified(REPO)
     rows = []
     for name, spec in sorted(REGISTRY.items()):
         module = spec.fn.__module__.rsplit(".", 1)[-1]
         family = FAMILY.get(module, module)
         check = "DuckDB hash" if spec.oracle else "rows-only"
-        rows.append((family, name, check, first_line(spec.doc)))
+        c = cert.get(name, {})
+        drv = f"r{c['driver']}" if c.get("driver") else "—"
+        lg = f"r{c['localgate']}" if c.get("localgate") else "—"
+        if c.get("localgate_sec") is not None:
+            lg += f" ({c['localgate_sec']:.2f}s)"
+        rows.append((family, name, check, drv, lg, first_line(spec.doc)))
 
+    n_drv = sum(1 for r in rows if r[3] != "—")
     out = [
         "# Query catalog",
         "",
@@ -48,20 +58,37 @@ def main() -> None:
         "'rows-only' = non-SQL-expressible by contract (hashed/approximate/",
         "UDF-plane algorithms).",
         "",
+        "'driver' = last round the DRIVER's sf0.01 window certified the entry",
+        f"(rows+schema+hash green; {n_drv}/{len(rows)} ever); 'local gate' =",
+        "last committed full-catalog run of the same harness",
+        "(`LOCALGATE_r{N}.json`), with that run's wall-time. History is",
+        "parsed from the committed round artifacts by `tools/certification.py`.",
+        "Scale knobs per family: see [DEPLOY.md](DEPLOY.md).",
+        "",
     ]
     for family in dict.fromkeys(f for f, *_ in rows):
         members = [r for r in rows if r[0] == family]
         out.append(f"## {family} ({len(members)})")
         out.append("")
-        out.append("| query | check | description |")
-        out.append("|---|---|---|")
-        for _, name, check, doc in members:
-            out.append(f"| `{name}` | {check} | {doc} |")
+        out.append("| query | check | driver | local gate | description |")
+        out.append("|---|---|---|---|---|")
+        for _, name, check, drv, lg, doc in members:
+            out.append(f"| `{name}` | {check} | {drv} | {lg} | {doc} |")
         out.append("")
 
     (REPO / "CATALOG.md").write_text("\n".join(out))
-    print(f"wrote CATALOG.md with {len(rows)} entries")
+    print(f"wrote CATALOG.md with {len(rows)} entries ({n_drv} driver-certified)")
+
+    orph = orphans(set(REGISTRY), REPO)
+    if orph:
+        print(
+            f"WARNING: {len(orph)} entries in NO committed artifact "
+            f"(run the full gate before round close): {orph}"
+        )
+        if check_orphans:
+            return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main(check_orphans="--check" in sys.argv))
