@@ -209,11 +209,43 @@ def main() -> None:
     probe_end = round(probe_end, 3)
 
     total = round(sum(times.values()), 3)
-    # Probe-normalized total (r6 verdict ask #6): raw_total scaled by
-    # PROBE_REF / probe_sec cancels whole-host load drift, so BENCH_rN vs
-    # BENCH_r{N-1} comparison needs no judge arithmetic. PROBE_REF is the
-    # idle-host q1@sf0.01 min-of-3 (tools/perf_protocol.py).
+    # Probe-normalized totals: raw_total scaled by PROBE_REF / probe cancels
+    # whole-host load drift, so BENCH_rN vs BENCH_r{N-1} comparison needs no
+    # judge arithmetic. PROBE_REF is the idle-host q1@sf0.01 min-of-3
+    # (tools/perf_protocol.py). v1 (r6 ask #6) normalized by the START probe
+    # only — silently assuming run-long load was flat; v2 (r7 ask #3)
+    # normalizes by the MEAN of the start/end probes, the unbiased estimate
+    # when load drifts mid-run (the interleaved-A/B finding).
     from tools.perf_protocol import PROBE_REF
+
+    probe_mean = round((probe_sec + probe_end) / 2, 3)
+
+    # Per-key delta vs the PREVIOUS COMMITTED record at matched probe
+    # (r7 ask #3): scale the previous run's per-key seconds to THIS run's
+    # probe level (prev_sec * probe_mean / prev_probe_mean), then delta =
+    # this_sec - prev_sec_at_matched_probe. Positive = slower than last
+    # round beyond what host load explains; launch jitter still applies to
+    # sub-second keys (documented r7: ±0.1s).
+    delta_vs_prev: dict[str, float] = {}
+    prev_record = None
+    prev_files = sorted(
+        REPO.glob("tools/bench_r*_local.json"),
+        key=lambda p: int("".join(ch for ch in p.stem if ch.isdigit())),
+    )
+    if prev_files:
+        prev_record = prev_files[-1].name
+        prev = json.loads(prev_files[-1].read_text())
+        pp = [x for x in (prev.get("probe_sec"), prev.get("probe_sec_end")) if x]
+        prev_probe_mean = sum(pp) / len(pp) if pp else None
+        if prev.get("sf") != sf:
+            prev_probe_mean = None  # cross-sf deltas are meaningless
+        if prev_probe_mean:
+            for k, v in times.items():
+                pv = prev.get("queries", {}).get(k)
+                if pv is not None:
+                    delta_vs_prev[k] = round(
+                        v - pv * probe_mean / prev_probe_mean, 3
+                    )
 
     print(
         json.dumps(
@@ -225,8 +257,12 @@ def main() -> None:
                 "sf": sf,
                 "probe_sec": probe_sec,
                 "probe_sec_end": probe_end,
+                "probe_mean": probe_mean,
                 "probe_ref": PROBE_REF,
                 "normalized_total": round(total * PROBE_REF / probe_sec, 3),
+                "normalized_total_v2": round(total * PROBE_REF / probe_mean, 3),
+                "prev_record": prev_record,
+                "delta_vs_prev": delta_vs_prev,
             }
         )
     )

@@ -4218,7 +4218,24 @@ def _snm_pairs(docs: DataFrame, key: Column | None = None) -> DataFrame:
 # sf0.1 est=12,825,369 and the 10x degenerate corpus est~410M (-> snm).
 _SIM_AUTO_BUDGET = 1_000_000
 
-_SIM_AUTO_ORACLE = f"""
+# Head-key-mass gate for the over-budget leg (r7 verdict ask #5): the
+# fraction (ppm) of SNM-eligible docs whose first-4-token sort key is
+# shared by MORE than the window width (_SNM_W) docs. Those docs are
+# exactly the ones single-pass SNM can scatter (window-many same-key
+# neighbors crowd out true near-dups), so above the gate the router takes
+# the rotated-key multipass form — pass 2's last-4-token key re-collides
+# what boilerplate prefixes scattered. Fixture corpora measure 0 ppm
+# (diverse leading tokens); a 10%-boilerplate corpus measures >= 100_000
+# by construction.
+_SIM_AUTO_SKEW_PPM = 100_000
+
+def _sim_auto_oracle(
+    budget: int = _SIM_AUTO_BUDGET, skew_ppm: int = _SIM_AUTO_SKEW_PPM
+) -> str:
+    """DuckDB twin of ``similarity_auto_pairs``, parameterized on the two
+    gates so tests can force each branch and assert oracle parity for all
+    three routes (the catalog entry uses the default gates)."""
+    return f"""
 WITH s AS MATERIALIZED (
   SELECT doc_id, s
   FROM (SELECT doc_id, {_BIGRAMS} AS s FROM documents)
@@ -4247,13 +4264,33 @@ pp AS (
     AND 5 * len(list_intersect(a.s, b.s))
         >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
 ),
-snms AS MATERIALIZED (
-  SELECT doc_id, array_to_string(list_slice(tk, 1, 4), ' ') AS k, sh
+snmbase AS MATERIALIZED (
+  SELECT doc_id, tk, sh
   FROM (SELECT doc_id, {_TOKS} AS tk, {_BIGRAMS} AS sh FROM documents)
   WHERE len(tk) > 0
 ),
+kc AS (
+  SELECT array_to_string(list_slice(tk, 1, 4), ' ') AS k, COUNT(*) AS c
+  FROM snmbase GROUP BY 1
+),
+skew AS (
+  SELECT CAST(
+    (1000000 * COALESCE(SUM(CASE WHEN c > {_SNM_W} THEN c ELSE 0 END), 0))
+      // GREATEST(SUM(c), 1) AS BIGINT) AS ppm
+  FROM kc
+),
 snmr AS MATERIALIZED (
-  SELECT doc_id, sh, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM snms
+  SELECT doc_id, sh,
+         ROW_NUMBER() OVER (
+           ORDER BY array_to_string(list_slice(tk, 1, 4), ' '), doc_id) AS rn
+  FROM snmbase
+),
+snmr2 AS MATERIALIZED (
+  SELECT doc_id, sh,
+         ROW_NUMBER() OVER (
+           ORDER BY array_to_string(
+             list_slice(tk, greatest(len(tk)-3, 1), len(tk)), ' '), doc_id) AS rn
+  FROM snmbase
 ),
 snm AS (
   SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo,
@@ -4264,24 +4301,67 @@ snm AS (
   FROM snmr a JOIN snmr b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}
   WHERE 5 * len(list_intersect(a.sh, b.sh))
         >= 3 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+),
+snm2 AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo,
+         GREATEST(a.doc_id, b.doc_id) AS doc_hi,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           AS union_cnt
+  FROM snmr2 a JOIN snmr2 b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}
+  WHERE 5 * len(list_intersect(a.sh, b.sh))
+        >= 3 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+),
+snm_mp AS (
+  SELECT DISTINCT doc_lo, doc_hi, inter_cnt, union_cnt FROM (
+    SELECT * FROM snm UNION ALL SELECT * FROM snm2
+  )
 )
 SELECT doc_lo, doc_hi, inter_cnt, union_cnt,
-       'ppjoin' AS route, (SELECT cand FROM est) AS cand_est
-FROM pp WHERE (SELECT cand FROM est) <= {_SIM_AUTO_BUDGET}
+       'ppjoin' AS route, (SELECT cand FROM est) AS cand_est,
+       CAST(-1 AS BIGINT) AS skew_ppm
+FROM pp WHERE (SELECT cand FROM est) <= {budget}
 UNION ALL
 SELECT doc_lo, doc_hi, inter_cnt, union_cnt,
-       'snm' AS route, (SELECT cand FROM est) AS cand_est
-FROM snm WHERE (SELECT cand FROM est) > {_SIM_AUTO_BUDGET}
+       'snm' AS route, (SELECT cand FROM est) AS cand_est,
+       (SELECT ppm FROM skew) AS skew_ppm
+FROM snm WHERE (SELECT cand FROM est) > {budget}
+      AND (SELECT ppm FROM skew) <= {skew_ppm}
+UNION ALL
+SELECT doc_lo, doc_hi, inter_cnt, union_cnt,
+       'snm_multipass' AS route, (SELECT cand FROM est) AS cand_est,
+       (SELECT ppm FROM skew) AS skew_ppm
+FROM snm_mp WHERE (SELECT cand FROM est) > {budget}
+      AND (SELECT ppm FROM skew) > {skew_ppm}
 """
 
 
-def similarity_auto_pairs(
-    docs: DataFrame, budget: int = _SIM_AUTO_BUDGET
-) -> DataFrame:
-    """Self-routing exact-similarity join: pre-flight candidate estimate,
-    then PPJoin below ``budget`` and sorted-neighborhood above it.
+_SIM_AUTO_ORACLE = _sim_auto_oracle()
 
-    The gate is the closed-form candidate count of the prefix join —
+
+def similarity_auto_pairs(
+    docs: DataFrame,
+    budget: int = _SIM_AUTO_BUDGET,
+    skew_budget_ppm: int = _SIM_AUTO_SKEW_PPM,
+) -> DataFrame:
+    """Self-routing exact-similarity join — THREE regimes:
+
+    | route           | taken when                      | recall contract   |
+    |-----------------|---------------------------------|-------------------|
+    | ``ppjoin``      | cand_est <= budget              | COMPLETE (exact   |
+    |                 |                                 | prefix filter)    |
+    | ``snm``         | over budget, skew_ppm <=        | window recall:    |
+    |                 | skew_budget_ppm                 | pairs within w-1  |
+    |                 |                                 | sort neighbors    |
+    |                 |                                 | (1.0 on diverse-  |
+    |                 |                                 | prefix corpora)   |
+    | ``snm_multipass``| over budget, skew_ppm >        | multiplicative    |
+    |                 | skew_budget_ppm                 | escape: a pair is |
+    |                 |                                 | missed only if    |
+    |                 |                                 | outside the window|
+    |                 |                                 | under BOTH keys   |
+
+    Gate 1 is the closed-form candidate count of the prefix join —
     sum over prefix tokens of C(df_prefix(tok), 2) — computed from one
     vocabulary-sized aggregate over the SAME prefix table the PPJoin path
     joins on, BEFORE any pair is emitted. Under the budget the estimate's
@@ -4292,20 +4372,27 @@ def similarity_auto_pairs(
     10x data in the frozen-vocabulary regime (tools/scale_check_r6e.json)
     vs SNM's 3.55x on the same corpus.
 
+    Gate 2 (consulted only over budget; r7 verdict ask #5) is HEAD-KEY
+    MASS: the ppm of SNM-eligible docs whose first-4-token sort key is
+    shared by more than the window width (_SNM_W) docs — exactly the docs
+    whose window fills with same-key neighbors, the boilerplate-prefix
+    regime where single-pass SNM scatters true pairs. The stat is one
+    sort-key-sized aggregate over the same key the SNM path sorts on
+    (computed on the sort key rather than the PPJoin prefix histogram
+    because it is the sort key's collisions, not the rarest-first prefix
+    tokens, that predict window scatter). Above the gate the rotated-key
+    multipass form runs (2x the linear cost; pass 2's last-4-token key
+    re-collides what boilerplate scattered).
+
     The routing decision rides in the output schema (``route``,
-    ``cand_est``) so downstream consumers — and the DuckDB oracle, which
-    recomputes the identical integer estimate and takes the identical
-    branch — can audit which regime produced the pairs. Routes agree with
-    the oracle by construction: both sides compare the same integer to the
-    same budget. NOTE the two regimes are different SAMPLERS of the same
-    predicate (J >= 3/5): PPJoin is provably complete; SNM compares each
-    record to its w-1 sort-neighbors (recall 1.0 on the fixture corpora,
-    tunable via key/w/multi-pass on real data). The router's contract is
-    "exact when exact is affordable, the linear blocker when it is not" —
-    a compliance pass that NEEDS completeness regardless of cost calls
-    ``dedup_ppjoin_prefix`` directly.
+    ``cand_est``, ``skew_ppm`` — the latter -1 when gate 2 was never
+    consulted) so downstream consumers — and the DuckDB oracle, which
+    recomputes the identical integer stats and takes the identical
+    branches — can audit which regime produced the pairs. All comparisons
+    are integer-vs-integer, so engine and oracle branch identically by
+    construction. A compliance pass that NEEDS completeness regardless of
+    cost calls ``dedup_ppjoin_prefix`` directly.
     """
-    spark = docs.sparkSession
     s = _ppjoin_shingle_table(docs).localCheckpoint()
     pre = _ppjoin_prefix_table(s).localCheckpoint()
     est_row = (
@@ -4315,6 +4402,7 @@ def similarity_auto_pairs(
         .first()
     )
     est = int(est_row["cand"] or 0)
+    skew_ppm = -1
     if est <= budget:
         pairs = _ppjoin_pairs(s, pre).select(
             F.col("doc_a").alias("doc_lo"),
@@ -4324,8 +4412,27 @@ def similarity_auto_pairs(
         )
         route = "ppjoin"
     else:
-        pairs = _snm_pairs(docs)
-        route = "snm"
+        kc = (
+            docs.select(TX.tokenize("text").alias("tk"))
+            .filter(F.size("tk") > 0)
+            .select(F.array_join(F.slice("tk", 1, 4), " ").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        krow = kc.agg(
+            F.sum("c").alias("n"),
+            F.sum(
+                F.when(F.col("c") > _SNM_W, F.col("c")).otherwise(F.lit(0))
+            ).alias("over"),
+        ).first()
+        n = int(krow["n"] or 0)
+        skew_ppm = (1_000_000 * int(krow["over"] or 0)) // max(n, 1)
+        if skew_ppm <= skew_budget_ppm:
+            pairs = _snm_pairs(docs)
+            route = "snm"
+        else:
+            pairs = _snm_multipass_pairs(docs)
+            route = "snm_multipass"
     return pairs.select(
         "doc_lo",
         "doc_hi",
@@ -4333,6 +4440,7 @@ def similarity_auto_pairs(
         "union_cnt",
         F.lit(route).alias("route"),
         F.lit(est).cast("bigint").alias("cand_est"),
+        F.lit(skew_ppm).cast("bigint").alias("skew_ppm"),
     )
 
 
@@ -4408,7 +4516,13 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     multipass == single-pass there; the pytest pins the superset
     relation (multipass ⊇ single-pass) which is the property that holds
     on EVERY corpus."""
-    docs = t(spark, sf_dir, "documents")
+    return _snm_multipass_pairs(t(spark, sf_dir, "documents"))
+
+
+def _snm_multipass_pairs(docs: DataFrame) -> DataFrame:
+    """Two SNM passes under rotated keys (first-4 / last-4 tokens), pair
+    sets unioned on the pair key (counts are functionally determined by
+    the pair). Shared by the catalog entry and the router's third route."""
     toks = TX.tokenize("text")
     last4 = F.array_join(
         F.slice(toks, F.greatest(F.size(toks) - 3, F.lit(1)), 4), " "

@@ -200,12 +200,92 @@ def test_similarity_auto_routes_snm_over_budget(spark):
     auto = similarity_auto_pairs(docs, budget=0).collect()
     assert auto
     assert {r["route"] for r in auto} == {"snm"}
+    # gate 2 WAS consulted (over budget) and measured the fixture's zero
+    # head-key mass — distinct from the ppjoin route's -1 sentinel
+    assert {r["skew_ppm"] for r in auto} == {0}
     direct = dedup_sorted_neighborhood(spark, SF_DIR).collect()
     assert {
         (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"]) for r in auto
     } == {
         (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"]) for r in direct
     }
+
+
+def _boilerplate_corpus():
+    """Synthetic corpus in the boilerplate-prefix regime: half the docs
+    share the same 4 leading tokens (30 docs on one sort key > w=8 ->
+    head-key mass 500_000 ppm), near-dup pairs hidden in the tails."""
+    rows = []
+    for i in range(15):
+        tail = f"alpha{i} bravo{i} charlie{i} delta{i} echo{i} foxtrot{i}"
+        rows.append((2 * i, f"terms of service agreement {tail} golf{i}"))
+        rows.append((2 * i + 1, f"terms of service agreement {tail} hotel{i}"))
+    for i in range(30):
+        rows.append(
+            (
+                100 + i,
+                f"unique{i} head{i} words{i} here{i} body{i} text{i} tail{i}",
+            )
+        )
+    return rows
+
+
+def test_similarity_auto_routes_multipass_on_boilerplate_skew(spark):
+    """Third regime (r7 verdict ask #5): over budget AND head-key mass
+    over the skew gate -> the rotated-key multipass form, pair set equal
+    to the direct _snm_multipass_pairs, with the consulted stats in the
+    output schema."""
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        _snm_multipass_pairs,
+        similarity_auto_pairs,
+    )
+
+    docs = spark.createDataFrame(_boilerplate_corpus(), ["doc_id", "text"])
+    auto = similarity_auto_pairs(docs, budget=0).collect()
+    assert auto
+    assert {r["route"] for r in auto} == {"snm_multipass"}
+    assert {r["skew_ppm"] for r in auto} == {500_000}
+    direct = _snm_multipass_pairs(docs).collect()
+    assert {
+        (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"]) for r in auto
+    } == {
+        (r["doc_lo"], r["doc_hi"], r["inter_cnt"], r["union_cnt"])
+        for r in direct
+    }
+
+
+def test_similarity_auto_oracle_branch_parity_all_routes(spark):
+    """The DuckDB oracle must take the SAME branch and produce the SAME
+    rows as the engine in EVERY regime — forced via the parameterized
+    gates on the boilerplate corpus: budget huge -> ppjoin; budget 0 +
+    skew gate huge -> snm; budget 0 + default skew gate -> multipass."""
+    import duckdb
+    import pandas as pd
+
+    from sparkstreamingrealtimedatawithkafka_spark.plans.text_llm import (
+        _sim_auto_oracle,
+        similarity_auto_pairs,
+    )
+
+    pdf = pd.DataFrame(_boilerplate_corpus(), columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    cases = [
+        ("ppjoin", 10**15, 100_000),
+        ("snm", 0, 1_000_000),
+        ("snm_multipass", 0, 100_000),
+    ]
+    for want_route, budget, skew in cases:
+        eng = {
+            tuple(r)
+            for r in similarity_auto_pairs(
+                docs, budget=budget, skew_budget_ppm=skew
+            ).collect()
+        }
+        ora = {tuple(r) for r in con.sql(_sim_auto_oracle(budget, skew)).fetchall()}
+        assert eng == ora, f"route {want_route}: engine != oracle"
+        assert {r[4] for r in eng} == {want_route}
 
 
 def test_candidate_estimate_is_exact_prefix_join_row_count(spark):
