@@ -119,18 +119,36 @@ def main(argv: list[str] | None = None) -> int:
     if broker is not None:
         # Live path: verbatim reference wiring (spark_entity_counter.py:
         # 117-156) — complete-mode republish per trigger until interrupted.
-        raw = kafka_source(spark, args.bootstrap_servers, args.input_topic)
-        out = to_output_json(
-            entity_counts(parse_articles(raw), use_udf=args.use_udf)
-        )
-        query = kafka_sink(
-            out,
-            args.bootstrap_servers,
-            args.output_topic,
-            checkpoint,
-            output_mode="complete",
-            trigger_interval=args.trigger,
-        )
+        # Failing GRACEFULLY matters here: a TCP listener that satisfies
+        # the probe is not necessarily a broker, and the Kafka connector
+        # JARs are a separate artifact from the PySpark wheel — either gap
+        # surfaces as an exception at load()/start(), which we turn into a
+        # diagnostic naming the missing pieces (FIXTURES.md §E) instead of
+        # a stack trace.
+        try:
+            raw = kafka_source(spark, args.bootstrap_servers, args.input_topic)
+            out = to_output_json(
+                entity_counts(parse_articles(raw), use_udf=args.use_udf)
+            )
+            query = kafka_sink(
+                out,
+                args.bootstrap_servers,
+                args.output_topic,
+                checkpoint,
+                output_mode="complete",
+                trigger_interval=args.trigger,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"broker answered at {broker} but the Kafka pipeline could "
+                f"not start: {type(e).__name__}: {str(e).splitlines()[0] if str(e) else e}\n"
+                "Check (1) the address really is a Kafka broker and (2) the "
+                "Spark Kafka connector JARs are on the classpath "
+                "(spark-sql-kafka-0-10; the PySpark wheel does not bundle "
+                "them — see FIXTURES.md §E).",
+                file=sys.stderr,
+            )
+            return 2
         query.awaitTermination()
         return 0
 
