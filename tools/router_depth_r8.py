@@ -65,36 +65,25 @@ def boilerplate_corpus(spark):
     are window-unreachable under the boilerplate sort key."""
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     max_id = base.agg(F.max("doc_id")).collect()[0][0]
-    lo = spark.range(N_PAIRS).select(
-        (F.lit(max_id + 1) + F.col("id")).alias("doc_id"),
-        F.concat(
-            F.lit(BOILER + " "),
-            F.concat_ws(
-                " ",
-                F.concat(F.lit("body"), F.col("id")),
-                F.concat(F.lit("tail"), F.col("id")),
-                F.concat(F.lit("mark"), F.col("id")),
-                F.concat(F.lit("sig"), F.col("id")),
-                F.concat(F.lit("end"), F.col("id")),
-                F.lit("alpha"),
-            ),
-        ).alias("text"),
-    )
-    hi = spark.range(N_PAIRS).select(
-        (F.lit(max_id + 1 + 10 * N_PAIRS) + F.col("id")).alias("doc_id"),
-        F.concat(
-            F.lit(BOILER + " "),
-            F.concat_ws(
-                " ",
-                F.concat(F.lit("body"), F.col("id")),
-                F.concat(F.lit("tail"), F.col("id")),
-                F.concat(F.lit("mark"), F.col("id")),
-                F.concat(F.lit("sig"), F.col("id")),
-                F.concat(F.lit("end"), F.col("id")),
-                F.lit("bravo"),
-            ),
-        ).alias("text"),
-    )
+
+    def half(id_offset: int, marker: str):
+        i = F.col("id").cast("string")
+        body = F.concat_ws(
+            " ",
+            F.concat(F.lit("body"), i),
+            F.concat(F.lit("tail"), i),
+            F.concat(F.lit("mark"), i),
+            F.concat(F.lit("sig"), i),
+            F.concat(F.lit("end"), i),
+            F.lit(marker),
+        )
+        return spark.range(N_PAIRS).select(
+            (F.lit(id_offset) + F.col("id")).alias("doc_id"),
+            F.concat(F.lit(BOILER + " "), body).alias("text"),
+        )
+
+    lo = half(max_id + 1, "alpha")
+    hi = half(max_id + 1 + 10 * N_PAIRS, "bravo")
     return base.unionByName(lo).unionByName(hi)
 
 
@@ -118,14 +107,25 @@ def timed(fn, runs: int = 2) -> float:
 
 if __name__ == "__main__":
     spark = build_session(app_name="ssk-router-depth")
-    docs1 = boilerplate_corpus(spark).localCheckpoint()
+    # Corpora live on parquet, NOT localCheckpoint: the timing protocol's
+    # deterministic unpersist clears ALL persistent RDDs between runs
+    # (including a still-needed checkpointed corpus — learned by hitting
+    # checkpointRDDBlockIdNotFound here).
+    work = os.path.join(os.environ.get("TMPDIR", "/tmp"), "ssk_router_depth_r8")
+    boilerplate_corpus(spark).write.mode("overwrite").parquet(
+        os.path.join(work, "docs1")
+    )
+    docs1 = spark.read.parquet(os.path.join(work, "docs1"))
     n1 = docs1.count()
 
     # ---- 1. recall vs PPJoin exact ground truth at 1x
+    max_fixture_id = (
+        load_table(spark, SF_DIR, "documents").agg(F.max("doc_id")).collect()[0][0]
+    )
     s = _ppjoin_shingle_table(docs1).localCheckpoint()
     gt = pair_set(_ppjoin_pairs(s, _ppjoin_prefix_table(s)))
     boiler_gt = {
-        (a, b) for a, b in gt if a > 5000 and b > 5000
+        (a, b) for a, b in gt if a > max_fixture_id and b > max_fixture_id
     }  # constructed pairs live above the fixture id range
     one = pair_set(_snm_pairs(docs1))
     mp = pair_set(_snm_multipass_pairs(docs1))
@@ -157,7 +157,7 @@ if __name__ == "__main__":
     # the scale_check discipline: every doc replicated with a 1-token
     # delta so true pair density grows with the corpus)
     rep = F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("i")
-    docs10 = (
+    (
         docs1.select("*", rep)
         .select(
             (F.col("doc_id") * FACTOR + F.col("i")).alias("doc_id"),
@@ -165,8 +165,10 @@ if __name__ == "__main__":
                 F.col("text"), F.lit(" rep"), F.col("i").cast("string")
             ).alias("text"),
         )
-        .localCheckpoint()
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "docs10"))
     )
+    docs10 = spark.read.parquet(os.path.join(work, "docs10"))
     n10 = docs10.count()
 
     def run_mp(d):
