@@ -1,7 +1,13 @@
 """Headline benchmark: runs the engine's flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines:
+
+1. the FULL record {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...}, "sf": ..., probes, normalized totals,
+   "delta_vs_prev": {...}} — commit this line as tools/bench_rN_local.json;
+2. a COMPACT summary (same scalars, delta summary instead of the per-key
+   maps) printed LAST so it survives the round driver's ~2000-char stdout
+   tail window and parses (the full line outgrew it at 73 keys).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). A small warmup query absorbs JVM/codegen startup so the
@@ -247,26 +253,57 @@ def main() -> None:
                         v - pv * probe_mean / prev_probe_mean, 3
                     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "probe_sec": probe_sec,
-                "probe_sec_end": probe_end,
-                "probe_mean": probe_mean,
-                "probe_ref": PROBE_REF,
-                "normalized_total": round(total * PROBE_REF / probe_sec, 3),
-                "normalized_total_v2": round(total * PROBE_REF / probe_mean, 3),
-                "prev_record": prev_record,
-                "delta_vs_prev": delta_vs_prev,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "probe_sec": probe_sec,
+        "probe_sec_end": probe_end,
+        "probe_mean": probe_mean,
+        "probe_ref": PROBE_REF,
+        "normalized_total": round(total * PROBE_REF / probe_sec, 3),
+        "normalized_total_v2": round(total * PROBE_REF / probe_mean, 3),
+        "prev_record": prev_record,
+        "delta_vs_prev": delta_vs_prev,
+    }
+    # Full record first (the per-key map — save this line as the committed
+    # tools/bench_rN_local.json), then the COMPACT summary line LAST: the
+    # round driver keeps only the final ~2000 chars of stdout and parses
+    # the JSON it finds there; the full line outgrew that window at 73
+    # keys (BENCH_r06/r07 both record parsed:null with the head of the
+    # line truncated away). The compact line carries every scalar + a
+    # delta summary and always fits (pinned by
+    # tests/test_catalog_integrity.py), so the per-round BENCH artifact is
+    # machine-readable again; per-key detail lives in the committed
+    # local record.
+    print(json.dumps(record))
+    print(json.dumps(compact_record(record)))
     spark.stop()
+
+
+def compact_record(record: dict) -> dict:
+    """The full bench record minus its two per-key maps, plus a delta
+    summary — size-bounded regardless of key count."""
+    dv = sorted(record.get("delta_vs_prev", {}).values())
+    compact = {
+        k: v for k, v in record.items() if k not in ("queries", "delta_vs_prev")
+    }
+    compact["n_queries"] = len(record.get("queries", {}))
+    compact["delta_summary"] = (
+        {
+            "n": len(dv),
+            "sum": round(sum(dv), 3),
+            "max": dv[-1],
+            "min": dv[0],
+            "regressed_gt_0p2s": sum(1 for x in dv if x > 0.2),
+        }
+        if dv
+        else None
+    )
+    compact["per_key_detail"] = "committed tools/bench_r*_local.json"
+    return compact
 
 
 if __name__ == "__main__":

@@ -51,6 +51,40 @@ def test_driver_contract_surface(fn_name):
     assert callable(getattr(mod, fn_name))
 
 
+def test_bench_compact_line_fits_driver_tail_window():
+    """The round driver keeps only the final ~2000 chars of bench stdout
+    and parses the JSON it finds there; bench.py therefore prints a
+    compact summary line LAST. Pin that it stays parseable and inside the
+    window even at 4x today's key count — otherwise BENCH_rN.json silently
+    regresses to parsed:null (the r6/r7 state)."""
+    import json
+
+    from bench import compact_record
+
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": 99.999,
+        "unit": "sec",
+        "queries": {f"some_rather_long_query_name_{i:03d}": 1.234 for i in range(300)},
+        "sf": 0.1,
+        "probe_sec": 0.315,
+        "probe_sec_end": 0.243,
+        "probe_mean": 0.279,
+        "probe_ref": 0.53,
+        "normalized_total": 123.456,
+        "normalized_total_v2": 120.001,
+        "prev_record": "bench_r7_local.json",
+        "delta_vs_prev": {f"some_rather_long_query_name_{i:03d}": -0.123 for i in range(300)},
+    }
+    line = json.dumps(compact_record(record))
+    assert len(line) < 1500, f"compact bench line too long: {len(line)}"
+    back = json.loads(line)
+    assert back["metric"] == "headline_queries_total_runtime"
+    assert back["n_queries"] == 300
+    assert back["delta_summary"]["n"] == 300
+    assert "queries" not in back and "delta_vs_prev" not in back
+
+
 def test_round_artifacts_are_git_tracked():
     """The driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json after the
     round's final commit, so they start each round untracked (r5 + r6
