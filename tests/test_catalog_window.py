@@ -96,6 +96,11 @@ def test_window_covers_every_operator_family():
     }
     assert families["parity"][0] <= window, "parity must stay in-window"
     for family, (members, need) in families.items():
+        ghosts = sorted(members - set(plans.REGISTRY))
+        assert not ghosts, (
+            f"family {family} pool names not in the registry (typo would "
+            f"silently weaken the floor): {ghosts}"
+        )
         got = len(members & certified)
         assert got >= need, (
             f"family {family}: {got} members certified (window ∪ driver "
