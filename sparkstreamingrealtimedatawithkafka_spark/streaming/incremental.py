@@ -94,17 +94,25 @@ def incremental_dedup_query(
         # One computation of the batch's bands feeds both the join and the
         # index append; localCheckpoint cuts the double lineage.
         bt = minhash_band_table(batch, "id", "tok", num_hashes, bands).localCheckpoint()
-        # The replayed batch's own partition must not join against itself:
-        # read only OTHER batches' index partitions. "First batch" is an
-        # explicit existence check, not a swallowed read error — a corrupt
-        # or unreadable index must fail loudly rather than silently run
-        # the dedup join with an empty base (incomplete pair set).
+        # Join the batch against STRICTLY EARLIER index partitions only.
+        # batch_id < current is equivalent to != current in forward
+        # processing (no later partitions exist yet), but it is what makes
+        # replay idempotent from ANY restart point: a cross-batch pair is
+        # owned by max(batch(a), batch(b)), so a replayed batch re-emits
+        # exactly its original partition. With != (the r1-r7 form), a
+        # batch replayed against a future-contaminated index — checkpoint
+        # lost, state table intact — would double-emit later batches'
+        # pairs under its own batch_id (caught by
+        # tests/test_incremental_replay.py). "First batch" is an explicit
+        # existence check, not a swallowed read error — a corrupt or
+        # unreadable index must fail loudly rather than silently run the
+        # dedup join with an empty base (incomplete pair set).
         if _index_exists(bands_dir):
             prior_bands = spark.read.parquet(bands_dir).filter(
-                F.col("batch_id") != F.lit(batch_id)
+                F.col("batch_id") < F.lit(batch_id)
             )
             prior_toks = spark.read.parquet(toks_dir).filter(
-                F.col("batch_id") != F.lit(batch_id)
+                F.col("batch_id") < F.lit(batch_id)
             )
             all_bands = prior_bands.select("id", "band", "bhash").unionByName(bt)
             all_toks = prior_toks.select("id", "tok").unionByName(batch)
