@@ -1,0 +1,137 @@
+"""Two-decade scale check (r8): 1x -> 10x -> 100x on six headline shapes.
+
+The 10x sweep (scale_check_r7_full.json) shows every shape sub-linear,
+but one decade cannot distinguish "amortizing fixed overhead" from a
+shape that turns super-linear once real data volume dominates. This tool
+adds the second decade: lineitem to 60M rows, events to 10M, documents
+to 500k (same key-perturbation / near-dup-family disciplines as
+tools/scale_check.py, whose materializers are reused with FACTOR=100),
+then times each shape at all three scales (min-of-2, deterministic
+unpersist + GC) and reports the per-decade ratios:
+
+  d1 = t(10x)/t(1x),  d2 = t(100x)/t(10x)
+
+d2 is the number that matters for the 100 TB story: d2 <= 10 means the
+second decade is at-most-linear; d2 < d1 would mean overhead still
+amortizing; d2 well above 10 is a cliff the 10x sweep missed.
+
+Output: tools/scale100_r8.json. Run on an idle host (~10 min: the 100x
+materialization writes ~1 GB of parquet once, then reuses it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import tools.scale_check as sc  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # noqa: E402
+from sparkstreamingrealtimedatawithkafka_spark.sources.registry import (  # noqa: E402
+    load_table,
+)
+
+SCALE100_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"), "ssk_scale100_r8")
+
+
+def timed(mk, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        e = sc.run_noop(mk)
+        best = e if best is None else min(best, e)
+    return round(best, 3)
+
+
+if __name__ == "__main__":
+    spark = build_session(app_name="ssk-scale100")
+    sc._SPARK = spark
+
+    # 10x tables: the standing materializations
+    sc.materialize(spark)
+    sc.materialize_docs(spark)
+    sc.materialize_events(spark)
+    dir10 = sc.SCALE_DIR
+
+    # 100x tables: same materializers, overridden factor/dir
+    sc.FACTOR, sc.SCALE_DIR = 100, SCALE100_DIR
+    sc.materialize(spark)
+    sc.materialize_docs(spark)
+    sc.materialize_events(spark)
+    sc.FACTOR, sc.SCALE_DIR = 10, dir10
+
+    li1 = load_table(spark, sc.SF_DIR, "lineitem")
+    o1 = load_table(spark, sc.SF_DIR, "orders")
+    ev1 = load_table(spark, sc.SF_DIR, "events")
+    docs1 = load_table(spark, sc.SF_DIR, "documents").select("doc_id", "text")
+    li10 = spark.read.parquet(os.path.join(dir10, "lineitem"))
+    o10 = spark.read.parquet(os.path.join(dir10, "orders"))
+    ev10 = spark.read.parquet(os.path.join(dir10, "events"))
+    docs10 = spark.read.parquet(os.path.join(dir10, "documents"))
+    li100 = spark.read.parquet(os.path.join(SCALE100_DIR, "lineitem"))
+    o100 = spark.read.parquet(os.path.join(SCALE100_DIR, "orders"))
+    ev100 = spark.read.parquet(os.path.join(SCALE100_DIR, "events"))
+    docs100 = spark.read.parquet(os.path.join(SCALE100_DIR, "documents"))
+
+    shapes = {
+        "q1_agg": [
+            lambda: sc.q1_shape(li1),
+            lambda: sc.q1_shape(li10),
+            lambda: sc.q1_shape(li100),
+        ],
+        "q3_join_agg": [
+            lambda: sc.q3_shape(li1, o1),
+            lambda: sc.q3_shape(li10, o10),
+            lambda: sc.q3_shape(li100, o100),
+        ],
+        "asof_join": [
+            lambda: sc.asof_shape(ev1),
+            lambda: sc.asof_shape(ev10),
+            lambda: sc.asof_shape(ev100),
+        ],
+        "rolling_wau": [
+            lambda: sc.wau_shape(ev1),
+            lambda: sc.wau_shape(ev10),
+            lambda: sc.wau_shape(ev100),
+        ],
+        "bm25_search": [
+            lambda: sc.bm25_shape(docs1),
+            lambda: sc.bm25_shape(docs10),
+            lambda: sc.bm25_shape(docs100),
+        ],
+        "tfidf_topk": [
+            lambda: sc.tfidf_shape(docs1),
+            lambda: sc.tfidf_shape(docs10),
+            lambda: sc.tfidf_shape(docs100),
+        ],
+    }
+
+    out = {
+        "protocol": (
+            "1x/10x/100x, min-of-2 per scale, deterministic unpersist + GC "
+            "(scale_check.run_noop); 100x tables via the standard "
+            "materializers at FACTOR=100 (lineitem 60M rows, events 10M, "
+            "documents 500k as 100-way near-dup families)"
+        ),
+        "rows": {},
+    }
+    for name, (m1, m10, m100) in shapes.items():
+        m1()  # warm this shape's codegen once at the cheap scale
+        t1, t10, t100 = timed(m1), timed(m10), timed(m100)
+        row = {
+            "t_1x_sec": t1,
+            "t_10x_sec": t10,
+            "t_100x_sec": t100,
+            "decade1_ratio": round(t10 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }
+        out["rows"][name] = row
+        print(name, row, flush=True)
+
+    Path("tools/scale100_r8.json").write_text(json.dumps(out, indent=1))
+    print("wrote tools/scale100_r8.json")
+    spark.stop()

@@ -178,7 +178,9 @@ def materialize_events(spark) -> None:
         ev.select("event_id", "ts_us", "user_id", "event_type", "value", rep)
         .select(
             (F.col("event_id") * FACTOR + F.col("i")).alias("event_id"),
-            (F.col("ts_us") + F.col("i") * 60_000_000).alias("ts_us"),
+            # i is INT from sequence(); widen before the minute multiply or
+            # FACTOR >= 36 overflows int32 under ANSI (i*60e6 > 2^31)
+            (F.col("ts_us") + F.col("i").cast("long") * 60_000_000).alias("ts_us"),
             (F.col("user_id") * FACTOR + F.col("i")).alias("user_id"),
             "event_type",
             "value",
