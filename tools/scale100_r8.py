@@ -39,6 +39,39 @@ from sparkstreamingrealtimedatawithkafka_spark.sources.registry import (  # noqa
 SCALE100_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"), "ssk_scale100_r8")
 
 
+def materialize_docs100_linear(spark, dir10: str) -> None:
+    """100x documents with LINEAR pair growth — the realistic dedup second
+    decade. The standard FACTOR=100 family materializer would create
+    C(100,2)=4950 intra-family pairs per original doc (pair count grows
+    ~110x while data grows 10x: output-dominated, measures the corpus, not
+    the engine). Instead: 10 TOKEN-TAGGED replicas of the 10x near-dup-
+    family corpus — tagging every token makes replicas mutually dissimilar
+    (zero cross-replica shingle overlap), so corpus grows 10x AND true
+    pair count grows exactly 10x."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCALE100_DIR, "documents_linear")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    docs10 = spark.read.parquet(os.path.join(dir10, "documents"))
+    rep = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("j")
+    tag = F.concat(F.lit("r"), F.col("j").cast("string"))
+    (
+        docs10.select("doc_id", "text", rep)
+        .select(
+            (F.col("doc_id") * 10 + F.col("j")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda x: F.concat(tag, x)
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
 def timed(mk, runs: int = 2) -> float:
     best = None
     for _ in range(runs):
@@ -76,6 +109,10 @@ if __name__ == "__main__":
     o100 = spark.read.parquet(os.path.join(SCALE100_DIR, "orders"))
     ev100 = spark.read.parquet(os.path.join(SCALE100_DIR, "events"))
     docs100 = spark.read.parquet(os.path.join(SCALE100_DIR, "documents"))
+    materialize_docs100_linear(spark, dir10)
+    docs100lin = spark.read.parquet(
+        os.path.join(SCALE100_DIR, "documents_linear")
+    )
 
     shapes = {
         "q1_agg": [
@@ -107,6 +144,15 @@ if __name__ == "__main__":
             lambda: sc.tfidf_shape(docs1),
             lambda: sc.tfidf_shape(docs10),
             lambda: sc.tfidf_shape(docs100),
+        ],
+        # the standing sweep's WORST 10x shape (6.85x). Decade 1 here is
+        # the family-FORMATION regime (pairs grow 45x while data grows
+        # 10x); decade 2 uses the linear-pair corpus so it isolates the
+        # engine from output growth.
+        "minhash_lsh_dedup": [
+            lambda: sc.dedup_shape(docs1),
+            lambda: sc.dedup_shape(docs10),
+            lambda: sc.dedup_shape(docs100lin),
         ],
     }
 
