@@ -85,6 +85,21 @@ def test_bench_compact_line_fits_driver_tail_window():
     assert "queries" not in back and "delta_vs_prev" not in back
 
 
+def test_every_entry_appears_in_a_committed_gate_artifact():
+    """No orphan entries (r7 verdict ask #4): every registered catalog
+    entry must appear in at least one committed CORRECTNESS/LOCALGATE
+    artifact — i.e. nothing ships without having been run through the
+    oracle gate at least once. Red during a round means: run the full
+    local gate (LOCALGATE_OUT=... tools/driver_sim.py) before close."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from certification import orphans
+
+    assert orphans(set(REGISTRY)) == []
+
+
 def test_round_artifacts_are_git_tracked():
     """The driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json after the
     round's final commit, so they start each round untracked (r5 + r6
