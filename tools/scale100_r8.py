@@ -154,6 +154,28 @@ if __name__ == "__main__":
             lambda: sc.dedup_shape(docs10),
             lambda: sc.dedup_shape(docs100lin),
         ],
+        # the iterative representative: 5 PageRank rounds over the
+        # co-purchase graph (edge count tracks basket count — linear in
+        # lineitem), each round one join + one keyed aggregate
+        "pagerank_5iter": [
+            lambda: sc.pagerank_shape(li1),
+            lambda: sc.pagerank_shape(li10),
+            lambda: sc.pagerank_shape(li100),
+        ],
+        # the basket self-join (pair expansion quadratic in basket WIDTH,
+        # which is scale-invariant here; volume grows with basket count)
+        "basket_affinity": [
+            lambda: sc.basket_shape(li1),
+            lambda: sc.basket_shape(li10),
+            lambda: sc.basket_shape(li100),
+        ],
+        # delta-vs-index incremental dedup: work must track the 10% delta
+        # plus the linear banding pass, never archive x archive
+        "incremental_dedup": [
+            lambda: sc.incr_dedup_shape(docs1),
+            lambda: sc.incr_dedup_shape(docs10),
+            lambda: sc.incr_dedup_shape(docs100lin),
+        ],
     }
 
     out = {
