@@ -54,7 +54,10 @@ def driver_history(repo: Path = REPO) -> dict[str, dict[int, bool]]:
 
 
 def localgate_history(repo: Path = REPO) -> dict[str, dict[int, bool]]:
-    """name -> {round: ok} from the committed full-catalog local gates."""
+    """name -> {round: ok} from the committed full-catalog local gates.
+    Only canonical ``LOCALGATE_r{N}.json`` names participate in per-round
+    history; variant artifacts (e.g. the sf0.1 depth gate
+    ``LOCALGATE_sf01_r8.json``) deliberately sit outside the glob."""
     hist: dict[str, dict[int, bool]] = {}
     for path in sorted(repo.glob("LOCALGATE_r*.json")):
         rnd = _round_of(path)
