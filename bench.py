@@ -234,10 +234,34 @@ def main() -> None:
     # sub-second keys (documented r7: ±0.1s).
     delta_vs_prev: dict[str, float] = {}
     prev_record = None
-    prev_files = sorted(
-        REPO.glob("tools/bench_r*_local.json"),
-        key=lambda p: int("".join(ch for ch in p.stem if ch.isdigit())),
-    )
+    # Baseline selection (r8 advice): the CURRENT round's own record must
+    # not become the baseline — a same-round re-run would compute deltas
+    # against itself (~0) and mask regression vs the prior round. The
+    # round being run is newest driver artifact (BENCH_r{N}/CORRECTNESS_
+    # r{N}, written at the PREVIOUS round's close) + 1, so records with
+    # round >= current are skipped. $BENCH_PREV_RECORD overrides.
+
+    def _rec_round(p: Path) -> int:
+        return int("".join(ch for ch in p.stem if ch.isdigit()))
+
+    override = os.environ.get("BENCH_PREV_RECORD")
+    if override:
+        prev_files = [Path(override)]
+    else:
+        driver_rounds = [
+            _rec_round(p)
+            for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
+            for p in REPO.glob(pat)
+        ]
+        current_round = max(driver_rounds, default=0) + 1
+        prev_files = sorted(
+            (
+                p
+                for p in REPO.glob("tools/bench_r*_local.json")
+                if _rec_round(p) < current_round
+            ),
+            key=_rec_round,
+        )
     if prev_files:
         prev_record = prev_files[-1].name
         prev = json.loads(prev_files[-1].read_text())

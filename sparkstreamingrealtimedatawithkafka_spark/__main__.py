@@ -125,6 +125,18 @@ def main(argv: list[str] | None = None) -> int:
         # surfaces as an exception at load()/start(), which we turn into a
         # diagnostic naming the missing pieces (FIXTURES.md §E) instead of
         # a stack trace.
+        # Only JVM-side failures (py4j bridge errors, AnalysisException &
+        # friends from load()/start()) get the broker/JAR diagnostic; a
+        # genuine programming error in plan construction (TypeError,
+        # AttributeError, ...) re-raises with its real traceback instead
+        # of being misattributed to the environment (r8 advice).
+        from pyspark.errors import PySparkException
+
+        try:
+            from py4j.protocol import Py4JError
+        except ImportError:  # Spark Connect deployments have no py4j
+            Py4JError = PySparkException  # type: ignore[assignment,misc]
+
         try:
             raw = kafka_source(spark, args.bootstrap_servers, args.input_topic)
             out = to_output_json(
@@ -138,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
                 output_mode="complete",
                 trigger_interval=args.trigger,
             )
-        except Exception as e:  # noqa: BLE001
+        except (PySparkException, Py4JError) as e:
             print(
                 f"broker answered at {broker} but the Kafka pipeline could "
                 f"not start: {type(e).__name__}: {str(e).splitlines()[0] if str(e) else e}\n"

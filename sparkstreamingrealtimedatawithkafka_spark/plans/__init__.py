@@ -25,105 +25,75 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
 # text analysis, dedup, similarity, multimodal. Everything else stays
 # registered after the window with local-harness + pytest coverage.
 DRIVER_WINDOW = [
-    # reference parity (spark_entity_counter.py pipeline)
+    # ---- r9 window: greedy certification burn-down (r8 verdict ask #2).
+    # 181 catalog entries had never appeared in any CORRECTNESS_r*.json;
+    # this round the window is rebuilt as 10 structural keepers + 40
+    # never-certified entries (vs r8's 10-fresh/40-veteran mix), closing
+    # the tail at ~40/round. Family floors survive because
+    # tests/test_catalog_window.py checks window UNION driver history —
+    # every rotated-out veteran is ever-certified. Each fresh entry was
+    # re-verified green via `tools/driver_sim.py --only` at sf0.01 before
+    # this list landed.
+    #
+    # Structural keepers (10): reference parity (driver smoke-checks it
+    # every round), the streaming core, and the dedup flagships whose
+    # route decisions / composed pipelines are the engine's user-facing
+    # defaults.
     "flagship_entity_count",
     "output_json_messages",
     "pipeline_parity_udf",
-    # r8 rotation (verdict ask #2): the ten 7-round-green veterans —
-    # q1_pricing_summary, join_semi_orders_bigqty,
-    # join_anti_customers_no_urgent, agg_distinct_counts,
-    # agg_stats_distribution, text_token_stats, text_quality,
-    # text_langid, pipeline_corpus_clean, dedup_exact_docs (every
-    # non-parity entry certified in ALL of r1-r7) — cede to the ten
-    # never-certified entries the r7 verdict named. Family coverage
-    # survives the swap: relational core via sql_recursive_cte +
-    # setop/search slots, joins via asof/interval, text via chunker +
-    # winnowing, exact dedup transitively via pipeline_full_dedup's
-    # exact-collapse stage.
-    "sql_recursive_cte",
-    "events_cusum_changepoint",
-    "events_holt_linear_forecast",
-    "search_bm25_topk",
-    # joins (semi/anti veterans out; asof + interval stay below)
-    "events_seasonal_decompose",
-    "events_ts_subsequence_search",
-    "events_clamped_running_balance",
-    "events_asof_last_purchase",
-    "text_winnowing_fingerprints",
-    # r7 rotation: the r6-certified order-stats and exact-algorithm slots
-    # (events_outlier_mad_2pass, dedup_ppjoin_prefix, part_skyline_pareto —
-    # all "pass (driver)" in the r6 verdict table) cede to the graph family
-    # (never driver-certified) and the new self-routing similarity triad
-    # entry, which transitively re-exercises the PPJoin path at sf0.01
-    # (under-budget -> ppjoin route) with the routing decision hash-checked
-    "graph_pagerank_copurchase",
-    "graph_kcore",
-    "graph_community_lpa",
-    "graph_triangle_count",
-    "dedup_similarity_auto",
-    "dedup_cc_clusters_star",
-    "dedup_snm_multipass",
-    "multimodal_audio_fingerprint",
-    # r7 rotation: scalar_string_functions + grouped_map_normalize (both
-    # multi-round green; string/date §2.7 evidence stays green out-of-window
-    # and the grouped-map surface keeps pytest + local-gate coverage) cede
-    # to the never-certified PCA power iteration and DP noisy counts
-    "emb_pca_power_iteration",
-    "privacy_dp_noisy_counts",
-    # UDAF surface (§2.4: scalar pandas UDF is pipeline_parity_udf,
-    # UDTF is text_chunker — this completes the row)
-    "udaf_grouped_agg_pandas",
-    "setop_union_intersect_except",
-    "web_url_normalize",
-    "events_ts_znorm_search",
-    # r7 rotation: quantile_bucket_assignment + events_from_json_struct
-    # (r5/r6-certified; from_json parity stays exercised in-window through
-    # streaming_entity_count's parse pipeline) cede to the sort-based
-    # member of the dedup triad and the streaming fan-out entry
-    "dedup_sorted_neighborhood",
-    "split_train_valid_test",
-    "streaming_multi_sink_fanout",
-    "events_tumbling_daily",
-    "events_interval_overlap",
-    "events_session_window",
-    # structured streaming (real streaming queries, availableNow)
     "streaming_entity_count",
     "streaming_windowed_counts",
-    # late-r6 rotation: session-window semantics stay certified batch-side
-    # (events_session_window); the slot certifies streaming MERGE
-    # maintenance (foreachBatch SCD-1 upsert, slice/replay-invariant)
     "streaming_cdc_upsert",
-    "streaming_stream_stream_join",
     "streaming_dedup_within_watermark",
-    "streaming_stateful_user_stats",
-    # text analysis (token_stats/quality/langid/corpus_clean veterans
-    # out; chunker + winnowing keep the family in-window)
-    # late-r6 rotation: lang/source mix stays covered out-of-window
-    # (corpus_mixture_weights, corpus_source_entropy); the slot certifies
-    # model-inference-as-expressions (GBT ensemble scoring)
-    "ml_tree_ensemble_score",
-    "text_chunker",
-    # dedup family (the bounded-block ngram kernel stays out-of-window;
-    # the full pipeline composition transitively exercises exact-collapse,
-    # LSH banding AND the connected-components collapse)
+    "dedup_similarity_auto",
     "pipeline_full_dedup",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    # r6 rotation: embedding-cosine LSH (multi-round green) cedes to the
-    # incremental band-index dedup — the r5 flagship family
-    "dedup_incremental_batch",
-    # similarity + multimodal (rolling-fingerprint slot from the text
-    # family went to int8-quantized ranking, completing the ANN ladder
-    # brute-force -> IVF -> int8 inside the window)
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_topk_int8_quantized",
-    "sim_incremental_topk",
-    "streaming_incremental_topk",
-    # late-r6 rotation: the struct/binary plumbing entry cedes to the
-    # REAL codec (PGM decode via mapInArrow) — the r5 verdict's top
-    # capability gap, now certified inside the window
-    "multimodal_decode_pgm",
+    # Fresh batch (40), prioritized per the r8 verdict: the agg_*
+    # statistics block, privacy, web curation, and the r5/r6 events tail,
+    # plus TPC-H tail / merge-SCD / sources-sinks / streaming tail /
+    # dedup-text / ml-graph spread so every never-certified family gains
+    # driver exposure this round.
+    "agg_correlation_matrix",
+    "agg_higher_moments",
+    "agg_linear_regression",
+    "agg_countmin_sketch",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "web_domain_quota",
+    "web_robots_filter",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q16_supplier_cnt",
+    "q21_sole_blame_suppliers",
+    "window_function_suite",
+    "merge_upsert_scd1",
+    "merge_scd2_history",
+    "unpivot_melt",
+    "lateral_topk_per_brand",
+    "events_json_extract",
+    "events_sessionization_stats",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_gapfill_resample",
+    "events_transition_matrix",
+    "events_anomaly_zscore",
+    "events_rolling_wau",
+    "events_growth_accounting",
+    "events_asof_nearest",
+    "streaming_dedup_keys",
+    "streaming_topk_trending",
+    "streaming_cusum_alarms",
+    "source_csv_json_roundtrip",
+    "sink_partitioned_parquet",
+    "join_bucketed_colocated",
+    "dedup_ngram_jaccard",
+    "decontaminate_ngram_overlap",
+    "text_bpe_token_count",
+    "ml_score_logistic",
+    "ml_confusion_metrics",
+    "graph_link_prediction_jaccard",
 ]
 
 reorder(DRIVER_WINDOW, window=50)

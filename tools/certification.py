@@ -32,22 +32,53 @@ def _round_of(path: Path) -> int:
     return int(m.group(1))
 
 
+_ROWS_ONLY: set[str] | None = None
+
+
+def _rows_only_names() -> set[str]:
+    """Registry entries WITHOUT an oracle — the only ones for which a
+    missing hash check counts as green. Lazily imported and cached; if the
+    package import ever breaks the set is empty, i.e. the degraded mode is
+    STRICT (no entry gets the rows-only allowance)."""
+    global _ROWS_ONLY
+    if _ROWS_ONLY is None:
+        try:
+            import sys
+
+            sys.path.insert(0, str(REPO))
+            from sparkstreamingrealtimedatawithkafka_spark.plans import (
+                REGISTRY,
+                oracle_sql,
+            )
+
+            _ROWS_ONLY = set(REGISTRY) - set(oracle_sql())
+        except ImportError:
+            _ROWS_ONLY = set()
+    return _ROWS_ONLY
+
+
 def driver_history(repo: Path = REPO) -> dict[str, dict[int, bool]]:
     """name -> {round: green} from the driver's CORRECTNESS artifacts.
 
-    Green = no error, rows + schema match, and the value hash matches
-    (or is absent by rows-only contract)."""
+    Green = no error, rows + schema match, and the value hash matches.
+    ``hash_match: None`` counts as green ONLY for entries registered
+    without an oracle (rows-only contract) — for an oracle-bearing entry a
+    skipped/absent hash check is NOT certification (r8 advice)."""
+    rows_only = _rows_only_names()
     hist: dict[str, dict[int, bool]] = {}
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         rnd = _round_of(path)
         for name, rec in json.loads(path.read_text()).items():
             if not isinstance(rec, dict):
                 continue
+            hash_ok = rec.get("hash_match") is True or (
+                rec.get("hash_match") is None and name in rows_only
+            )
             green = (
                 rec.get("err") in (None, "")
                 and bool(rec.get("rows_match"))
                 and bool(rec.get("schema_match"))
-                and rec.get("hash_match") in (True, None)
+                and hash_ok
             )
             hist.setdefault(name, {})[rnd] = green
     return hist
