@@ -66,9 +66,8 @@ def _index_exists(path: str) -> bool:
     return True
 
 
-def incremental_dedup_query(
+def dedup_batch_processor(
     spark: SparkSession,
-    stream_df: DataFrame,
     work_dir: str,
     id_col: str,
     tokens_col: str,
@@ -76,13 +75,12 @@ def incremental_dedup_query(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
 ):
-    """Build the foreachBatch streaming query (caller starts/awaits it).
-
-    Layout under ``work_dir``: ``bands/`` (id, band, bhash) — the LSH
-    index; ``tokens/`` (id, tok) — verification payloads; ``pairs/`` —
-    the emitted (id_a, id_b, jaccard). All three are partitioned by
-    batch_id and written with dynamic partition overwrite (replay-safe).
-    """
+    """The per-micro-batch body of :func:`incremental_dedup_query`,
+    exposed as a plain ``(batch_df, batch_id) -> None`` callable so replay
+    schedules the streaming engine can't be coaxed into — resume from an
+    arbitrary batch k against index state already containing batches
+    ``>= k`` — are directly drivable (the Hypothesis property in
+    tests/test_incremental_replay.py exercises exactly that grid)."""
     bands_dir = f"{work_dir}/bands"
     toks_dir = f"{work_dir}/tokens"
     pairs_dir = f"{work_dir}/pairs"
@@ -156,6 +154,30 @@ def incremental_dedup_query(
             .parquet(toks_dir)
         )
 
+    return process
+
+
+def incremental_dedup_query(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    work_dir: str,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+):
+    """Build the foreachBatch streaming query (caller starts/awaits it).
+
+    Layout under ``work_dir``: ``bands/`` (id, band, bhash) — the LSH
+    index; ``tokens/`` (id, tok) — verification payloads; ``pairs/`` —
+    the emitted (id_a, id_b, jaccard). All three are partitioned by
+    batch_id and written with dynamic partition overwrite (replay-safe).
+    """
+    process = dedup_batch_processor(
+        spark, work_dir, id_col, tokens_col, num_hashes, bands,
+        jaccard_threshold,
+    )
     return (
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", f"{work_dir}/ckpt")
