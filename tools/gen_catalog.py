@@ -23,6 +23,39 @@ FAMILY = {
     "connectors": "Format & custom connectors",
 }
 
+# Every rows-only entry (no DuckDB oracle by contract) must name the pytest
+# contract that carries its correctness burden (r8 verdict ask #5) — the
+# non-oracle surface stays auditable at a glance. main() fails if a
+# rows-only entry is missing here or its named test no longer exists.
+PINNED_BY = {
+    "agg_hll_sketch_mergeable": (
+        "tests/test_hll_sketch.py::test_hll_merge_equals_direct_and_tracks_exact"
+    ),
+    "events_rolling_wau_hll": (
+        "tests/test_hll_wau.py::test_hll_wau_within_tolerance_of_exact"
+    ),
+    "kmeans_clusters": (
+        "tests/test_kmeans.py::test_kmeans_separates_obvious_clusters"
+    ),
+    "sim_ivf_kmeans_topk": (
+        "tests/test_similarity_recall.py::test_ivf_kmeans_centroids_recall_ge_first_n"
+    ),
+    "streaming_stream_stream_left_join": (
+        "tests/test_stream_stream_outer.py::test_left_outer_emission_rules"
+    ),
+}
+
+
+def _check_pins(rows_only: set[str]) -> None:
+    missing = sorted(rows_only - set(PINNED_BY))
+    assert not missing, f"rows-only entries without a pinning test: {missing}"
+    stale = sorted(set(PINNED_BY) - rows_only)
+    assert not stale, f"PINNED_BY names non-rows-only entries: {stale}"
+    for name, pin in PINNED_BY.items():
+        path, test = pin.split("::")
+        src = (REPO / path).read_text()
+        assert f"def {test}(" in src, f"{name}: pinning test {pin} not found"
+
 
 def first_line(doc: str) -> str:
     for line in doc.strip().splitlines():
@@ -36,11 +69,15 @@ def main(check_orphans: bool = False) -> int:
     from certification import last_certified, orphans
 
     cert = last_certified(REPO)
+    _check_pins({n for n, s in REGISTRY.items() if not s.oracle})
     rows = []
     for name, spec in sorted(REGISTRY.items()):
         module = spec.fn.__module__.rsplit(".", 1)[-1]
         family = FAMILY.get(module, module)
-        check = "DuckDB hash" if spec.oracle else "rows-only"
+        if spec.oracle:
+            check = "DuckDB hash"
+        else:
+            check = f"rows-only; pinned by `{PINNED_BY[name]}`"
         c = cert.get(name, {})
         drv = f"r{c['driver']}" if c.get("driver") else "—"
         lg = f"r{c['localgate']}" if c.get("localgate") else "—"
@@ -56,7 +93,9 @@ def main(check_orphans: bool = False) -> int:
         f"{len(rows)} entries; every one runs through the driver's oracle gate",
         "(`tools/driver_sim.py`). 'DuckDB hash' = bit-exact value comparison;",
         "'rows-only' = non-SQL-expressible by contract (hashed/approximate/",
-        "UDF-plane algorithms).",
+        "UDF-plane algorithms) — each such entry names the pytest contract",
+        "that carries its correctness burden instead (merge-equals-direct,",
+        "recall floor, stream==batch; existence is re-checked at generation).",
         "",
         "'driver' = last round the DRIVER's sf0.01 window certified the entry",
         f"(rows+schema+hash green; {n_drv}/{len(rows)} ever); 'local gate' =",
