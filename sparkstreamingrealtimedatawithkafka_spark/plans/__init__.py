@@ -35,21 +35,21 @@ DRIVER_WINDOW = [
     # re-verified green via `tools/driver_sim.py --only` at sf0.01 before
     # this list landed.
     #
-    # Structural keepers (10): reference parity (driver smoke-checks it
-    # every round), the streaming core, and the dedup flagships whose
-    # route decisions / composed pipelines are the engine's user-facing
-    # defaults.
+    # Structural keepers (7): reference parity (driver smoke-checks it
+    # every round), the streaming core's entity-count + CDC legs, and
+    # the dedup flagships whose route decision / composed pipeline are
+    # the engine's user-facing defaults. (The other streaming veterans
+    # and dedup_minhash_lsh are multi-round driver-certified; their
+    # slots go to fresh entries so ever-certified crosses 150 this
+    # round, the r8 verdict's done-criterion.)
     "flagship_entity_count",
     "output_json_messages",
     "pipeline_parity_udf",
     "streaming_entity_count",
-    "streaming_windowed_counts",
     "streaming_cdc_upsert",
-    "streaming_dedup_within_watermark",
     "dedup_similarity_auto",
     "pipeline_full_dedup",
-    "dedup_minhash_lsh",
-    # Fresh batch (40), prioritized per the r8 verdict: the agg_*
+    # Fresh batch (43), prioritized per the r8 verdict: the agg_*
     # statistics block, privacy, web curation, and the r5/r6 events tail,
     # plus TPC-H tail / merge-SCD / sources-sinks / streaming tail /
     # dedup-text / ml-graph spread so every never-certified family gains
@@ -94,6 +94,9 @@ DRIVER_WINDOW = [
     "ml_score_logistic",
     "ml_confusion_metrics",
     "graph_link_prediction_jaccard",
+    "window_analytics",
+    "agg_argmax_minby",
+    "geo_grid_distance_join",
 ]
 
 reorder(DRIVER_WINDOW, window=50)
