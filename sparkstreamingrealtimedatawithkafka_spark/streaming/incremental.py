@@ -185,33 +185,20 @@ def incremental_dedup_query(
     )
 
 
-def incremental_topk_query(
+def topk_batch_processor(
     spark: SparkSession,
-    stream_df: DataFrame,
     work_dir: str,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Continuous exact top-k maintenance over an embedding stream
-    (caller starts/awaits): each micro-batch is scored against the
-    broadcast query set and only its PER-BATCH top-k survives into the
-    state table — k rows per query per batch, so state grows with batch
-    COUNT, never corpus size. The final global top-k is the rank over
-    the union of per-batch winners, correct because top-k is a monotone
-    selection (the true top-k of the whole stream is contained in the
-    union of per-batch top-ks, each batch's non-winners can never enter
-    the global top-k).
-
-    Replay safety is the same discipline as the dedup index: the state
-    table is partitioned by batch_id and written with dynamic partition
-    overwrite, so a replayed batch REPLACES its own winners instead of
-    duplicating them. No read-modify-write on shared state at all — the
-    rolling-merge formulation (re-rank state ∪ batch, overwrite) would
-    read and overwrite the same path inside one foreachBatch, which is
-    not crash-atomic on plain parquet.
-    """
+    """The per-micro-batch body of :func:`incremental_topk_query`,
+    exposed like :func:`dedup_batch_processor` so arbitrary replay
+    schedules are directly drivable in tests. Unlike the dedup index,
+    each batch's state contribution reads NOTHING from other batches,
+    so replay idempotence here rests on dynamic partition overwrite
+    alone — pinned by the same (k, m)-grid property."""
     from pyspark.sql.window import Window as W
 
     from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
@@ -254,6 +241,39 @@ def incremental_topk_query(
             .parquet(state_dir)
         )
 
+    return process
+
+
+def incremental_topk_query(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    work_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous exact top-k maintenance over an embedding stream
+    (caller starts/awaits): each micro-batch is scored against the
+    broadcast query set and only its PER-BATCH top-k survives into the
+    state table — k rows per query per batch, so state grows with batch
+    COUNT, never corpus size. The final global top-k is the rank over
+    the union of per-batch winners, correct because top-k is a monotone
+    selection (the true top-k of the whole stream is contained in the
+    union of per-batch top-ks, each batch's non-winners can never enter
+    the global top-k).
+
+    Replay safety is the same discipline as the dedup index: the state
+    table is partitioned by batch_id and written with dynamic partition
+    overwrite, so a replayed batch REPLACES its own winners instead of
+    duplicating them. No read-modify-write on shared state at all — the
+    rolling-merge formulation (re-rank state ∪ batch, overwrite) would
+    read and overwrite the same path inside one foreachBatch, which is
+    not crash-atomic on plain parquet.
+    """
+    process = topk_batch_processor(
+        spark, work_dir, queries, k, id_col, vec_col
+    )
     return (
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", f"{work_dir}/ckpt")

@@ -29,6 +29,7 @@ from sparkstreamingrealtimedatawithkafka_spark.streaming.incremental import (
     dedup_batch_processor,
     incremental_dedup_query,
     incremental_topk_query,
+    topk_batch_processor,
 )
 from sparkstreamingrealtimedatawithkafka_spark.streaming.pipeline import as_stream_dir
 
@@ -222,6 +223,70 @@ def test_dedup_partial_replay_from_any_point(spark, data):
         assert _state(spark, work) == base["state"], (
             f"resume at k={k} over index state through m={m} diverged from "
             "the clean forward run"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_TOPK_ROWS = [
+    (i, [((i * 13 + j * 7) % 31 + 1) / 32.0 for j in range(5)])
+    for i in range(20)
+]
+
+
+def _topk_batches(spark):
+    return [
+        spark.createDataFrame(
+            [_TOPK_ROWS[i] for i in range(len(_TOPK_ROWS)) if i % _N_BATCHES == b],
+            _EMB,
+        )
+        for b in range(_N_BATCHES)
+    ]
+
+
+_TOPK_BASELINE: dict = {}
+
+
+def _topk_baseline(spark):
+    if not _TOPK_BASELINE:
+        work = tempfile.mkdtemp(prefix="ssk_replay_topk_base_")
+        queries = spark.createDataFrame(_TOPK_ROWS[:3], _EMB)
+        proc = topk_batch_processor(spark, work, queries, k=4)
+        for b, df in enumerate(_topk_batches(spark)):
+            proc(df, b)
+        state = sorted(
+            tuple(r) for r in spark.read.parquet(f"{work}/topk").collect()
+        )
+        _TOPK_BASELINE.update(work=work, state=state)
+    return _TOPK_BASELINE
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_topk_partial_replay_from_any_point(spark, data):
+    """Top-k's per-batch state reads nothing from other batches, so
+    replay idempotence rests on dynamic partition overwrite alone — the
+    same (k, m) grid as the dedup property pins that this stays true
+    (a regression to append-mode or a non-partitioned layout would fail
+    here on any k < m draw)."""
+    base = _topk_baseline(spark)
+    k = data.draw(st.integers(1, _N_BATCHES - 1), label="resume_batch_k")
+    m = data.draw(st.integers(k, _N_BATCHES), label="state_through_m")
+    work = tempfile.mkdtemp(prefix="ssk_replay_topk_part_")
+    try:
+        shutil.copytree(f"{base['work']}/topk", f"{work}/topk")
+        for b in range(m, _N_BATCHES):
+            shutil.rmtree(f"{work}/topk/batch_id={b}", ignore_errors=True)
+        queries = spark.createDataFrame(_TOPK_ROWS[:3], _EMB)
+        proc = topk_batch_processor(spark, work, queries, k=4)
+        batches = _topk_batches(spark)
+        for b in range(k, _N_BATCHES):
+            proc(batches[b], b)
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{work}/topk").collect()
+        )
+        assert got == base["state"], (
+            f"top-k resume at k={k} over state through m={m} diverged"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
