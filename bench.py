@@ -236,10 +236,17 @@ def main() -> None:
     prev_record = None
     # Baseline selection (r8 advice): the CURRENT round's own record must
     # not become the baseline — a same-round re-run would compute deltas
-    # against itself (~0) and mask regression vs the prior round. The
-    # round being run is newest driver artifact (BENCH_r{N}/CORRECTNESS_
-    # r{N}, written at the PREVIOUS round's close) + 1, so records with
-    # round >= current are skipped. $BENCH_PREV_RECORD overrides.
+    # against itself (~0) and mask regression vs the prior round. File
+    # state alone CANNOT distinguish the driver's close-of-round-N run
+    # from the builder's first run of round N+1 (both see CORRECTNESS_rN
+    # newest and bench_rN_local present — r9 advice), so the default
+    # serves the unattended driver: exclude any local record whose round
+    # is >= max(driver rounds). The driver writes CORRECTNESS_rN before
+    # running bench, so its baseline is bench_r{N-1}_local — a true
+    # round-over-round comparison, never this round's own code. Builder
+    # runs inside round N+1 set $BENCH_ROUND=N+1 explicitly (records with
+    # round < BENCH_ROUND are eligible, i.e. bench_rN_local is the
+    # baseline). $BENCH_PREV_RECORD overrides with an exact path.
 
     def _rec_round(p: Path) -> int:
         return int("".join(ch for ch in p.stem if ch.isdigit()))
@@ -248,17 +255,21 @@ def main() -> None:
     if override:
         prev_files = [Path(override)]
     else:
-        driver_rounds = [
-            _rec_round(p)
-            for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
-            for p in REPO.glob(pat)
-        ]
-        current_round = max(driver_rounds, default=0) + 1
+        round_override = os.environ.get("BENCH_ROUND")
+        if round_override:
+            cutoff = int(round_override)
+        else:
+            driver_rounds = [
+                _rec_round(p)
+                for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
+                for p in REPO.glob(pat)
+            ]
+            cutoff = max(driver_rounds, default=0)
         prev_files = sorted(
             (
                 p
                 for p in REPO.glob("tools/bench_r*_local.json")
-                if _rec_round(p) < current_round
+                if _rec_round(p) < cutoff
             ),
             key=_rec_round,
         )

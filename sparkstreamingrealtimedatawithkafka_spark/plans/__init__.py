@@ -25,23 +25,23 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
 # text analysis, dedup, similarity, multimodal. Everything else stays
 # registered after the window with local-harness + pytest coverage.
 DRIVER_WINDOW = [
-    # ---- r9 window: greedy certification burn-down (r8 verdict ask #2).
-    # 181 catalog entries had never appeared in any CORRECTNESS_r*.json;
-    # this round the window is rebuilt as 10 structural keepers + 40
-    # never-certified entries (vs r8's 10-fresh/40-veteran mix), closing
-    # the tail at ~40/round. Family floors survive because
+    # ---- r10 window: certification burn-down, round 2 of ~3 (r9 verdict
+    # ask #2). 138 catalog entries had never appeared in any
+    # CORRECTNESS_r*.json at r10 open; this window is again 7 structural
+    # keepers + 43 never-certified entries, prioritizing the blocks the
+    # r9 verdict named: the sources/sinks tail, the sql_* modern-surface
+    # block, the text_* tail, and multimodal, plus the six entries the
+    # judge spot-re-executed at r9 and a family spread (streaming, dedup,
+    # agg, graph, events). Family floors survive because
     # tests/test_catalog_window.py checks window UNION driver history —
-    # every rotated-out veteran is ever-certified. Each fresh entry was
-    # re-verified green via `tools/driver_sim.py --only` at sf0.01 before
-    # this list landed.
+    # every rotated-out r9 entry is now ever-certified. Each fresh entry
+    # was re-verified green via `tools/driver_sim.py --only` at sf0.01
+    # before this list landed.
     #
     # Structural keepers (7): reference parity (driver smoke-checks it
     # every round), the streaming core's entity-count + CDC legs, and
     # the dedup flagships whose route decision / composed pipeline are
-    # the engine's user-facing defaults. (The other streaming veterans
-    # and dedup_minhash_lsh are multi-round driver-certified; their
-    # slots go to fresh entries so ever-certified crosses 150 this
-    # round, the r8 verdict's done-criterion.)
+    # the engine's user-facing defaults.
     "flagship_entity_count",
     "output_json_messages",
     "pipeline_parity_udf",
@@ -49,54 +49,60 @@ DRIVER_WINDOW = [
     "streaming_cdc_upsert",
     "dedup_similarity_auto",
     "pipeline_full_dedup",
-    # Fresh batch (43), prioritized per the r8 verdict: the agg_*
-    # statistics block, privacy, web curation, and the r5/r6 events tail,
-    # plus TPC-H tail / merge-SCD / sources-sinks / streaming tail /
-    # dedup-text / ml-graph spread so every never-certified family gains
-    # driver exposure this round.
-    "agg_correlation_matrix",
-    "agg_higher_moments",
-    "agg_linear_regression",
-    "agg_countmin_sketch",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "web_domain_quota",
-    "web_robots_filter",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q16_supplier_cnt",
-    "q21_sole_blame_suppliers",
-    "window_function_suite",
-    "merge_upsert_scd1",
-    "merge_scd2_history",
-    "unpivot_melt",
-    "lateral_topk_per_brand",
-    "events_json_extract",
-    "events_sessionization_stats",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "events_gapfill_resample",
-    "events_transition_matrix",
-    "events_anomaly_zscore",
-    "events_rolling_wau",
-    "events_growth_accounting",
-    "events_asof_nearest",
-    "streaming_dedup_keys",
-    "streaming_topk_trending",
-    "streaming_cusum_alarms",
-    "source_csv_json_roundtrip",
-    "sink_partitioned_parquet",
-    "join_bucketed_colocated",
-    "dedup_ngram_jaccard",
-    "decontaminate_ngram_overlap",
-    "text_bpe_token_count",
-    "ml_score_logistic",
-    "ml_confusion_metrics",
-    "graph_link_prediction_jaccard",
-    "window_analytics",
-    "agg_argmax_minby",
-    "geo_grid_distance_join",
+    # Fresh batch (43), all never-driver-certified before this round.
+    # Sources/sinks tail (13):
+    "source_orc_roundtrip",
+    "source_xml_roundtrip",
+    "source_schema_evolution_union",
+    "source_csv_malformed_permissive",
+    "source_file_metadata_provenance",
+    "source_python_datasource",
+    "source_python_stream_datasource",
+    "source_python_pushdown",
+    "source_dynamic_partition_pruning",
+    "sink_python_stream_writer",
+    "sink_range_clustered_parquet",
+    "sink_zorder_clustered_parquet",
+    "sink_compacted_parquet",
+    # sql_* modern surface (8):
+    "sql_pipe_syntax",
+    "sql_scripting_block",
+    "sql_execute_immediate",
+    "sql_join_hints",
+    "sql_table_cache",
+    "sql_udf_create_function",
+    "sql_modern_surface",
+    "sql_parameterized_queries",
+    # text_* tail (5):
+    "text_tfidf_keywords",
+    "text_inverted_postings",
+    "text_bpe_encode",
+    "text_cooccurrence_pmi",
+    "text_unigram_surprisal",
+    # multimodal (4):
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "multimodal_image_dhash",
+    "multimodal_resample_wav",
+    # The six entries the r9 judge re-executed independently (all green
+    # there; driver certification makes it official):
+    "ab_test_welch_t",
+    "basket_affinity_lift",
+    "udtf_table_argument",
+    "variant_malformed_probes",
+    "fuzzy_match_levenshtein",
+    "state_store_inspection",
+    # Family spread (7) so every major never-certified family gains
+    # exposure (window entries must carry oracles by registry contract,
+    # so the rows-only agg_hll_sketch_mergeable stays out; the exact
+    # bitmap-distinct sibling stands in for the agg family):
+    "streaming_incremental_dedup",
+    "streaming_static_join",
+    "dedup_two_stage",
+    "dedup_exact_normalized",
+    "agg_bitmap_exact_distinct",
+    "graph_khop_reach",
+    "events_asof_next_purchase",
 ]
 
 reorder(DRIVER_WINDOW, window=50)

@@ -9,6 +9,7 @@ duplicates), for both incremental top-k and incremental dedup."""
 
 from __future__ import annotations
 
+import atexit
 import glob
 import shutil
 import tempfile
@@ -187,6 +188,7 @@ def _dedup_baseline(spark):
     example only pays for its own replay, not a fresh baseline)."""
     if not _BASELINE:
         work = tempfile.mkdtemp(prefix="ssk_replay_base_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
         proc = dedup_batch_processor(spark, work, "doc_id", "sh", **_DEDUP_KW)
         for b, df in enumerate(_dedup_batches(spark)):
             proc(df, b)
@@ -250,6 +252,7 @@ _TOPK_BASELINE: dict = {}
 def _topk_baseline(spark):
     if not _TOPK_BASELINE:
         work = tempfile.mkdtemp(prefix="ssk_replay_topk_base_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
         queries = spark.createDataFrame(_TOPK_ROWS[:3], _EMB)
         proc = topk_batch_processor(spark, work, queries, k=4)
         for b, df in enumerate(_topk_batches(spark)):

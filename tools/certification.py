@@ -37,9 +37,15 @@ _ROWS_ONLY: set[str] | None = None
 
 def _rows_only_names() -> set[str]:
     """Registry entries WITHOUT an oracle — the only ones for which a
-    missing hash check counts as green. Lazily imported and cached; if the
-    package import ever breaks the set is empty, i.e. the degraded mode is
-    STRICT (no entry gets the rows-only allowance)."""
+    missing hash check counts as green.
+
+    Classification is ALWAYS against the live in-repo registry (the
+    ``repo`` argument of :func:`driver_history` selects whose CORRECTNESS
+    artifacts are read, not whose registry classifies them — historical
+    artifacts are judged by the current rows-only contract, r9 advice).
+    Cached only on successful import; an import failure returns the
+    STRICT empty set for that call but is retried next call, so a later
+    successful import in the same process is not masked."""
     global _ROWS_ONLY
     if _ROWS_ONLY is None:
         try:
@@ -50,10 +56,9 @@ def _rows_only_names() -> set[str]:
                 REGISTRY,
                 oracle_sql,
             )
-
-            _ROWS_ONLY = set(REGISTRY) - set(oracle_sql())
         except ImportError:
-            _ROWS_ONLY = set()
+            return set()
+        _ROWS_ONLY = set(REGISTRY) - set(oracle_sql())
     return _ROWS_ONLY
 
 

@@ -42,7 +42,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
+# Unconditional (r9 advice): setdefault let an inherited smaller value
+# (e.g. the 32g harness default) silently win while the protocol string
+# claimed 96g. The effective value is also recorded into the JSON below.
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "96g"
 
 import tools.scale_check as sc  # noqa: E402
 from tools.scale1000_r9 import materialize_docs_linear, timed  # noqa: E402
@@ -104,6 +107,7 @@ if __name__ == "__main__":
         ),
     }
     out = {
+        "effective_driver_memory": spark.conf.get("spark.driver.memory"),
         "protocol": (
             "third decade, remaining five 100x-sweep shapes: 100x -> 1000x "
             "(events 10M -> 100M, documents 500k -> 5M standard families "
