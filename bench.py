@@ -127,6 +127,50 @@ BENCH_QUERIES = [
 ]
 
 
+def _rec_round(p: Path) -> int:
+    return int("".join(ch for ch in p.stem if ch.isdigit()))
+
+
+def baseline_records(repo: Path, env) -> list[Path]:
+    """Candidate baseline records, oldest -> newest; [-1] is the baseline.
+
+    Selection contract (r8 + r9 advice): the CURRENT round's own record
+    must never become the baseline — a same-round re-run would compute
+    deltas against itself (~0) and mask regression vs the prior round.
+    File state alone CANNOT distinguish the driver's close-of-round-N run
+    from the builder's first run of round N+1 (both see CORRECTNESS_rN
+    newest and bench_rN_local present), so the default serves the
+    unattended driver: exclude any local record whose round is >= the max
+    driver-artifact round. The driver writes CORRECTNESS_rN before
+    running bench, so its baseline is bench_r{N-1}_local — a true
+    round-over-round comparison, never this round's own code. Builder
+    runs inside round N+1 set $BENCH_ROUND=N+1 explicitly (records with
+    round < BENCH_ROUND are eligible, i.e. bench_rN_local is the
+    baseline). $BENCH_PREV_RECORD overrides with an exact path.
+    Contract pinned by tests/test_bench_baseline.py."""
+    override = env.get("BENCH_PREV_RECORD")
+    if override:
+        return [Path(override)]
+    round_override = env.get("BENCH_ROUND")
+    if round_override:
+        cutoff = int(round_override)
+    else:
+        driver_rounds = [
+            _rec_round(p)
+            for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
+            for p in repo.glob(pat)
+        ]
+        cutoff = max(driver_rounds, default=0)
+    return sorted(
+        (
+            p
+            for p in repo.glob("tools/bench_r*_local.json")
+            if _rec_round(p) < cutoff
+        ),
+        key=_rec_round,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -234,45 +278,7 @@ def main() -> None:
     # sub-second keys (documented r7: ±0.1s).
     delta_vs_prev: dict[str, float] = {}
     prev_record = None
-    # Baseline selection (r8 advice): the CURRENT round's own record must
-    # not become the baseline — a same-round re-run would compute deltas
-    # against itself (~0) and mask regression vs the prior round. File
-    # state alone CANNOT distinguish the driver's close-of-round-N run
-    # from the builder's first run of round N+1 (both see CORRECTNESS_rN
-    # newest and bench_rN_local present — r9 advice), so the default
-    # serves the unattended driver: exclude any local record whose round
-    # is >= max(driver rounds). The driver writes CORRECTNESS_rN before
-    # running bench, so its baseline is bench_r{N-1}_local — a true
-    # round-over-round comparison, never this round's own code. Builder
-    # runs inside round N+1 set $BENCH_ROUND=N+1 explicitly (records with
-    # round < BENCH_ROUND are eligible, i.e. bench_rN_local is the
-    # baseline). $BENCH_PREV_RECORD overrides with an exact path.
-
-    def _rec_round(p: Path) -> int:
-        return int("".join(ch for ch in p.stem if ch.isdigit()))
-
-    override = os.environ.get("BENCH_PREV_RECORD")
-    if override:
-        prev_files = [Path(override)]
-    else:
-        round_override = os.environ.get("BENCH_ROUND")
-        if round_override:
-            cutoff = int(round_override)
-        else:
-            driver_rounds = [
-                _rec_round(p)
-                for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
-                for p in REPO.glob(pat)
-            ]
-            cutoff = max(driver_rounds, default=0)
-        prev_files = sorted(
-            (
-                p
-                for p in REPO.glob("tools/bench_r*_local.json")
-                if _rec_round(p) < cutoff
-            ),
-            key=_rec_round,
-        )
+    prev_files = baseline_records(REPO, os.environ)
     if prev_files:
         prev_record = prev_files[-1].name
         prev = json.loads(prev_files[-1].read_text())
