@@ -90,7 +90,8 @@ if __name__ == "__main__":
     out = {
         "protocol": (
             "tfidf_shape (scale_check.py) on standard-family documents at "
-            "100x/300x/1000x sf0.01 (~500k/1.5M/5M docs), min-of-2 after "
+            "100x/300x/1000x of the sf0.1 corpus (~500k/1.5M/5M docs), "
+            "min-of-2 after "
             "codegen warm-up, driver heap 96g + 128 shuffle partitions at "
             "every scale; then the SAME shape at 100x and 1000x with "
             "spark.shuffle.compress=false + spark.shuffle.spill.compress="
