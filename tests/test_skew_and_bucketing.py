@@ -99,3 +99,22 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_widen_for_compute_gate(spark):
+    """The inverse-skew helper: widens a narrow scan to cluster
+    parallelism, and is a NO-OP (same object, no added shuffle) once the
+    input already has >= defaultParallelism partitions — the gate that
+    keeps it free on genuinely large (100 TB-scale) inputs."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
+        widen_for_compute,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).repartition(2)
+    widened = widen_for_compute(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert sorted(r.id for r in widened.collect()) == list(range(1000))
+
+    wide = spark.range(1000).repartition(target + 4)
+    assert widen_for_compute(wide) is wide
