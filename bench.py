@@ -258,6 +258,32 @@ def main() -> None:
         probe_end = e if probe_end is None else min(probe_end, e)
     probe_end = round(probe_end, 3)
 
+    # PARALLEL probe: q1 at the BENCH sf (sf0.1 by default), min-of-3.
+    # The r11 drift root-cause (tools/bench_drift_r11.json) showed the
+    # sf0.01 CPU probe is blind to a whole drift dimension: at r11 open
+    # 68/73 keys ran >=1.2x slower than the r9 record (median 1.459x,
+    # including plans untouched since round 1) while the CPU probe matched
+    # r9's level exactly at one iteration — the host had lost multi-core /
+    # memory-bandwidth throughput, which a single-plan sf0.01 run never
+    # exercises. q1@sf0.1 is a fixed 32-way parallel scan+aggregate whose
+    # runtime moves only with whole-host parallel throughput; normalizing
+    # by it reconciled the r11-open raw total to within 2.3% of r9's
+    # record. v3 = raw_total * (prev parallel probe / this parallel
+    # probe-mean) when the previous record carries one, else vs
+    # PROBE_PAR_REF (the r9-record q1@sf0.1 level, the last
+    # healthy-host point).
+    probe_par = None
+    for _ in range(3):
+        _clear_orphan_persistent_rdds(spark)
+        spark._jvm.System.gc()
+        t0 = time.time()
+        REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        e = time.time() - t0
+        probe_par = e if probe_par is None else min(probe_par, e)
+    probe_par = round(probe_par, 3)
+
     total = round(sum(times.values()), 3)
     # Probe-normalized totals: raw_total scaled by PROBE_REF / probe cancels
     # whole-host load drift, so BENCH_rN vs BENCH_r{N-1} comparison needs no
@@ -266,7 +292,7 @@ def main() -> None:
     # only — silently assuming run-long load was flat; v2 (r7 ask #3)
     # normalizes by the MEAN of the start/end probes, the unbiased estimate
     # when load drifts mid-run (the interleaved-A/B finding).
-    from tools.perf_protocol import PROBE_REF
+    from tools.perf_protocol import PROBE_PAR_REF, PROBE_REF
 
     probe_mean = round((probe_sec + probe_end) / 2, 3)
 
@@ -306,6 +332,9 @@ def main() -> None:
         "probe_ref": PROBE_REF,
         "normalized_total": round(total * PROBE_REF / probe_sec, 3),
         "normalized_total_v2": round(total * PROBE_REF / probe_mean, 3),
+        "probe_par_sec": probe_par,
+        "probe_par_ref": PROBE_PAR_REF,
+        "normalized_total_v3": round(total * PROBE_PAR_REF / probe_par, 3),
         "prev_record": prev_record,
         "delta_vs_prev": delta_vs_prev,
     }

@@ -34,7 +34,6 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
 # The broadcast-crossJoin dot-product stages below do ~n_other x dim
 # FLOPs per input row; see widen_for_compute's docstring (and the r10
 # measured 15x) for why the corpus side is widened before them.
-_widen_for_compute = widen_for_compute
 
 
 def brute_force_topk(
@@ -49,7 +48,7 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, sim); ties broken by neighbor id.
     """
     c = _with_norm(
-        _widen_for_compute(
+        widen_for_compute(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
             )
@@ -79,18 +78,18 @@ def assign_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    widen: bool = True,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine.
 
     centroids: (centroid_id, cvec). Output: (id, vec, centroid_id).
+
+    ``widen=False`` skips widen_for_compute for callers assigning a frame
+    whose compute is negligible (e.g. ivf_topk's ~32-row query probe side,
+    r10 advice) — widening there is a pointless extra shuffle.
     """
-    v = _with_norm(
-        _widen_for_compute(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        ),
-        "vec",
-        "vnorm",
-    )
+    sel = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = _with_norm(widen_for_compute(sel) if widen else sel, "vec", "vnorm")
     c = _with_norm(centroids.select("centroid_id", "cvec"), "cvec", "cnorm")
     scored = v.crossJoin(F.broadcast(c)).withColumn(
         "csim", dot(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
@@ -155,7 +154,9 @@ def ivf_topk(
     bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec_n"), "centroid_id"
     )
-    probed = assign_buckets(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+    probed = assign_buckets(
+        queries, centroids, id_col, vec_col, n_probe=n_probe, widen=False
+    ).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "centroid_id"
     )
     cand = bucketed.join(probed, "centroid_id").withColumn(

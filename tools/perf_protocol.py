@@ -45,6 +45,12 @@ from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # n
 WARM_SF = "/root/testdata/sf0.001"
 PROBE_SF = "/root/testdata/sf0.01"
 PROBE_REF = 0.53  # q1@sf0.01 min-of-3 on this host class, idle
+# Parallel-plane reference: q1@sf0.1 (32-way scan+agg) as recorded in
+# tools/bench_r9_local.json — the last healthy-host record before the
+# r10/r11 whole-host throughput drift (tools/bench_drift_r11.json). The
+# sf0.01 CPU probe is blind to multi-core/memory-bandwidth loss; this one
+# is not.
+PROBE_PAR_REF = 0.489
 
 
 def _noop(df) -> None:

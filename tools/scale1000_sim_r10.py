@@ -40,8 +40,14 @@ from tools.scale1000_r9 import timed  # noqa: E402
 from sparkstreamingrealtimedatawithkafka_spark.session import build_session  # noqa: E402
 
 TMP = os.environ.get("TMPDIR", "/tmp")
+# 300x leg for the brute-force shape only (mirrors
+# scale_tfidf_bandwidth_r10.py): the intermediate point splits the decade
+# so a super-linear plan (rising leg ratio) is distinguishable from a
+# bandwidth knee (flat-to-falling leg ratio). r11 advice: the committed
+# record carried the 300x keys but this script did not produce them.
 DIRS = {
     100: os.path.join(TMP, "ssk_scale100_r8"),
+    300: os.path.join(TMP, "ssk_scale300_sim_r10"),
     1000: os.path.join(TMP, "ssk_scale1000_r8"),
 }
 
@@ -89,6 +95,7 @@ if __name__ == "__main__":
         sc.materialize_embeddings(spark)
 
     emb100 = spark.read.parquet(os.path.join(DIRS[100], "embeddings"))
+    emb300 = spark.read.parquet(os.path.join(DIRS[300], "embeddings"))
     emb1000 = spark.read.parquet(os.path.join(DIRS[1000], "embeddings"))
 
     out = {
@@ -125,6 +132,13 @@ if __name__ == "__main__":
             "t_1000x_sec": t1000,
             "decade3_ratio": round(t1000 / t100, 2),
         }
+        if name == "sim_bruteforce_topk":
+            # intermediate 300x leg (brute force only — the exact baseline
+            # whose linearity the approximate variants are judged against)
+            t300 = timed(lambda: bruteforce_shape(emb300, 300))
+            out["rows"][name]["t_300x_sec"] = t300
+            out["rows"][name]["ratio_300_over_100"] = round(t300 / t100, 2)
+            out["rows"][name]["ratio_1000_over_300"] = round(t1000 / t300, 2)
         print(name, out["rows"][name], flush=True)
     Path("tools/scale1000_sim_r10.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))
