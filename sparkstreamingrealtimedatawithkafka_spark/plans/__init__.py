@@ -25,18 +25,19 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
 # text analysis, dedup, similarity, multimodal. Everything else stays
 # registered after the window with local-harness + pytest coverage.
 DRIVER_WINDOW = [
-    # ---- r10 window: certification burn-down, round 2 of ~3 (r9 verdict
-    # ask #2). 138 catalog entries had never appeared in any
-    # CORRECTNESS_r*.json at r10 open; this window is again 7 structural
-    # keepers + 43 never-certified entries, prioritizing the blocks the
-    # r9 verdict named: the sources/sinks tail, the sql_* modern-surface
-    # block, the text_* tail, and multimodal, plus the six entries the
-    # judge spot-re-executed at r9 and a family spread (streaming, dedup,
-    # agg, graph, events). Family floors survive because
-    # tests/test_catalog_window.py checks window UNION driver history —
-    # every rotated-out r9 entry is now ever-certified. Each fresh entry
-    # was re-verified green via `tools/driver_sim.py --only` at sf0.01
-    # before this list landed.
+    # ---- r11 window: certification burn-down, round 3 of ~3 (r10 verdict
+    # ask #1). 95 catalog entries had never appeared in any
+    # CORRECTNESS_r*.json at r11 open; this window is again 7 structural
+    # keepers + 43 never-certified entries, prioritizing exactly the
+    # blocks the r10 verdict named: the agg_* tail, the events_* tail,
+    # the join tail, incremental-view maintenance, ml_*, the remaining
+    # multimodal/privacy/profile entries, and the q11+/q20 TPC-H tail —
+    # plus completion of the judge's r10 11-entry independent sample
+    # (every member is in this window) and a scalar/setop/pandas-API
+    # family spread. After this window ~52 remain (47 oracle-backed for
+    # the r12 closing half-window + the 5 rows-only entries the window
+    # contract excludes). Each fresh entry re-verified green via
+    # `tools/driver_sim.py --only` at sf0.01 before this list landed.
     #
     # Structural keepers (7): reference parity (driver smoke-checks it
     # every round), the streaming core's entity-count + CDC legs, and
@@ -50,59 +51,61 @@ DRIVER_WINDOW = [
     "dedup_similarity_auto",
     "pipeline_full_dedup",
     # Fresh batch (43), all never-driver-certified before this round.
-    # Sources/sinks tail (13):
-    "source_orc_roundtrip",
-    "source_xml_roundtrip",
-    "source_schema_evolution_union",
-    "source_csv_malformed_permissive",
-    "source_file_metadata_provenance",
-    "source_python_datasource",
-    "source_python_stream_datasource",
-    "source_python_pushdown",
-    "source_dynamic_partition_pruning",
-    "sink_python_stream_writer",
-    "sink_range_clustered_parquet",
-    "sink_zorder_clustered_parquet",
-    "sink_compacted_parquet",
-    # sql_* modern surface (8):
-    "sql_pipe_syntax",
-    "sql_scripting_block",
-    "sql_execute_immediate",
-    "sql_join_hints",
-    "sql_table_cache",
-    "sql_udf_create_function",
-    "sql_modern_surface",
-    "sql_parameterized_queries",
-    # text_* tail (5):
-    "text_tfidf_keywords",
-    "text_inverted_postings",
-    "text_bpe_encode",
-    "text_cooccurrence_pmi",
-    "text_unigram_surprisal",
-    # multimodal (4):
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "multimodal_image_dhash",
-    "multimodal_resample_wav",
-    # The six entries the r9 judge re-executed independently (all green
-    # there; driver certification makes it official):
-    "ab_test_welch_t",
-    "basket_affinity_lift",
-    "udtf_table_argument",
-    "variant_malformed_probes",
-    "fuzzy_match_levenshtein",
-    "state_store_inspection",
-    # Family spread (7) so every major never-certified family gains
-    # exposure (window entries must carry oracles by registry contract,
-    # so the rows-only agg_hll_sketch_mergeable stays out; the exact
-    # bitmap-distinct sibling stands in for the agg family):
-    "streaming_incremental_dedup",
-    "streaming_static_join",
-    "dedup_two_stage",
-    "dedup_exact_normalized",
-    "agg_bitmap_exact_distinct",
-    "graph_khop_reach",
-    "events_asof_next_purchase",
+    # agg_* tail (6):
+    "agg_covariance",
+    "agg_exact_percentiles",
+    "agg_approx_topk_heavy_hitters",
+    "agg_weighted_median_2pass",
+    "agg_listagg_sorted",
+    "agg_salted_skew",
+    # events_* tail (6):
+    "events_cep_pattern",
+    "events_session_paths",
+    "events_survival_hazard",
+    "events_user_golden_record",
+    "events_markov_transitions",
+    "events_value_histogram",
+    # join tail (4):
+    "join_bloom_prefilter",
+    "join_nullsafe_eq",
+    "join_salted_replicated",
+    "join_full_outer_daily",
+    # incremental-view maintenance (2):
+    "incremental_agg_maintenance",
+    "incremental_join_maintenance",
+    # ml_* (3):
+    "ml_feature_hashing",
+    "ml_calibration_bins",
+    "ml_quantile_normalize",
+    # multimodal tail (4):
+    "multimodal_binary_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize_pgm",
+    "multimodal_struct_meta",
+    # privacy / profiling / audit (3):
+    "privacy_pseudonymize_stable",
+    "profile_table_columns",
+    "audit_referential_integrity",
+    # TPC-H tail (2):
+    "q11_important_parts",
+    "q20_excess_suppliers",
+    # completes the r10 judge's independent 11-entry sample (the other
+    # nine are in the blocks above):
+    "ab_cuped_adjustment",
+    "dedup_repeated_spans",
+    # family spread (11) — scalar surface, set ops, global sort,
+    # generators, grouping sets, pandas-API, dedup/similarity tails:
+    "scalar_math_functions",
+    "scalar_regexp_functions",
+    "scalar_try_arithmetic",
+    "scalar_collation_group",
+    "setop_bag_semantics",
+    "orderby_global_sort",
+    "generator_explode_outer",
+    "agg_grouping_sets_custom",
+    "pandas_api_groupby",
+    "dedup_containment",
+    "sim_threshold_pairs",
 ]
 
 reorder(DRIVER_WINDOW, window=50)
