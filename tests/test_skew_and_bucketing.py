@@ -118,3 +118,46 @@ def test_widen_for_compute_gate(spark):
 
     wide = spark.range(1000).repartition(target + 4)
     assert widen_for_compute(wide) is wide
+
+
+def test_assign_buckets_widen_flag(spark):
+    """r10 advice #2: ivf_topk's tiny query probe side must NOT pay the
+    widen shuffle. Pin both directions on a deliberately narrow (1-split)
+    corpus: widen=True (corpus side, the default) reaches cluster
+    parallelism; widen=False (probe side) keeps the input's partitioning
+    — no RoundRobin exchange inserted — while producing identical rows."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingrealtimedatawithkafka_spark.operators.similarity import (
+        assign_buckets,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    corpus = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7 + 1).cast("double"), (F.col("id") % 3 + 1).cast("double")
+            ).alias("embedding"),
+        )
+        .repartition(1)
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, cvec array<double>"
+    )
+
+    widened = assign_buckets(corpus, centroids)
+    unwidened = assign_buckets(corpus, centroids, widen=False)
+    # widen=True repartitions the 1-split scan up to cluster parallelism;
+    # widen=False must leave the narrow input alone (the probe-side
+    # contract: no shuffle added for a frame whose compute is negligible).
+    assert "roundrobinpartitioning" in widened._jdf.queryExecution().toString().lower()
+    assert (
+        "roundrobinpartitioning"
+        not in unwidened._jdf.queryExecution().toString().lower()
+    )
+    rows_w = sorted((r.id, r.centroid_id) for r in widened.collect())
+    rows_u = sorted((r.id, r.centroid_id) for r in unwidened.collect())
+    assert rows_w == rows_u and len(rows_w) == 64
+    assert target >= 1  # gate premise: defaultParallelism defined
