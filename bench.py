@@ -227,8 +227,36 @@ def main() -> None:
     # 1.1s <-> 5.2s run-over-run without it).
     from tools.perf_protocol import _clear_orphan_persistent_rdds
 
+    def _probe_now() -> float:
+        best = None
+        for _ in range(3):
+            _clear_orphan_persistent_rdds(spark)
+            spark._jvm.System.gc()
+            t0 = time.time()
+            REGISTRY["q1_pricing_summary"].fn(spark, probe_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            e = time.time() - t0
+            best = e if best is None else min(best, e)
+        return round(best, 3)
+
+    # Mid-run probe SERIES (r11): the drift analysis
+    # (tools/bench_drift_r11.json) caught the probe moving 0.58 -> 0.29
+    # WITHIN one run — start/end probes (v2's mean) under-sample host
+    # oscillation on minute timescales, so any single-scalar
+    # normalization carries that variance. Re-probe every PROBE_EVERY
+    # keys; probe_series records (after_n_keys, probe_sec), and v4 below
+    # normalizes each key by its SEGMENT's probe mean — piecewise-flat
+    # load assumption instead of run-flat. ~4 s overhead per run.
+    PROBE_EVERY = 18
+    probe_series: list[dict] = [{"after_n_keys": 0, "probe_sec": probe_sec}]
+
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
+        if i and i % PROBE_EVERY == 0:
+            probe_series.append(
+                {"after_n_keys": i, "probe_sec": _probe_now()}
+            )
         best = None
         for _ in range(2):
             _clear_orphan_persistent_rdds(spark)
@@ -335,6 +363,12 @@ def main() -> None:
         "probe_par_sec": probe_par,
         "probe_par_ref": PROBE_PAR_REF,
         "normalized_total_v3": round(total * PROBE_PAR_REF / probe_par, 3),
+        "probe_series": probe_series + [
+            {"after_n_keys": len(BENCH_QUERIES), "probe_sec": probe_end}
+        ],
+        "normalized_total_v4": _v4_total(
+            times, list(BENCH_QUERIES), probe_series, probe_end, PROBE_REF
+        ),
         "prev_record": prev_record,
         "delta_vs_prev": delta_vs_prev,
     }
@@ -353,12 +387,38 @@ def main() -> None:
     spark.stop()
 
 
+def _v4_total(
+    times: dict,
+    key_order: list,
+    probe_series: list,
+    probe_end: float,
+    probe_ref: float,
+) -> float:
+    """Piecewise probe-normalized total: each key scaled by
+    probe_ref / (mean of the probes bracketing its segment). Robust to
+    the within-run host oscillation v1/v2's run-flat assumption misses
+    (tools/bench_drift_r11.json)."""
+    marks = probe_series + [
+        {"after_n_keys": len(key_order), "probe_sec": probe_end}
+    ]
+    total = 0.0
+    for i, name in enumerate(key_order):
+        seg = 0
+        while seg + 1 < len(marks) - 1 and marks[seg + 1]["after_n_keys"] <= i:
+            seg += 1
+        local = (marks[seg]["probe_sec"] + marks[seg + 1]["probe_sec"]) / 2
+        total += times[name] * probe_ref / local
+    return round(total, 3)
+
+
 def compact_record(record: dict) -> dict:
     """The full bench record minus its two per-key maps, plus a delta
     summary — size-bounded regardless of key count."""
     dv = sorted(record.get("delta_vs_prev", {}).values())
     compact = {
-        k: v for k, v in record.items() if k not in ("queries", "delta_vs_prev")
+        k: v
+        for k, v in record.items()
+        if k not in ("queries", "delta_vs_prev", "probe_series")
     }
     compact["n_queries"] = len(record.get("queries", {}))
     compact["delta_summary"] = (
