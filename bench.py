@@ -312,6 +312,30 @@ def main() -> None:
         probe_par = e if probe_par is None else min(probe_par, e)
     probe_par = round(probe_par, 3)
 
+    # Memory-bandwidth probe (r11): the numpy triad over LLC-busting
+    # arrays, min-of-3, ~2 s. The r11 drift investigation measured this
+    # host's bandwidth swinging 10.25 -> 2.32 GB/s phase-to-phase while
+    # single-core CPU moved <12% (tools/bench_drift_r11.json) — and the
+    # scan/shuffle-heavy sf0.1 plans are bandwidth-bound. Recorded, not
+    # normalized-by: it tells the reader which host phase a record was
+    # taken in.
+    mem_bw = None
+    try:
+        import numpy as np
+
+        n = 32_000_000  # 3 x 256 MiB float64
+        b_, c_, a_ = np.ones(n), np.ones(n), np.empty(n)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            np.add(b_, c_, out=a_)
+            e = time.time() - t0
+            best = e if best is None else min(best, e)
+        mem_bw = round(3 * n * 8 / best / 1e9, 2)
+        del a_, b_, c_
+    except ImportError:
+        pass
+
     total = round(sum(times.values()), 3)
     # Probe-normalized totals: raw_total scaled by PROBE_REF / probe cancels
     # whole-host load drift, so BENCH_rN vs BENCH_r{N-1} comparison needs no
@@ -363,6 +387,7 @@ def main() -> None:
         "probe_par_sec": probe_par,
         "probe_par_ref": PROBE_PAR_REF,
         "normalized_total_v3": round(total * PROBE_PAR_REF / probe_par, 3),
+        "mem_bw_gbps": mem_bw,
         "probe_series": probe_series + [
             {"after_n_keys": len(BENCH_QUERIES), "probe_sec": probe_end}
         ],
