@@ -25,87 +25,90 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
 # text analysis, dedup, similarity, multimodal. Everything else stays
 # registered after the window with local-harness + pytest coverage.
 DRIVER_WINDOW = [
-    # ---- r11 window: certification burn-down, round 3 of ~3 (r10 verdict
-    # ask #1). 95 catalog entries had never appeared in any
-    # CORRECTNESS_r*.json at r11 open; this window is again 7 structural
-    # keepers + 43 never-certified entries, prioritizing exactly the
-    # blocks the r10 verdict named: the agg_* tail, the events_* tail,
-    # the join tail, incremental-view maintenance, ml_*, the remaining
-    # multimodal/privacy/profile entries, and the q11+/q20 TPC-H tail —
-    # plus completion of the judge's r10 11-entry independent sample
-    # (every member is in this window) and a scalar/setop/pandas-API
-    # family spread. After this window ~52 remain (47 oracle-backed for
-    # the r12 closing half-window + the 5 rows-only entries the window
-    # contract excludes). Each fresh entry re-verified green via
-    # `tools/driver_sim.py --only` at sf0.01 before this list landed.
+    # ---- r12 window: certification closure, the FINAL burn-down round
+    # (r11 verdict ask #1). Exactly 52 catalog entries had never appeared
+    # in any CORRECTNESS_r*.json at r12 open; 47 of them are
+    # oracle-bearing and ALL 47 are in this window, so after this round
+    # every oracle-bearing entry (284/284) is driver-certified. The 5
+    # remaining never-certified entries are the rows-only contract set
+    # (`events_rolling_wau_hll`, `agg_hll_sketch_mergeable`,
+    # `kmeans_clusters`, `sim_ivf_kmeans_topk`,
+    # `streaming_stream_stream_left_join`) — structurally excluded from
+    # the hash window, each permanently covered by the pinning pytest
+    # named in CATALOG.md.
     #
-    # Structural keepers (7): reference parity (driver smoke-checks it
-    # every round), the streaming core's entity-count + CDC legs, and
-    # the dedup flagships whose route decision / composed pipeline are
-    # the engine's user-facing defaults.
+    # Structural keepers (3 — the window is exactly 50, so 47 fresh
+    # leaves exactly 3 slots): the parity pair stays pinned in-window
+    # (tests/test_catalog_window.py — the driver smoke-checks the
+    # reference surface every round), and the third slot goes to
+    # `sim_ivf_topk` per r11 verdict ask #6: it is the oracle-bearing
+    # twin of the rows-only `sim_ivf_kmeans_topk`, keeping the
+    # un-certifiable entry's neighboring plan driver-touched. The r11
+    # keepers `streaming_entity_count` / `pipeline_full_dedup` rotate
+    # out: each is 3×+ driver-certified (r9/r10/r11) and the parity pin
+    # consumes two of the three available slots.
     "flagship_entity_count",
-    "output_json_messages",
     "pipeline_parity_udf",
-    "streaming_entity_count",
-    "streaming_cdc_upsert",
-    "dedup_similarity_auto",
-    "pipeline_full_dedup",
-    # Fresh batch (43), all never-driver-certified before this round.
-    # agg_* tail (6):
-    "agg_covariance",
-    "agg_exact_percentiles",
-    "agg_approx_topk_heavy_hitters",
-    "agg_weighted_median_2pass",
-    "agg_listagg_sorted",
-    "agg_salted_skew",
-    # events_* tail (6):
-    "events_cep_pattern",
-    "events_session_paths",
-    "events_survival_hazard",
-    "events_user_golden_record",
-    "events_markov_transitions",
-    "events_value_histogram",
-    # join tail (4):
-    "join_bloom_prefilter",
-    "join_nullsafe_eq",
-    "join_salted_replicated",
-    "join_full_outer_daily",
-    # incremental-view maintenance (2):
-    "incremental_agg_maintenance",
-    "incremental_join_maintenance",
-    # ml_* (3):
-    "ml_feature_hashing",
-    "ml_calibration_bins",
-    "ml_quantile_normalize",
-    # multimodal tail (4):
-    "multimodal_binary_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize_pgm",
-    "multimodal_struct_meta",
-    # privacy / profiling / audit (3):
-    "privacy_pseudonymize_stable",
-    "profile_table_columns",
-    "audit_referential_integrity",
-    # TPC-H tail (2):
-    "q11_important_parts",
-    "q20_excess_suppliers",
-    # completes the r10 judge's independent 11-entry sample (the other
-    # nine are in the blocks above):
-    "ab_cuped_adjustment",
-    "dedup_repeated_spans",
-    # family spread (11) — scalar surface, set ops, global sort,
-    # generators, grouping sets, pandas-API, dedup/similarity tails:
-    "scalar_math_functions",
-    "scalar_regexp_functions",
-    "scalar_try_arithmetic",
-    "scalar_collation_group",
-    "setop_bag_semantics",
-    "orderby_global_sort",
-    "generator_explode_outer",
-    "agg_grouping_sets_custom",
-    "pandas_api_groupby",
-    "dedup_containment",
-    "sim_threshold_pairs",
+    "sim_ivf_topk",
+    # Fresh batch (47): every remaining never-driver-certified
+    # oracle-bearing entry, pre-verified hash-green via
+    # `tools/driver_sim.py --only` at sf0.01 (commit 52b9ec2) and
+    # re-verified before this list landed.
+    # events_* tail (10):
+    "events_map_functions",
+    "events_dedup_first_per_key",
+    "events_variant_props",
+    "variant_explode_props",
+    "events_session_dynamic_gap",
+    "events_chi2_independence",
+    "events_ewma_smoothing",
+    "events_seasonal_naive_backtest",
+    "events_attribution_position",
+    "cogroup_click_attribution",
+    # analytics over orders/lineitem (3):
+    "customer_rfm_segments",
+    "revenue_pareto_curve",
+    "scd2_point_in_time_lookup",
+    # sampling family (5):
+    "sample_weighted_systematic",
+    "sample_poisson_bootstrap",
+    "sample_hash_bernoulli",
+    "sample_stratified_per_lang",
+    "sample_reservoir_per_key",
+    # text / corpus tail (12):
+    "text_gopher_repetition",
+    "text_docfreq_score",
+    "text_pii_redact",
+    "text_chunk_overlap",
+    "text_bigram_lm",
+    "text_vocab_growth",
+    "corpus_overlap_matrix",
+    "corpus_mixture_weights",
+    "corpus_source_entropy",
+    "bpe_pair_merge",
+    "search_phrase_positional",
+    "fuzzy_match_twostage",
+    # dedup / similarity / embeddings (4):
+    "dedup_cc_clusters",
+    "rec_item_item_cosine",
+    "mine_hard_negatives",
+    "emb_centroids_by_label",
+    # dataframe / vector surface (5):
+    "dataframe_na_functions",
+    "dataframe_transpose",
+    "vector_array_functions",
+    "vector_mapinarrow_stats",
+    "udf_arrow_scalar",
+    # ml / splits / reconciliation / observability (4):
+    "feature_target_encoding_loo",
+    "split_time_series_purged",
+    "reconcile_checksum_diff",
+    "observe_metrics_audit",
+    # streaming tail (4):
+    "streaming_corpus_clean",
+    "streaming_ewma_stateful",
+    "streaming_window_unique_users",
+    "streaming_dead_letter_queue",
 ]
 
 reorder(DRIVER_WINDOW, window=50)
