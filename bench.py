@@ -3,7 +3,7 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines:
 
 1. the FULL record {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {...}, "sf": ..., probes, normalized totals,
+   "queries": {...}, "sf": ..., probes, canary ratios,
    "delta_vs_prev": {...}} — commit this line as tools/bench_rN_local.json;
 2. a COMPACT summary (same scalars, delta summary instead of the per-key
    maps) printed LAST so it survives the round driver's ~2000-char stdout
@@ -12,6 +12,34 @@ local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines:
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). A small warmup query absorbs JVM/codegen startup so the
 numbers measure the plans, not the JVM boot.
+
+Measurement protocol (r12 consolidation, r11 verdict finding #2). The
+decision metrics are:
+
+- ``value``: the raw min-of-2-per-key session total;
+- ``delta_vs_prev`` / ``delta_summary``: per-key seconds vs the previous
+  committed record *at matched host state*, where the host factor is the
+  SAME-RUN CANARY RATIO — five round-1-untouched plans (CANARY_KEYS)
+  interleaved through the run at 0/25/50/75/100% positions; each measured
+  key is compared against the previous record scaled by the ratio of its
+  two BRACKETING canaries (this_canary / prev_canary). Because canary and
+  key run minutes apart at most, this cancels the minute-scale host
+  oscillation that any run-scoped probe scalar merely samples
+  (tools/bench_drift_r11.json: memory bandwidth 10.25 -> 2.32 GB/s within
+  one session);
+- ``canary_ratio``: the whole-run host factor (sum of canary times this
+  run / previous record), the one-number answer to "was this run's host
+  faster or slower than the record it is compared against".
+
+One absolute normalization survives: ``normalized_total_v3`` (raw total
+scaled by the parallel q1@bench-sf probe vs the last healthy-host
+reference), now guarded — the probe is measured at start AND end (mean),
+the reference prefers the previous same-sf record's parallel probe over
+the pinned sf0.1 constant, and the field is null when neither applies
+(cross-sf runs). The v1/v2/v4 normalization scalars and the mid-run
+probe series are RETIRED — within one r11 run they spanned 61.1-131.2 s
+for the same 91.8 s raw measurement, each sampling a host state that
+swings ±50% on minute timescales; the canary construction replaces them.
 """
 
 from __future__ import annotations
@@ -127,6 +155,92 @@ BENCH_QUERIES = [
 ]
 
 
+# Same-run canary set (r11 verdict finding #2): five plans untouched since
+# round 1, present in every committed record since bench_r1 — so the canary
+# ratio computes against ANY previous record with no schema migration. The
+# run executes them interleaved at the 0/25/50/75/100% positions of the key
+# sequence; every other key is bracketed by two canaries measured minutes
+# away at most, and its prev-record comparison is scaled by the mean of the
+# bracketing canaries' this/prev ratios.
+CANARY_KEYS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "window_running_total",
+    "agg_rollup_flag_status",
+]
+
+
+def interleaved_order(keys: list[str], canaries: list[str]) -> list[str]:
+    """Execution order: canaries at 0/25/.../100%, other keys in their
+    BENCH_QUERIES order split into len(canaries)-1 equal chunks. Returns
+    a permutation of ``keys`` (canaries must all be members)."""
+    rest = [k for k in keys if k not in canaries]
+    chunks = len(canaries) - 1
+    n = len(rest)
+    order = [canaries[0]]
+    for i in range(chunks):
+        order += rest[round(i * n / chunks): round((i + 1) * n / chunks)]
+        order.append(canaries[i + 1])
+    return order
+
+
+def bracketing_canaries(
+    keys: list[str], canaries: list[str]
+) -> dict[str, tuple[str, str]]:
+    """key -> (canary before, canary after) in the interleaved order."""
+    out: dict[str, tuple[str, str]] = {}
+    rest = [k for k in keys if k not in canaries]
+    chunks = len(canaries) - 1
+    n = len(rest)
+    for i in range(chunks):
+        for k in rest[round(i * n / chunks): round((i + 1) * n / chunks)]:
+            out[k] = (canaries[i], canaries[i + 1])
+    return out
+
+
+def canary_deltas(
+    times: dict[str, float],
+    prev_q: dict[str, float],
+    keys: list[str],
+    canaries: list[str],
+) -> tuple[dict[str, float], float | None, dict[str, float]]:
+    """(canary_ratios, canary_ratio, delta_vs_prev) — the matched-canary
+    comparison. For a key bracketed by canaries (a, b), host factor
+    h = mean(times[a]/prev[a], times[b]/prev[b]) and
+    delta = this_sec - prev_sec * h. Canary keys are the yardstick and
+    never appear in delta_vs_prev. Empty/None when the previous record
+    lacks any canary key (cross-sf or pre-r1-format records)."""
+    if not all(prev_q.get(c) for c in canaries):
+        return {}, None, {}
+    ratios = {c: round(times[c] / prev_q[c], 3) for c in canaries}
+    overall = round(
+        sum(times[c] for c in canaries) / sum(prev_q[c] for c in canaries), 3
+    )
+    brackets = bracketing_canaries(keys, canaries)
+    deltas: dict[str, float] = {}
+    for k, v in times.items():
+        pv = prev_q.get(k)
+        if pv is None or k in canaries:
+            continue
+        a, b = brackets[k]
+        deltas[k] = round(v - pv * (ratios[a] + ratios[b]) / 2, 3)
+    return ratios, overall, deltas
+
+
+def v3_reference(prev: dict | None, sf: float | None, par_ref: float) -> float | None:
+    """The reference level for the one surviving absolute normalization
+    (r11 advice, all three items): prefer the previous SAME-SF record's
+    parallel-probe mean, then its start parallel probe; the pinned
+    constant applies only at sf0.1 (it was measured there); else None —
+    a cross-sf run with no comparable record must not normalize."""
+    if prev is not None:
+        ref = prev.get("probe_par_mean") or prev.get("probe_par_sec")
+        if ref:
+            return ref
+    return par_ref if sf == 0.1 else None
+
+
 def _rec_round(p: Path) -> int:
     return int("".join(ch for ch in p.stem if ch.isdigit()))
 
@@ -201,9 +315,9 @@ def main() -> None:
 
     # Host-speed probe: q1 at sf0.01, min-of-3 — a fixed CPU-bound plan
     # whose runtime moves only with host load/speed, never with this
-    # repo's changes. Round-over-round comparisons divide per-query times
-    # by (probe_sec / prior probe_sec) to cancel the 1.2-1.4x whole-host
-    # drift that otherwise masquerades as regressions (r3-r5 lesson).
+    # repo's changes. Recorded as a diagnostic (which host phase the run
+    # started in); it no longer feeds any normalization — the same-run
+    # canary ratio below is the host-cancelling construction.
     probe_dir = "/root/testdata/sf0.01"
     probe_sec = None
     for _ in range(3):
@@ -227,36 +341,37 @@ def main() -> None:
     # 1.1s <-> 5.2s run-over-run without it).
     from tools.perf_protocol import _clear_orphan_persistent_rdds
 
-    def _probe_now() -> float:
+    def _probe_par_now() -> float:
+        """Parallel probe: q1 at the BENCH sf, min-of-3. A fixed 32-way
+        parallel scan+aggregate whose runtime moves only with whole-host
+        parallel throughput — the drift dimension the sf0.01 CPU probe is
+        blind to (tools/bench_drift_r11.json: 68/73 keys >=1.2x slower at
+        r11 open while the CPU probe matched r9 exactly)."""
         best = None
         for _ in range(3):
             _clear_orphan_persistent_rdds(spark)
             spark._jvm.System.gc()
             t0 = time.time()
-            REGISTRY["q1_pricing_summary"].fn(spark, probe_dir).write.format(
+            REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
                 "noop"
             ).mode("overwrite").save()
             e = time.time() - t0
             best = e if best is None else min(best, e)
         return round(best, 3)
 
-    # Mid-run probe SERIES (r11): the drift analysis
-    # (tools/bench_drift_r11.json) caught the probe moving 0.58 -> 0.29
-    # WITHIN one run — start/end probes (v2's mean) under-sample host
-    # oscillation on minute timescales, so any single-scalar
-    # normalization carries that variance. Re-probe every PROBE_EVERY
-    # keys; probe_series records (after_n_keys, probe_sec), and v4 below
-    # normalizes each key by its SEGMENT's probe mean — piecewise-flat
-    # load assumption instead of run-flat. ~4 s overhead per run.
-    PROBE_EVERY = 18
-    probe_series: list[dict] = [{"after_n_keys": 0, "probe_sec": probe_sec}]
+    probe_par = _probe_par_now()
+
+    # The keys run in canary-interleaved order: CANARY_KEYS at the
+    # 0/25/50/75/100% positions, everything else in list order between
+    # them. Each key's prev-record comparison is scaled by its bracketing
+    # canaries' this/prev ratios (piecewise host factor), instead of one
+    # run-scoped probe scalar sampled minutes away from the key it
+    # normalizes.
+    run_order = interleaved_order(list(BENCH_QUERIES), CANARY_KEYS)
+    assert sorted(run_order) == sorted(BENCH_QUERIES)
 
     times: dict[str, float] = {}
-    for i, name in enumerate(BENCH_QUERIES):
-        if i and i % PROBE_EVERY == 0:
-            probe_series.append(
-                {"after_n_keys": i, "probe_sec": _probe_now()}
-            )
+    for name in run_order:
         best = None
         for _ in range(2):
             _clear_orphan_persistent_rdds(spark)
@@ -268,49 +383,12 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 3)
 
-    # End-of-run probe: the same q1@sf0.01 min-of-3 re-measured AFTER the
-    # keys. If probe_sec_end drifts from probe_sec the host load CHANGED
-    # mid-run and per-key comparisons against other runs need the wider of
-    # the two windows — single-probe normalization silently assumes the
-    # run-long load was flat (observed ±25% graph-key wobble traced to
-    # exactly this).
-    probe_end = None
-    for _ in range(3):
-        _clear_orphan_persistent_rdds(spark)
-        spark._jvm.System.gc()
-        t0 = time.time()
-        REGISTRY["q1_pricing_summary"].fn(spark, probe_dir).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        e = time.time() - t0
-        probe_end = e if probe_end is None else min(probe_end, e)
-    probe_end = round(probe_end, 3)
-
-    # PARALLEL probe: q1 at the BENCH sf (sf0.1 by default), min-of-3.
-    # The r11 drift root-cause (tools/bench_drift_r11.json) showed the
-    # sf0.01 CPU probe is blind to a whole drift dimension: at r11 open
-    # 68/73 keys ran >=1.2x slower than the r9 record (median 1.459x,
-    # including plans untouched since round 1) while the CPU probe matched
-    # r9's level exactly at one iteration — the host had lost multi-core /
-    # memory-bandwidth throughput, which a single-plan sf0.01 run never
-    # exercises. q1@sf0.1 is a fixed 32-way parallel scan+aggregate whose
-    # runtime moves only with whole-host parallel throughput; normalizing
-    # by it reconciled the r11-open raw total to within 2.3% of r9's
-    # record. v3 = raw_total * (prev parallel probe / this parallel
-    # probe-mean) when the previous record carries one, else vs
-    # PROBE_PAR_REF (the r9-record q1@sf0.1 level, the last
-    # healthy-host point).
-    probe_par = None
-    for _ in range(3):
-        _clear_orphan_persistent_rdds(spark)
-        spark._jvm.System.gc()
-        t0 = time.time()
-        REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        e = time.time() - t0
-        probe_par = e if probe_par is None else min(probe_par, e)
-    probe_par = round(probe_par, 3)
+    # End-of-run parallel probe: v3 normalizes by the START/END mean, not
+    # a single end-phase sample — the same start/end symmetry v2 used for
+    # the CPU probe (r11 advice: a lone end-of-run probe_par inherits
+    # exactly the end-phase bias the probe series was built to remove).
+    probe_par_end = _probe_par_now()
+    probe_par_mean = round((probe_par + probe_par_end) / 2, 3)
 
     # Memory-bandwidth probe (r11): the numpy triad over LLC-busting
     # arrays, min-of-3, ~2 s. The r11 drift investigation measured this
@@ -337,40 +415,32 @@ def main() -> None:
         pass
 
     total = round(sum(times.values()), 3)
-    # Probe-normalized totals: raw_total scaled by PROBE_REF / probe cancels
-    # whole-host load drift, so BENCH_rN vs BENCH_r{N-1} comparison needs no
-    # judge arithmetic. PROBE_REF is the idle-host q1@sf0.01 min-of-3
-    # (tools/perf_protocol.py). v1 (r6 ask #6) normalized by the START probe
-    # only — silently assuming run-long load was flat; v2 (r7 ask #3)
-    # normalizes by the MEAN of the start/end probes, the unbiased estimate
-    # when load drifts mid-run (the interleaved-A/B finding).
-    from tools.perf_protocol import PROBE_PAR_REF, PROBE_REF
+    from tools.perf_protocol import PROBE_PAR_REF
 
-    probe_mean = round((probe_sec + probe_end) / 2, 3)
-
-    # Per-key delta vs the PREVIOUS COMMITTED record at matched probe
-    # (r7 ask #3): scale the previous run's per-key seconds to THIS run's
-    # probe level (prev_sec * probe_mean / prev_probe_mean), then delta =
-    # this_sec - prev_sec_at_matched_probe. Positive = slower than last
-    # round beyond what host load explains; launch jitter still applies to
+    # Per-key delta vs the PREVIOUS COMMITTED record at MATCHED CANARY
+    # (r11 verdict finding #2): for a key bracketed by canaries (a, b),
+    # host factor h = mean(times[a]/prev[a], times[b]/prev[b]); delta =
+    # this_sec - prev_sec * h. Positive = slower than last round beyond
+    # what the host state local to this key's segment explains. Canary
+    # keys themselves are the yardstick — excluded from delta_vs_prev,
+    # reported as canary_ratios instead. Launch jitter still applies to
     # sub-second keys (documented r7: ±0.1s).
-    delta_vs_prev: dict[str, float] = {}
     prev_record = None
+    prev = None
     prev_files = baseline_records(REPO, os.environ)
     if prev_files:
         prev_record = prev_files[-1].name
         prev = json.loads(prev_files[-1].read_text())
-        pp = [x for x in (prev.get("probe_sec"), prev.get("probe_sec_end")) if x]
-        prev_probe_mean = sum(pp) / len(pp) if pp else None
         if prev.get("sf") != sf:
-            prev_probe_mean = None  # cross-sf deltas are meaningless
-        if prev_probe_mean:
-            for k, v in times.items():
-                pv = prev.get("queries", {}).get(k)
-                if pv is not None:
-                    delta_vs_prev[k] = round(
-                        v - pv * probe_mean / prev_probe_mean, 3
-                    )
+            prev = None  # cross-sf comparisons are meaningless
+    canary_ratios, canary_ratio, delta_vs_prev = canary_deltas(
+        times, (prev or {}).get("queries", {}), list(BENCH_QUERIES), CANARY_KEYS
+    )
+
+    pp_ref = v3_reference(prev, sf, PROBE_PAR_REF)
+    normalized_total_v3 = (
+        round(total * pp_ref / probe_par_mean, 3) if pp_ref else None
+    )
 
     record = {
         "metric": "headline_queries_total_runtime",
@@ -379,21 +449,15 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "probe_sec": probe_sec,
-        "probe_sec_end": probe_end,
-        "probe_mean": probe_mean,
-        "probe_ref": PROBE_REF,
-        "normalized_total": round(total * PROBE_REF / probe_sec, 3),
-        "normalized_total_v2": round(total * PROBE_REF / probe_mean, 3),
         "probe_par_sec": probe_par,
-        "probe_par_ref": PROBE_PAR_REF,
-        "normalized_total_v3": round(total * PROBE_PAR_REF / probe_par, 3),
+        "probe_par_end": probe_par_end,
+        "probe_par_mean": probe_par_mean,
+        "probe_par_ref": pp_ref,
+        "normalized_total_v3": normalized_total_v3,
         "mem_bw_gbps": mem_bw,
-        "probe_series": probe_series + [
-            {"after_n_keys": len(BENCH_QUERIES), "probe_sec": probe_end}
-        ],
-        "normalized_total_v4": _v4_total(
-            times, list(BENCH_QUERIES), probe_series, probe_end, PROBE_REF
-        ),
+        "canary_keys": CANARY_KEYS,
+        "canary_ratios": canary_ratios,
+        "canary_ratio": canary_ratio,
         "prev_record": prev_record,
         "delta_vs_prev": delta_vs_prev,
     }
@@ -412,33 +476,11 @@ def main() -> None:
     spark.stop()
 
 
-def _v4_total(
-    times: dict,
-    key_order: list,
-    probe_series: list,
-    probe_end: float,
-    probe_ref: float,
-) -> float:
-    """Piecewise probe-normalized total: each key scaled by
-    probe_ref / (mean of the probes bracketing its segment). Robust to
-    the within-run host oscillation v1/v2's run-flat assumption misses
-    (tools/bench_drift_r11.json)."""
-    marks = probe_series + [
-        {"after_n_keys": len(key_order), "probe_sec": probe_end}
-    ]
-    total = 0.0
-    for i, name in enumerate(key_order):
-        seg = 0
-        while seg + 1 < len(marks) - 1 and marks[seg + 1]["after_n_keys"] <= i:
-            seg += 1
-        local = (marks[seg]["probe_sec"] + marks[seg + 1]["probe_sec"]) / 2
-        total += times[name] * probe_ref / local
-    return round(total, 3)
-
-
 def compact_record(record: dict) -> dict:
-    """The full bench record minus its two per-key maps, plus a delta
-    summary — size-bounded regardless of key count."""
+    """The full bench record minus its per-key maps, plus a delta
+    summary — size-bounded regardless of key count. canary_ratios stays
+    (fixed 5 keys, the headline host-factor evidence); ``probe_series``
+    is stripped defensively for old-format records passed through."""
     dv = sorted(record.get("delta_vs_prev", {}).values())
     compact = {
         k: v

@@ -68,14 +68,32 @@ def test_bench_compact_line_fits_driver_tail_window():
         "queries": {f"some_rather_long_query_name_{i:03d}": 1.234 for i in range(300)},
         "sf": 0.1,
         "probe_sec": 0.315,
-        "probe_sec_end": 0.243,
-        "probe_mean": 0.279,
-        "probe_ref": 0.53,
-        "normalized_total": 123.456,
-        "normalized_total_v2": 120.001,
         "probe_par_sec": 0.469,
+        "probe_par_end": 0.455,
+        "probe_par_mean": 0.462,
         "probe_par_ref": 0.489,
         "normalized_total_v3": 110.001,
+        "mem_bw_gbps": 9.73,
+        "canary_keys": [
+            "q1_pricing_summary",
+            "q3_shipping_priority",
+            "q6_forecast_revenue",
+            "window_running_total",
+            "agg_rollup_flag_status",
+        ],
+        "canary_ratios": {
+            "q1_pricing_summary": 1.02,
+            "q3_shipping_priority": 0.97,
+            "q6_forecast_revenue": 1.11,
+            "window_running_total": 1.05,
+            "agg_rollup_flag_status": 0.99,
+        },
+        "canary_ratio": 1.03,
+        # old-format field, must be stripped defensively (r11 advice):
+        "probe_series": [
+            {"after_n_keys": 18 * i, "probe_sec": 0.3 + 0.01 * i}
+            for i in range(5)
+        ],
         "prev_record": "bench_r7_local.json",
         "delta_vs_prev": {f"some_rather_long_query_name_{i:03d}": -0.123 for i in range(300)},
     }
@@ -86,11 +104,15 @@ def test_bench_compact_line_fits_driver_tail_window():
     assert back["n_queries"] == 300
     assert back["delta_summary"]["n"] == 300
     assert "queries" not in back and "delta_vs_prev" not in back
-    # r11 parallel-probe protocol fields must survive into the compact
-    # line — the driver-recorded BENCH_rN.json is where the judge reads
-    # normalized_total_v3 from (tools/bench_drift_r11.json rationale).
-    assert back["probe_par_sec"] == 0.469
+    assert "probe_series" not in back
+    # r12 protocol fields must survive into the compact line — the
+    # driver-recorded BENCH_rN.json is where the judge reads the raw
+    # total, the one surviving normalization, and the same-run canary
+    # ratio from (r11 verdict finding #2).
+    assert back["probe_par_mean"] == 0.462
     assert back["normalized_total_v3"] == 110.001
+    assert back["canary_ratio"] == 1.03
+    assert back["canary_ratios"]["q6_forecast_revenue"] == 1.11
 
 
 def test_every_entry_appears_in_a_committed_gate_artifact():

@@ -8,6 +8,7 @@ the executed plan must contain NO Exchange over the bucketed scans.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
@@ -132,7 +133,11 @@ def test_assign_buckets_widen_flag(spark):
         assign_buckets,
     )
 
-    target = spark.sparkContext.defaultParallelism
+    if spark.sparkContext.defaultParallelism <= 1:
+        pytest.skip(
+            "widen gate is a no-op at parallelism 1 — the RoundRobin-plan "
+            "assertion below needs a >1-core session (r11 advice)"
+        )
     corpus = (
         spark.range(64)
         .select(
@@ -160,4 +165,3 @@ def test_assign_buckets_widen_flag(spark):
     rows_w = sorted((r.id, r.centroid_id) for r in widened.collect())
     rows_u = sorted((r.id, r.centroid_id) for r in unwidened.collect())
     assert rows_w == rows_u and len(rows_w) == 64
-    assert target >= 1  # gate premise: defaultParallelism defined
