@@ -207,10 +207,15 @@ def canary_deltas(
 ) -> tuple[dict[str, float], float | None, dict[str, float]]:
     """(canary_ratios, canary_ratio, delta_vs_prev) — the matched-canary
     comparison. For a key bracketed by canaries (a, b), host factor
-    h = mean(times[a]/prev[a], times[b]/prev[b]) and
-    delta = this_sec - prev_sec * h. Canary keys are the yardstick and
-    never appear in delta_vs_prev. Empty/None when the previous record
-    lacks any canary key (cross-sf or pre-r1-format records)."""
+    h = (times[a] + times[b]) / (prev[a] + prev[b]) — the SUM ratio, not
+    the mean of per-canary ratios: the canaries are sub-second-to-2s
+    plans, so ±0.1 s launch jitter on one of them is ±30% of a per-canary
+    ratio, and the sum ratio damps that by magnitude-weighting (a jitter
+    hit on the 0.3 s canary can no longer swing an expensive neighbor's
+    delta by ±1 s). delta = this_sec - prev_sec * h. Canary keys are the
+    yardstick and never appear in delta_vs_prev. Empty/None when the
+    previous record lacks any canary key (cross-sf or pre-r1-format
+    records)."""
     if not all(prev_q.get(c) for c in canaries):
         return {}, None, {}
     ratios = {c: round(times[c] / prev_q[c], 3) for c in canaries}
@@ -224,7 +229,8 @@ def canary_deltas(
         if pv is None or k in canaries:
             continue
         a, b = brackets[k]
-        deltas[k] = round(v - pv * (ratios[a] + ratios[b]) / 2, 3)
+        h = (times[a] + times[b]) / (prev_q[a] + prev_q[b])
+        deltas[k] = round(v - pv * h, 3)
     return ratios, overall, deltas
 
 

@@ -70,9 +70,28 @@ def test_piecewise_host_factor_uses_local_canaries():
     prev = {k: 1.0 for k in KEYS}
     times = {"c0": 1.0, "k1": 1.0, "k2": 1.0, "c1": 1.0, "k3": 3.0, "k4": 3.0, "c2": 3.0}
     _, _, deltas = canary_deltas(times, prev, KEYS, CANARIES)
-    assert deltas["k1"] == pytest.approx(0.0)  # h = mean(1, 1) = 1
-    assert deltas["k4"] == pytest.approx(1.0)  # h = mean(1, 3) = 2 -> 3 - 2
+    assert deltas["k1"] == pytest.approx(0.0)  # h = (1+1)/(1+1) = 1
+    assert deltas["k4"] == pytest.approx(1.0)  # h = (1+3)/(1+1) = 2 -> 3 - 2
     # the same data under a run-flat factor (5/3) would misjudge both
+
+
+def test_bracket_factor_is_magnitude_weighted_against_small_canary_jitter():
+    """The bracket factor must be the SUM ratio, not the mean of
+    per-canary ratios: ±0.1 s launch jitter on a 0.25 s canary is a ±40%
+    per-canary ratio swing, and under a ratio-mean it would shift every
+    neighboring key's delta by ±20% of its prev time. Under the sum ratio
+    the same jitter moves h only by its share of the bracket's total."""
+    prev = {"c0": 0.25, "k1": 5.0, "c1": 2.0, "k3": 1.0, "k4": 1.0, "c2": 2.0}
+    keys = ["c0", "k1", "c1", "k3", "k4", "c2"]
+    # c0 jitters 0.25 -> 0.35 (+0.1 s); everything else exactly matches prev
+    times = dict(prev) | {"c0": 0.35}
+    _, _, deltas = canary_deltas(times, prev, keys, CANARIES)
+    # sum ratio h = (0.35+2.0)/(0.25+2.0) = 1.0444 -> |delta| bounded by
+    # prev_k1 * 0.0444 ~ 0.22; the ratio-mean construction would give
+    # h = (1.4+1.0)/2 = 1.2 -> delta -1.0, five times worse
+    assert abs(deltas["k1"]) < 0.25
+    # k4 sits in the (c1, c2) bracket, untouched by the c0 jitter
+    assert deltas["k4"] == pytest.approx(0.0)
 
 
 def test_real_regression_survives_host_cancellation():
