@@ -108,6 +108,28 @@ def test_window_covers_every_operator_family():
         )
 
 
+def test_no_oracle_backed_entry_escapes_certification():
+    """The r12 closure invariant, kept permanently: every oracle-bearing
+    registry entry is either already driver-certified (a committed
+    CORRECTNESS round) or in the CURRENT window (so the next driver run
+    certifies it). A new oracle-backed entry therefore cannot be added
+    without entering the window until certified — certification debt can
+    never silently re-accumulate. Rows-only entries are excluded by
+    contract (they can never hash-certify; each is pytest-pinned per
+    CATALOG.md)."""
+    window = set(list(plans.queries())[:50])
+    oracle_backed = set(plans.oracle_sql())
+    uncovered = sorted(
+        (oracle_backed & set(plans.REGISTRY))
+        - ever_driver_certified()
+        - window
+    )
+    assert uncovered == [], (
+        f"oracle-backed entries neither driver-certified nor in the "
+        f"current window: {uncovered}"
+    )
+
+
 def test_window_rotates_toward_rarely_certified_entries():
     """Certification-debt burndown is structural (r7 verdict ask #4): while
     many entries have never been driver-certified, each round's window must
