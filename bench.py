@@ -29,7 +29,21 @@ decision metrics are:
   one session);
 - ``canary_ratio``: the whole-run host factor (sum of canary times this
   run / previous record), the one-number answer to "was this run's host
-  faster or slower than the record it is compared against".
+  faster or slower than the record it is compared against";
+- ``canary_ratio_bw`` (r12 verdict finding #4): the five canaries above
+  are sub-second CPU-light scan/window plans, blind to the bandwidth
+  dimension of host drift (tools/bench_drift_r11.json: mem_bw swung
+  10.25 -> 2.32 GB/s while single-core CPU moved <12%) — so a
+  bandwidth-degraded phase shows up as a coherent POSITIVE delta offset
+  rather than being cancelled. This second yardstick is the this/prev
+  ratio of one shuffle/bandwidth-heavy plan (BW_CANARY_KEYS:
+  ``dedup_minhash_lsh``, present in every committed record since r8).
+  It ANNOTATES the deltas, it never rescales them: the five CPU
+  canaries and the delta construction are unchanged for cross-record
+  comparability, and the bw key keeps its ordinary bracket-scaled entry
+  in delta_vs_prev. Read them together: canary_ratio ~1 with
+  canary_ratio_bw >> 1 and a coherent positive delta offset = bandwidth
+  phase, not a plan regression.
 
 One absolute normalization survives: ``normalized_total_v3`` (raw total
 scaled by the parallel q1@bench-sf probe vs the last healthy-host
@@ -160,8 +174,9 @@ BENCH_QUERIES = [
 # ratio computes against ANY previous record with no schema migration. The
 # run executes them interleaved at the 0/25/50/75/100% positions of the key
 # sequence; every other key is bracketed by two canaries measured minutes
-# away at most, and its prev-record comparison is scaled by the mean of the
-# bracketing canaries' this/prev ratios.
+# away at most, and its prev-record comparison is scaled by the bracketing
+# canaries' SUM ratio (times[a]+times[b])/(prev[a]+prev[b]) — see
+# canary_deltas for why sum, not mean-of-ratios.
 CANARY_KEYS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -169,6 +184,31 @@ CANARY_KEYS = [
     "window_running_total",
     "agg_rollup_flag_status",
 ]
+
+# Bandwidth-class yardstick (r12 verdict finding #4): the five canaries
+# above are all CPU-light; this one is shuffle/bandwidth-heavy (tokenize +
+# minhash + banded self-join) and in every committed record since r8. It
+# stays an ORDINARY bench key — interleaved, bracket-scaled, present in
+# delta_vs_prev — and is additionally reported as canary_ratio_bw so a
+# bandwidth-degraded host phase is visible next to the CPU canary_ratio.
+BW_CANARY_KEYS = ["dedup_minhash_lsh"]
+
+
+def bw_canary_ratio(
+    times: dict[str, float],
+    prev_q: dict[str, float],
+    keys: list[str] = None,
+) -> float | None:
+    """Sum ratio of the bandwidth canaries this run vs the previous
+    record (same magnitude-weighted construction as the CPU canary
+    ratio). None when either side lacks a key (cross-sf or pre-r8
+    records). Annotates the record; feeds no delta."""
+    keys = BW_CANARY_KEYS if keys is None else keys
+    if not all(prev_q.get(k) and times.get(k) for k in keys):
+        return None
+    return round(
+        sum(times[k] for k in keys) / sum(prev_q[k] for k in keys), 3
+    )
 
 
 def interleaved_order(keys: list[str], canaries: list[str]) -> list[str]:
@@ -425,7 +465,8 @@ def main() -> None:
 
     # Per-key delta vs the PREVIOUS COMMITTED record at MATCHED CANARY
     # (r11 verdict finding #2): for a key bracketed by canaries (a, b),
-    # host factor h = mean(times[a]/prev[a], times[b]/prev[b]); delta =
+    # host factor h = (times[a]+times[b]) / (prev[a]+prev[b]) — the SUM
+    # ratio (commit 841a5a6; rationale in canary_deltas); delta =
     # this_sec - prev_sec * h. Positive = slower than last round beyond
     # what the host state local to this key's segment explains. Canary
     # keys themselves are the yardstick — excluded from delta_vs_prev,
@@ -442,6 +483,7 @@ def main() -> None:
     canary_ratios, canary_ratio, delta_vs_prev = canary_deltas(
         times, (prev or {}).get("queries", {}), list(BENCH_QUERIES), CANARY_KEYS
     )
+    canary_bw = bw_canary_ratio(times, (prev or {}).get("queries", {}))
 
     pp_ref = v3_reference(prev, sf, PROBE_PAR_REF)
     normalized_total_v3 = (
@@ -464,6 +506,8 @@ def main() -> None:
         "canary_keys": CANARY_KEYS,
         "canary_ratios": canary_ratios,
         "canary_ratio": canary_ratio,
+        "bw_canary_keys": BW_CANARY_KEYS,
+        "canary_ratio_bw": canary_bw,
         "prev_record": prev_record,
         "delta_vs_prev": delta_vs_prev,
     }

@@ -19,96 +19,89 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
 
 # The driver hash-checks exactly the FIRST 50 queries() entries in
 # registration order (CORRECTNESS_r01.json stopped at registration #50),
-# and errors `no_oracle` on any checked entry without SQL. This list puts
-# one oracle-backed entry per operator family (SURVEY.md §2 + §2.10) inside
-# that window: reference parity, relational core, event-time, streaming,
-# text analysis, dedup, similarity, multimodal. Everything else stays
-# registered after the window with local-harness + pytest coverage.
+# and errors `no_oracle` on any checked entry without SQL.
+#
+# ---- r13+ window: STALENESS ROTATION (r12 verdict ask #2). The r12
+# round closed the certification burn-down — every oracle-backed entry
+# (284/284) is driver-certified in some committed CORRECTNESS_r*.json —
+# so the window's purpose changes from coverage to freshness. Policy,
+# computed by tools/certification.py:rotation_window(WINDOW_ROUND - 1):
+# the parity pair stays pinned first (the driver smoke-checks the
+# reference surface every round), and the remaining 48 slots are the
+# oracle-backed entries with the OLDEST last-driver-certified round
+# (ties by name), selected from artifacts of rounds < WINDOW_ROUND so
+# the current round's own driver run never feeds its own selection.
+# A new oracle-backed entry has no certification history, sorts to the
+# very front, and therefore cannot escape the window until certified —
+# the rotation subsumes the r12 no-escape invariant.
+#
+# tests/test_catalog_window.py pins (a) this list == the policy output
+# and (b) WINDOW_ROUND == newest git-tracked CORRECTNESS round + 1, so
+# each round open (when the driver commits the previous round's
+# artifact) forces a recompute and re-certification recency has a floor
+# that only improves.
+WINDOW_ROUND = 13
+
+# rotation_window(12): parity pair + the 48 stalest — exactly the
+# r1-vintage TPC-H/setop/agg block (20), the r4 window/limit pair (2),
+# the r5 batch (17), and the r6 batch through `scalar_string_functions`
+# (9, ties by name; the next-stalest tier, r7, starts at
+# `agg_distinct_counts`).
 DRIVER_WINDOW = [
-    # ---- r12 window: certification closure, the FINAL burn-down round
-    # (r11 verdict ask #1). Exactly 52 catalog entries had never appeared
-    # in any CORRECTNESS_r*.json at r12 open; 47 of them are
-    # oracle-bearing and ALL 47 are in this window, so after this round
-    # every oracle-bearing entry (284/284) is driver-certified. The 5
-    # remaining never-certified entries are the rows-only contract set
-    # (`events_rolling_wau_hll`, `agg_hll_sketch_mergeable`,
-    # `kmeans_clusters`, `sim_ivf_kmeans_topk`,
-    # `streaming_stream_stream_left_join`) — structurally excluded from
-    # the hash window, each permanently covered by the pinning pytest
-    # named in CATALOG.md.
-    #
-    # Structural keepers (3 — the window is exactly 50, so 47 fresh
-    # leaves exactly 3 slots): the parity pair stays pinned in-window
-    # (tests/test_catalog_window.py — the driver smoke-checks the
-    # reference surface every round), and the third slot goes to
-    # `sim_ivf_topk` per r11 verdict ask #6: it is the oracle-bearing
-    # twin of the rows-only `sim_ivf_kmeans_topk`, keeping the
-    # un-certifiable entry's neighboring plan driver-touched. The r11
-    # keepers `streaming_entity_count` / `pipeline_full_dedup` rotate
-    # out: each is 3×+ driver-certified (r9/r10/r11) and the parity pin
-    # consumes two of the three available slots.
     "flagship_entity_count",
     "pipeline_parity_udf",
-    "sim_ivf_topk",
-    # Fresh batch (47): every remaining never-driver-certified
-    # oracle-bearing entry, pre-verified hash-green via
-    # `tools/driver_sim.py --only` at sf0.01 (commit 52b9ec2) and
-    # re-verified before this list landed.
-    # events_* tail (10):
-    "events_map_functions",
-    "events_dedup_first_per_key",
-    "events_variant_props",
-    "variant_explode_props",
-    "events_session_dynamic_gap",
-    "events_chi2_independence",
-    "events_ewma_smoothing",
-    "events_seasonal_naive_backtest",
-    "events_attribution_position",
-    "cogroup_click_attribution",
-    # analytics over orders/lineitem (3):
-    "customer_rfm_segments",
-    "revenue_pareto_curve",
-    "scd2_point_in_time_lookup",
-    # sampling family (5):
-    "sample_weighted_systematic",
-    "sample_poisson_bootstrap",
-    "sample_hash_bernoulli",
-    "sample_stratified_per_lang",
-    "sample_reservoir_per_key",
-    # text / corpus tail (12):
-    "text_gopher_repetition",
-    "text_docfreq_score",
-    "text_pii_redact",
-    "text_chunk_overlap",
-    "text_bigram_lm",
-    "text_vocab_growth",
-    "corpus_overlap_matrix",
-    "corpus_mixture_weights",
-    "corpus_source_entropy",
-    "bpe_pair_merge",
-    "search_phrase_positional",
-    "fuzzy_match_twostage",
-    # dedup / similarity / embeddings (4):
-    "dedup_cc_clusters",
-    "rec_item_item_cosine",
-    "mine_hard_negatives",
-    "emb_centroids_by_label",
-    # dataframe / vector surface (5):
-    "dataframe_na_functions",
-    "dataframe_transpose",
-    "vector_array_functions",
-    "vector_mapinarrow_stats",
-    "udf_arrow_scalar",
-    # ml / splits / reconciliation / observability (4):
-    "feature_target_encoding_loo",
-    "split_time_series_purged",
-    "reconcile_checksum_diff",
-    "observe_metrics_audit",
-    # streaming tail (4):
-    "streaming_corpus_clean",
-    "streaming_ewma_stateful",
-    "streaming_window_unique_users",
-    "streaming_dead_letter_queue",
+    # last certified r1 (20):
+    "agg_corr_price_qty",
+    "agg_cube_flag_status",
+    "agg_rollup_flag_status",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "setop_except_urgent_customers",
+    "setop_nation_intersect",
+    "setop_union_priorities",
+    "sql_surface_cte_union_all",
+    "text_fingerprint_clusters",
+    "text_posexplode_tokens",
+    # last certified r4 (2):
+    "events_window_range_frame",
+    "order_limit_top_orders",
+    # last certified r5 (17):
+    "agg_approx_sketches",
+    "agg_grouping_multi",
+    "date_functions_revenue",
+    "dedup_embedding_cosine",
+    "events_cdc_snapshot_diff",
+    "events_sliding_24h_12h",
+    "multimodal_pipeline",
+    "pack_training_sequences",
+    "pivot_status_by_flag",
+    "q13_customer_distribution",
+    "q5_regional_revenue",
+    "range_join_size_buckets",
+    "streaming_session_window",
+    "text_lang_source_stats",
+    "text_rolling_fingerprint",
+    "topk_parts_per_brand",
+    "window_running_total",
+    # last certified r6 (9, ties by name):
+    "audit_expectations_suite",
+    "dedup_ppjoin_prefix",
+    "events_from_json_struct",
+    "events_outlier_mad_2pass",
+    "grouped_map_normalize",
+    "part_skyline_pareto",
+    "q6_forecast_revenue",
+    "quantile_bucket_assignment",
+    "scalar_string_functions",
 ]
 
 reorder(DRIVER_WINDOW, window=50)

@@ -16,8 +16,10 @@ import pytest
 
 from bench import (
     BENCH_QUERIES,
+    BW_CANARY_KEYS,
     CANARY_KEYS,
     bracketing_canaries,
+    bw_canary_ratio,
     canary_deltas,
     compact_record,
     interleaved_order,
@@ -111,6 +113,54 @@ def test_canaries_never_appear_in_deltas_and_missing_prev_is_empty():
         {k: 1.0 for k in KEYS}, {"k1": 1.0}, KEYS, CANARIES
     )
     assert (ratios, overall, deltas) == ({}, None, {})
+
+
+def test_bw_canary_is_a_bench_key_disjoint_from_cpu_canaries():
+    """r12 verdict finding #4: the bw yardstick must be a real bench key
+    (so every committed record carries it) and must NOT join CANARY_KEYS
+    (the five CPU canaries stay untouched for cross-record
+    comparability; the bw key keeps its ordinary bracket-scaled entry in
+    delta_vs_prev)."""
+    assert BW_CANARY_KEYS == ["dedup_minhash_lsh"]
+    assert set(BW_CANARY_KEYS) <= set(BENCH_QUERIES)
+    assert not set(BW_CANARY_KEYS) & set(CANARY_KEYS)
+    # annotate, never rescale: the bw key is NOT excluded from deltas
+    prev = {k: 1.0 for k in KEYS} | {"dedup_minhash_lsh": 4.0}
+    keys = KEYS[:-1] + ["dedup_minhash_lsh", KEYS[-1]]
+    times = {k: 1.0 for k in KEYS} | {"dedup_minhash_lsh": 8.0}
+    _, _, deltas = canary_deltas(times, prev, keys, CANARIES)
+    assert "dedup_minhash_lsh" in deltas
+
+
+def test_bw_canary_ratio_construction():
+    """Sum-ratio construction, None on either side missing (cross-sf or
+    pre-r8 records) — same contract as the CPU canary ratio."""
+    assert bw_canary_ratio(
+        {"dedup_minhash_lsh": 6.0}, {"dedup_minhash_lsh": 3.0}
+    ) == pytest.approx(2.0)
+    assert bw_canary_ratio({"dedup_minhash_lsh": 6.0}, {}) is None
+    assert bw_canary_ratio({}, {"dedup_minhash_lsh": 3.0}) is None
+    # multi-key form stays magnitude-weighted (sum ratio, not ratio mean)
+    assert bw_canary_ratio(
+        {"a": 0.35, "b": 2.0}, {"a": 0.25, "b": 2.0}, keys=["a", "b"]
+    ) == pytest.approx((0.35 + 2.0) / (0.25 + 2.0), abs=1e-3)
+
+
+def test_bw_canary_ratio_survives_compact_record():
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {k: 1.0 for k in KEYS},
+        "sf": 0.1,
+        "canary_ratio": 1.0,
+        "canary_ratio_bw": 1.8,
+        "bw_canary_keys": BW_CANARY_KEYS,
+        "delta_vs_prev": {},
+    }
+    back = compact_record(record)
+    assert back["canary_ratio_bw"] == 1.8
+    assert back["bw_canary_keys"] == BW_CANARY_KEYS
 
 
 def test_v3_reference_selection_and_cross_sf_guard():

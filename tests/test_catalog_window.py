@@ -130,29 +130,46 @@ def test_no_oracle_backed_entry_escapes_certification():
     )
 
 
-def test_window_rotates_toward_rarely_certified_entries():
-    """Certification-debt burndown is structural (r7 verdict ask #4): while
-    many entries have never been driver-certified, each round's window must
-    carry a meaningful batch of FRESH ones. Fresh = driver-certified in at
-    most ONE round — so the guard stays green when the current round's
-    CORRECTNESS file lands (each in-window entry gains exactly one
-    certification), but forces rotation once a batch has been certified
-    twice. Floor scales down with remaining debt so late rounds can't
-    deadlock."""
-    from certification import driver_history
+def test_window_is_the_staleness_rotation():
+    """Post-closure window policy (r12 verdict ask #2): with the
+    certification burn-down complete, the window must equal
+    ``rotation_window(WINDOW_ROUND - 1)`` — parity pair pinned, then the
+    48 oracle-backed entries with the oldest last-certified driver round
+    (ties by name). The policy reads only CORRECTNESS artifacts of rounds
+    < WINDOW_ROUND, so the assertion is stable when the current round's
+    own artifact lands (the r8-r11 burn-down guard's grace property,
+    kept). This replaces test_window_rotates_toward_rarely_certified_
+    entries: its fresh pool (<=1x-certified) was a burn-down construct;
+    staleness rank is the post-closure generalization."""
+    from certification import rotation_window
 
-    window = set(list(plans.queries())[:50])
-    hist = driver_history()
-    certified_rounds = {
-        name: sum(1 for ok in rounds.values() if ok)
-        for name, rounds in hist.items()
-    }
-    fresh_pool = {
-        n for n in plans.REGISTRY if certified_rounds.get(n, 0) <= 1
-    }
-    need = min(10, len(fresh_pool))
-    fresh = len(window & fresh_pool)
-    assert fresh >= need, (
-        f"window carries {fresh} fresh (<=1x-certified) entries; need >= "
-        f"{need} ({len(fresh_pool)} fresh entries remain in the registry)"
+    assert plans.DRIVER_WINDOW == rotation_window(plans.WINDOW_ROUND - 1)
+
+
+def test_window_round_tracks_committed_driver_artifacts():
+    """Forcing function for the rotation: WINDOW_ROUND must be exactly one
+    past the newest GIT-TRACKED CORRECTNESS round. The driver writes
+    CORRECTNESS_r{N}.json after round N's final commit (untracked — this
+    guard stays green for the round-N judge) and it is committed at round
+    N+1 open, at which point this test goes red until the builder bumps
+    WINDOW_ROUND and recomputes the window — so the window can never
+    silently serve two rounds and re-certification recency has a floor
+    that only improves."""
+    import re
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    rounds = [int(re.search(r"_r0*(\d+)\.json$", p).group(1)) for p in tracked]
+    assert rounds, "no committed CORRECTNESS artifacts — cannot anchor"
+    assert plans.WINDOW_ROUND == max(rounds) + 1, (
+        f"WINDOW_ROUND={plans.WINDOW_ROUND} but newest committed driver "
+        f"artifact is r{max(rounds)}: recompute DRIVER_WINDOW via "
+        f"tools/certification.py:rotation_window and bump WINDOW_ROUND"
     )

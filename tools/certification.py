@@ -136,6 +136,57 @@ def last_certified(repo: Path = REPO) -> dict[str, dict]:
     return out
 
 
+# The driver smoke-checks the reference-parity surface every round, so the
+# parity pair never rotates out (tests/test_catalog_window.py).
+PARITY_PINNED = ["flagship_entity_count", "pipeline_parity_udf"]
+WINDOW_SIZE = 50
+
+
+def rotation_window(upto_round: int, repo: Path = REPO) -> list[str]:
+    """The post-closure staleness-rotation window (r12 verdict ask #2).
+
+    With the certification burn-down complete (r12: every oracle-backed
+    entry driver-certified at least once), the window's purpose changes
+    from coverage to freshness: parity pair pinned first, then the 48
+    oracle-backed entries with the OLDEST last-certified driver round
+    (ties broken by name), computed from CORRECTNESS artifacts of rounds
+    <= ``upto_round`` only. The cutoff makes the function deterministic
+    against committed history: the current round's own artifact (written
+    by the driver AFTER the window is chosen) never feeds the selection.
+
+    A brand-new oracle-backed entry has no certification at any round, so
+    ``last = 0`` sorts it to the very front — the rotation policy
+    subsumes the r12 no-escape invariant instead of fighting it.
+    """
+    drv = driver_history(repo)
+    oracle = _oracle_backed_names()
+
+    def last(name: str) -> int:
+        return max(
+            (r for r, g in drv.get(name, {}).items() if g and r <= upto_round),
+            default=0,
+        )
+
+    pool = sorted(
+        (n for n in oracle if n not in PARITY_PINNED),
+        key=lambda n: (last(n), n),
+    )
+    return PARITY_PINNED + pool[: WINDOW_SIZE - len(PARITY_PINNED)]
+
+
+def _oracle_backed_names() -> set[str]:
+    """Registry entries WITH an oracle, against the live registry."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from sparkstreamingrealtimedatawithkafka_spark.plans import (
+        REGISTRY,
+        oracle_sql,
+    )
+
+    return set(REGISTRY) & set(oracle_sql())
+
+
 def orphans(registry_names: set[str], repo: Path = REPO) -> list[str]:
     """Registered entries appearing in NO committed artifact — i.e. added
     since the last full local gate. Should be empty at round close."""
