@@ -1,0 +1,63 @@
+"""tools/round_open.py — the round-open checklist helper.
+
+Pins the paste-ready window literal (it must round-trip to exactly the
+policy list, with correct group headers) and the tracked-round reader the
+rotation-due check keys off. The helper is read-only by contract; these
+tests exercise its computation, not any mutation (there is none)."""
+
+import ast
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+from round_open import (  # noqa: E402
+    tracked_correctness_rounds,
+    untracked_driver_artifacts,
+    window_literal,
+)
+from certification import rotation_window  # noqa: E402
+
+from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: E402
+    DRIVER_WINDOW,
+    WINDOW_ROUND,
+)
+
+
+def test_tracked_rounds_sorted_and_reach_r12():
+    rounds = tracked_correctness_rounds()
+    assert rounds == sorted(rounds)
+    assert rounds[-1] >= 12  # r12 closed the certification burn-down
+
+
+def test_window_literal_round_trips_to_policy_list():
+    window = rotation_window(WINDOW_ROUND - 1)
+    lit = window_literal(window, WINDOW_ROUND - 1)
+    # eval the emitted assignment back into a list
+    body = lit.split("=", 1)[1]
+    assert ast.literal_eval(body.strip()) == window
+    # and the policy list is the committed one (the window test pins this
+    # too; here it guards that the literal is generated for the SAME list)
+    assert window == list(DRIVER_WINDOW)
+
+
+def test_window_literal_group_headers_count_correctly():
+    window = rotation_window(WINDOW_ROUND - 1)
+    lit = window_literal(window, WINDOW_ROUND - 1)
+    headers = re.findall(r"# last certified r(\d+) \((\d+)\):", lit)
+    assert headers, "expected at least one group header"
+    # group counts must sum to the 48 rotating slots
+    assert sum(int(c) for _, c in headers) == len(window) - 2
+    # groups appear in ascending staleness order (oldest round first)
+    rounds = [int(r) for r, _ in headers]
+    assert rounds == sorted(rounds)
+
+
+def test_untracked_artifacts_subset_of_disk():
+    loose = untracked_driver_artifacts()
+    # every reported name exists on disk and matches the driver pattern
+    for name in loose:
+        assert (REPO / name).exists()
+        assert re.fullmatch(r"(BENCH|CORRECTNESS)_r\d+\.json", name)
