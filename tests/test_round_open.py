@@ -61,3 +61,49 @@ def test_untracked_artifacts_subset_of_disk():
     for name in loose:
         assert (REPO / name).exists()
         assert re.fullmatch(r"(BENCH|CORRECTNESS)_r\d+\.json", name)
+
+
+def test_rotation_advances_after_simulated_next_round(tmp_path):
+    """Dry-run of the r14 round open: fake a CORRECTNESS_r13 that
+    certifies the whole current window, and the rotation must advance to
+    the next-stalest tier with ZERO overlap against the just-certified
+    rotating slots (parity pair stays pinned). This exercises the exact
+    path the helper runs at the real round boundary."""
+    import json
+    import shutil
+
+    from certification import driver_history
+
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path / p.name)
+    nxt_round = WINDOW_ROUND  # the round the driver certifies next
+    fake = {
+        n: {
+            "err": None,
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+        }
+        for n in DRIVER_WINDOW
+    }
+    (tmp_path / f"CORRECTNESS_r{nxt_round}.json").write_text(json.dumps(fake))
+
+    nxt = rotation_window(nxt_round, repo=tmp_path)
+    assert nxt[:2] == list(DRIVER_WINDOW[:2])  # parity pair pinned
+    assert len(nxt) == 50
+    # no just-certified rotating slot may reappear immediately
+    assert not set(DRIVER_WINDOW[2:]) & set(nxt[2:])
+    # the new rotating slots are strictly staler than the round just run
+    drv = driver_history(tmp_path)
+
+    def last(name):
+        return max(
+            (r for r, g in drv.get(name, {}).items() if g and r <= nxt_round),
+            default=0,
+        )
+
+    assert all(last(n) < nxt_round for n in nxt[2:])
+    # and the emitted literal for that future window round-trips too
+    lit = window_literal(nxt, nxt_round, repo=tmp_path)
+    body = lit.split("=", 1)[1]
+    assert ast.literal_eval(body.strip()) == nxt
