@@ -197,18 +197,21 @@ BW_CANARY_KEYS = ["dedup_minhash_lsh"]
 def bw_canary_ratio(
     times: dict[str, float],
     prev_q: dict[str, float],
-    keys: list[str] = None,
+    keys: list[str] | None = None,
 ) -> float | None:
     """Sum ratio of the bandwidth canaries this run vs the previous
     record (same magnitude-weighted construction as the CPU canary
     ratio). None when either side lacks a key (cross-sf or pre-r8
-    records). Annotates the record; feeds no delta."""
+    records) or the previous sums to zero. A legitimate 0.0 timing is
+    a present key, not a missing one (r13 advice). Annotates the
+    record; feeds no delta."""
     keys = BW_CANARY_KEYS if keys is None else keys
-    if not all(prev_q.get(k) and times.get(k) for k in keys):
+    if any(prev_q.get(k) is None or times.get(k) is None for k in keys):
         return None
-    return round(
-        sum(times[k] for k in keys) / sum(prev_q[k] for k in keys), 3
-    )
+    prev_sum = sum(prev_q[k] for k in keys)
+    if prev_sum <= 0:
+        return None
+    return round(sum(times[k] for k in keys) / prev_sum, 3)
 
 
 def interleaved_order(keys: list[str], canaries: list[str]) -> list[str]:

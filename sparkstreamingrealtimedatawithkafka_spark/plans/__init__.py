@@ -40,68 +40,65 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
 # each round open (when the driver commits the previous round's
 # artifact) forces a recompute and re-certification recency has a floor
 # that only improves.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
-# rotation_window(12): parity pair + the 48 stalest — exactly the
-# r1-vintage TPC-H/setop/agg block (20), the r4 window/limit pair (2),
-# the r5 batch (17), and the r6 batch through `scalar_string_functions`
-# (9, ties by name; the next-stalest tier, r7, starts at
-# `agg_distinct_counts`).
+# rotation_window(13): parity pair + the 48 stalest — the r7-vintage
+# tier from `agg_distinct_counts` (10, ties by name) and the r8 batch
+# (38: the dedup/LSH family, the events time-series block, the graph
+# family, and the streaming-stateful tail).
 DRIVER_WINDOW = [
     "flagship_entity_count",
     "pipeline_parity_udf",
-    # last certified r1 (20):
-    "agg_corr_price_qty",
-    "agg_cube_flag_status",
-    "agg_rollup_flag_status",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_rich_customers",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "setop_except_urgent_customers",
-    "setop_nation_intersect",
-    "setop_union_priorities",
-    "sql_surface_cte_union_all",
-    "text_fingerprint_clusters",
-    "text_posexplode_tokens",
-    # last certified r4 (2):
-    "events_window_range_frame",
-    "order_limit_top_orders",
-    # last certified r5 (17):
-    "agg_approx_sketches",
-    "agg_grouping_multi",
-    "date_functions_revenue",
-    "dedup_embedding_cosine",
-    "events_cdc_snapshot_diff",
-    "events_sliding_24h_12h",
-    "multimodal_pipeline",
-    "pack_training_sequences",
-    "pivot_status_by_flag",
-    "q13_customer_distribution",
-    "q5_regional_revenue",
-    "range_join_size_buckets",
-    "streaming_session_window",
-    "text_lang_source_stats",
-    "text_rolling_fingerprint",
-    "topk_parts_per_brand",
-    "window_running_total",
-    # last certified r6 (9, ties by name):
-    "audit_expectations_suite",
-    "dedup_ppjoin_prefix",
-    "events_from_json_struct",
-    "events_outlier_mad_2pass",
-    "grouped_map_normalize",
-    "part_skyline_pareto",
-    "q6_forecast_revenue",
-    "quantile_bucket_assignment",
-    "scalar_string_functions",
+    # last certified r7 (10):
+    "agg_distinct_counts",
+    "agg_stats_distribution",
+    "dedup_exact_docs",
+    "join_anti_customers_no_urgent",
+    "join_semi_orders_bigqty",
+    "pipeline_corpus_clean",
+    "q1_pricing_summary",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    # last certified r8 (38):
+    "dedup_cc_clusters_star",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_snm_multipass",
+    "dedup_sorted_neighborhood",
+    "emb_pca_power_iteration",
+    "events_asof_last_purchase",
+    "events_clamped_running_balance",
+    "events_cusum_changepoint",
+    "events_holt_linear_forecast",
+    "events_interval_overlap",
+    "events_seasonal_decompose",
+    "events_session_window",
+    "events_ts_subsequence_search",
+    "events_ts_znorm_search",
+    "events_tumbling_daily",
+    "graph_community_lpa",
+    "graph_kcore",
+    "graph_pagerank_copurchase",
+    "graph_triangle_count",
+    "ml_tree_ensemble_score",
+    "multimodal_audio_fingerprint",
+    "multimodal_decode_pgm",
+    "privacy_dp_noisy_counts",
+    "search_bm25_topk",
+    "setop_union_intersect_except",
+    "sim_incremental_topk",
+    "sim_topk_bruteforce",
+    "sim_topk_int8_quantized",
+    "split_train_valid_test",
+    "sql_recursive_cte",
+    "streaming_dedup_within_watermark",
+    "streaming_incremental_topk",
+    "streaming_multi_sink_fanout",
+    "streaming_stateful_user_stats",
+    "streaming_stream_stream_join",
+    "streaming_windowed_counts",
 ]
 
 reorder(DRIVER_WINDOW, window=50)

@@ -43,16 +43,43 @@ def test_window_literal_round_trips_to_policy_list():
     assert window == list(DRIVER_WINDOW)
 
 
+# Matches both header forms the literal emits: "r<N>" for certified
+# groups and "NEVER (new entry)" for the last=0 group a brand-new entry
+# lands in (r13 advice: the NEVER group must count toward the sum too).
+_HEADER_RE = re.compile(
+    r"# last certified (?:r(\d+)|NEVER \(new entry\)) \((\d+)\):"
+)
+
+
 def test_window_literal_group_headers_count_correctly():
     window = rotation_window(WINDOW_ROUND - 1)
     lit = window_literal(window, WINDOW_ROUND - 1)
-    headers = re.findall(r"# last certified r(\d+) \((\d+)\):", lit)
+    headers = _HEADER_RE.findall(lit)
     assert headers, "expected at least one group header"
     # group counts must sum to the 48 rotating slots
     assert sum(int(c) for _, c in headers) == len(window) - 2
-    # groups appear in ascending staleness order (oldest round first)
-    rounds = [int(r) for r, _ in headers]
+    # groups appear in ascending staleness order (NEVER == round 0 first)
+    rounds = [int(r) if r else 0 for r, _ in headers]
     assert rounds == sorted(rounds)
+
+
+def test_window_literal_counts_never_group(tmp_path):
+    """A never-certified entry must land under a counted NEVER header —
+    the exact path the old regex missed (r13 advice)."""
+    import json
+    import shutil
+
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path / p.name)
+    # A fabricated window containing one name with no certification
+    # history anywhere: the literal generator groups it as NEVER.
+    window = list(DRIVER_WINDOW[:2]) + ["zz_brand_new_entry"] + list(
+        DRIVER_WINDOW[2:10]
+    )
+    lit = window_literal(window, WINDOW_ROUND - 1, repo=tmp_path)
+    headers = _HEADER_RE.findall(lit)
+    assert ("", "1") in headers, "NEVER group missing or uncounted"
+    assert sum(int(c) for _, c in headers) == len(window) - 2
 
 
 def test_untracked_artifacts_subset_of_disk():

@@ -20,9 +20,34 @@ from __future__ import annotations
 
 import json
 import re
+import subprocess
+import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def _artifact_paths(repo: Path, pattern: str) -> list[Path]:
+    """Round artifacts to read: when ``repo`` is a git checkout, only the
+    git-TRACKED files matching ``pattern``, so an untracked or stray
+    artifact on disk cannot silently change certification history or the
+    rotation window (r13 advice). Non-git dirs (test fixtures writing
+    artifacts straight to ``tmp_path``) fall back to a plain disk glob.
+    Disk content of tracked files is assumed to match git — the round
+    protocol commits driver artifacts before any tool reads them, and
+    tests/test_catalog_integrity.py guards the tracking."""
+    if not (repo / ".git").exists():
+        return sorted(repo.glob(pattern))
+    tracked = subprocess.run(
+        ["git", "ls-files", pattern],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    return sorted(repo / f for f in tracked)
 
 
 def _round_of(path: Path) -> int:
@@ -49,9 +74,6 @@ def _rows_only_names() -> set[str]:
     global _ROWS_ONLY
     if _ROWS_ONLY is None:
         try:
-            import sys
-
-            sys.path.insert(0, str(REPO))
             from sparkstreamingrealtimedatawithkafka_spark.plans import (
                 REGISTRY,
                 oracle_sql,
@@ -71,7 +93,7 @@ def driver_history(repo: Path = REPO) -> dict[str, dict[int, bool]]:
     skipped/absent hash check is NOT certification (r8 advice)."""
     rows_only = _rows_only_names()
     hist: dict[str, dict[int, bool]] = {}
-    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+    for path in _artifact_paths(repo, "CORRECTNESS_r*.json"):
         rnd = _round_of(path)
         for name, rec in json.loads(path.read_text()).items():
             if not isinstance(rec, dict):
@@ -95,7 +117,7 @@ def localgate_history(repo: Path = REPO) -> dict[str, dict[int, bool]]:
     history; variant artifacts (e.g. the sf0.1 depth gate
     ``LOCALGATE_sf01_r8.json``) deliberately sit outside the glob."""
     hist: dict[str, dict[int, bool]] = {}
-    for path in sorted(repo.glob("LOCALGATE_r*.json")):
+    for path in _artifact_paths(repo, "LOCALGATE_r*.json"):
         rnd = _round_of(path)
         entries = json.loads(path.read_text()).get("entries", {})
         for name, rec in entries.items():
@@ -119,7 +141,7 @@ def last_certified(repo: Path = REPO) -> dict[str, dict]:
     drv = driver_history(repo)
     lg = localgate_history(repo)
     sec: dict[str, dict[int, float]] = {}
-    for path in sorted(repo.glob("LOCALGATE_r*.json")):
+    for path in _artifact_paths(repo, "LOCALGATE_r*.json"):
         rnd = _round_of(path)
         for name, rec in json.loads(path.read_text()).get("entries", {}).items():
             if "sec" in rec:
@@ -149,10 +171,14 @@ def rotation_window(upto_round: int, repo: Path = REPO) -> list[str]:
     entry driver-certified at least once), the window's purpose changes
     from coverage to freshness: parity pair pinned first, then the 48
     oracle-backed entries with the OLDEST last-certified driver round
-    (ties broken by name), computed from CORRECTNESS artifacts of rounds
-    <= ``upto_round`` only. The cutoff makes the function deterministic
-    against committed history: the current round's own artifact (written
-    by the driver AFTER the window is chosen) never feeds the selection.
+    (ties broken by name), computed from git-TRACKED CORRECTNESS
+    artifacts of rounds <= ``upto_round`` only (``_artifact_paths``).
+    Two guards make the function deterministic against committed
+    history: the tracked-only read means a stray untracked artifact
+    cannot feed the selection, and the round cutoff keeps the current
+    round out even once its artifact is committed. Note ``repo``
+    redirects only the artifact history; the oracle-backed
+    classification is always the live in-repo registry.
 
     A brand-new oracle-backed entry has no certification at any round, so
     ``last = 0`` sorts it to the very front — the rotation policy
@@ -174,17 +200,22 @@ def rotation_window(upto_round: int, repo: Path = REPO) -> list[str]:
     return PARITY_PINNED + pool[: WINDOW_SIZE - len(PARITY_PINNED)]
 
 
+_ORACLE_BACKED: set[str] | None = None
+
+
 def _oracle_backed_names() -> set[str]:
-    """Registry entries WITH an oracle, against the live registry."""
-    import sys
+    """Registry entries WITH an oracle, against the live registry.
+    Cached on first successful import (module-level sys.path setup, no
+    per-call path accumulation — r13 advice)."""
+    global _ORACLE_BACKED
+    if _ORACLE_BACKED is None:
+        from sparkstreamingrealtimedatawithkafka_spark.plans import (
+            REGISTRY,
+            oracle_sql,
+        )
 
-    sys.path.insert(0, str(REPO))
-    from sparkstreamingrealtimedatawithkafka_spark.plans import (
-        REGISTRY,
-        oracle_sql,
-    )
-
-    return set(REGISTRY) & set(oracle_sql())
+        _ORACLE_BACKED = set(REGISTRY) & set(oracle_sql())
+    return _ORACLE_BACKED
 
 
 def orphans(registry_names: set[str], repo: Path = REPO) -> list[str]:

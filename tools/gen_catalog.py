@@ -66,7 +66,13 @@ def first_line(doc: str) -> str:
 
 
 def main(check_orphans: bool = False) -> int:
-    from certification import last_certified, orphans
+    from certification import (
+        PARITY_PINNED,
+        WINDOW_SIZE,
+        _oracle_backed_names,
+        last_certified,
+        orphans,
+    )
 
     cert = last_certified(REPO)
     _check_pins({n for n, s in REGISTRY.items() if not s.oracle})
@@ -86,6 +92,21 @@ def main(check_orphans: bool = False) -> int:
         rows.append((family, name, check, drv, lg, first_line(spec.doc)))
 
     n_drv = sum(1 for r in rows if r[3] != "—")
+    # Rotation cadence + staleness floor as computed facts (r13 verdict
+    # ask #5): at `slots` rotating slots/round over the non-pinned
+    # oracle-backed pool, a full re-certification cycle takes
+    # ceil(pool/slots) rounds; the oldest driver certification among
+    # oracle-backed entries is the catalog's current staleness floor.
+    import math
+
+    oracle = _oracle_backed_names()
+    pool = len(oracle - set(PARITY_PINNED))
+    slots = WINDOW_SIZE - len(PARITY_PINNED)
+    cadence = math.ceil(pool / slots)
+    oldest = min(
+        (cert[n]["driver"] for n in oracle if cert.get(n, {}).get("driver")),
+        default=None,
+    )
     out = [
         "# Query catalog",
         "",
@@ -102,6 +123,12 @@ def main(check_orphans: bool = False) -> int:
         "last committed full-catalog run of the same harness",
         "(`LOCALGATE_r{N}.json`), with that run's wall-time. History is",
         "parsed from the committed round artifacts by `tools/certification.py`.",
+        "",
+        f"Rotation cadence: {slots} rotating slots/round over {pool}",
+        f"non-pinned oracle-backed entries = full re-certification every",
+        f"~{cadence} rounds; oldest driver certification currently in the",
+        f"catalog: {'r%d' % oldest if oldest else 'n/a'} "
+        f"({n_drv}/{len(rows)} ever certified).",
         "Scale knobs per family: see [DEPLOY.md](DEPLOY.md).",
         "",
     ]

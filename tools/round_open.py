@@ -122,15 +122,27 @@ def main() -> int:
         print(f"FATAL: cannot import plans package: {exc}")
         return 2
 
-    due = WINDOW_ROUND != newest + 1
+    # Only WINDOW_ROUND lagging the tracked history means a rotation is
+    # due. WINDOW_ROUND *ahead* of it means the previous round's driver
+    # artifact hasn't been committed yet — pointing at a downgrade there
+    # would instruct undoing a correct bump (r13 advice).
+    due = WINDOW_ROUND < newest + 1
+    ahead = WINDOW_ROUND > newest + 1
     print(f"newest git-tracked CORRECTNESS round: r{newest}")
     print(f"package WINDOW_ROUND:                 {WINDOW_ROUND}")
-    print(
-        "rotation: DUE — bump WINDOW_ROUND to "
-        f"{newest + 1} and regenerate the list below"
-        if due
-        else "rotation: current (WINDOW_ROUND == newest tracked + 1)"
-    )
+    if due:
+        print(
+            "rotation: DUE — bump WINDOW_ROUND to "
+            f"{newest + 1} and regenerate the list below"
+        )
+    elif ahead:
+        print(
+            "rotation: WINDOW_ROUND is ahead of tracked history — commit "
+            f"CORRECTNESS_r{WINDOW_ROUND - 1}.json (see untracked-artifacts "
+            "step below), do NOT downgrade WINDOW_ROUND"
+        )
+    else:
+        print("rotation: current (WINDOW_ROUND == newest tracked + 1)")
 
     loose = untracked_driver_artifacts()
     if loose:
@@ -159,7 +171,7 @@ def main() -> int:
         "python tools/gen_catalog.py; re-probe FIXTURES.md asks; "
         "full gates (sf0.01 + sf0.1) AFTER the round's last plan commit."
     )
-    return 1 if due or loose else 0
+    return 1 if due or ahead or loose else 0
 
 
 if __name__ == "__main__":
