@@ -84,6 +84,21 @@ def assign_buckets(
 
     centroids: (centroid_id, cvec). Output: (id, vec, centroid_id).
 
+    Shape (r14): the centroid table is folded into ONE row holding the
+    (centroid_id, cvec, cnorm) array, broadcast, and each vector picks
+    its ``n_probe`` nearest entries with pure array expressions —
+    ``array_sort`` on (−csim, centroid_id) keys over k entries, then a
+    slice + explode. The previous form ranked a crossJoin-exploded
+    (vector × centroid) table with a row_number window PARTITIONED BY
+    VECTOR ID, which shuffled the whole corpus (vectors included) once
+    on id for the window and again for whatever keyed op came next —
+    the assignment itself is a per-row argmin and never needed an
+    exchange. Plan diff on ``sim_ivf_topk``: the corpus side drops from
+    scan → Exchange(id) → Window → Exchange(centroid_id) to scan →
+    Exchange(centroid_id); ordering semantics are identical (csim DESC,
+    centroid_id ASC — the sort key packs −csim first, id second, and
+    ties break to the smaller centroid exactly like the window did).
+
     ``widen=False`` skips widen_for_compute for callers assigning a frame
     whose compute is negligible (e.g. ivf_topk's ~32-row query probe side,
     r10 advice) — widening there is a pointless extra shuffle.
@@ -91,14 +106,33 @@ def assign_buckets(
     sel = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     v = _with_norm(widen_for_compute(sel) if widen else sel, "vec", "vnorm")
     c = _with_norm(centroids.select("centroid_id", "cvec"), "cvec", "cnorm")
-    scored = v.crossJoin(F.broadcast(c)).withColumn(
-        "csim", dot(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))
+    carr = c.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cvec", "cnorm"))
+        ).alias("cents")
     )
-    w = W.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n_probe)
-        .select("id", "vec", "centroid_id")
+    scored = v.crossJoin(F.broadcast(carr)).select(
+        "id",
+        "vec",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda ce: F.struct(
+                        (
+                            -dot(F.col("vec"), ce["cvec"])
+                            / (F.col("vnorm") * ce["cnorm"])
+                        ).alias("negsim"),
+                        ce["centroid_id"].alias("centroid_id"),
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        ).alias("near"),
+    )
+    return scored.select(
+        "id", "vec", F.explode("near.centroid_id").alias("centroid_id")
     )
 
 
@@ -159,7 +193,14 @@ def ivf_topk(
     ).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "centroid_id"
     )
-    cand = bucketed.join(probed, "centroid_id").withColumn(
+    # The probe side is |queries| x n_probe rows — small by contract (a
+    # query batch, not a corpus). Broadcast it explicitly so the bucketed
+    # corpus never shuffles on centroid_id (static planning put a
+    # SortMergeJoin here: 16 distinct join keys over corpus-sized rows is
+    # also exactly where bucket skew would bite a shuffle join at scale);
+    # with the assign_buckets array rewrite above this leaves the corpus
+    # side with ZERO key exchanges end-to-end.
+    cand = bucketed.join(F.broadcast(probed), "centroid_id").withColumn(
         "sim",
         dot(F.col("cvec_n"), F.col("qvec")) / (norm(F.col("cvec_n")) * norm(F.col("qvec"))),
     )

@@ -21,6 +21,9 @@ from pyspark.sql.window import Window as W
 
 from sparkstreamingrealtimedatawithkafka_spark.operators.asof import asof_join
 from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import exact_dedup
+from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
+    spread_narrow_scan,
+)
 from sparkstreamingrealtimedatawithkafka_spark.plans._util import cents, sql_cents, t
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 
@@ -41,8 +44,15 @@ GROUP BY event_type
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string scalar access (the batch analogue of the reference's
-    Kafka-value parse, spark_entity_counter.py:127-128)."""
-    ev = t(spark, sf_dir, "events")
+    Kafka-value parse, spark_entity_counter.py:127-128).
+
+    The per-row JSON parse is the cost here and it sits in the
+    aggregate's partial phase — on a narrow scan that means one core; the
+    scan is spread by event_id (spread_narrow_scan — no-op at scale; the
+    5-value group key itself would be a skewed spread) so parsing runs at
+    cluster parallelism and only the 5-row partials cross the group
+    exchange. Integer sums — partitioning cannot move the result."""
+    ev = spread_narrow_scan(t(spark, sf_dir, "events"), "event_id")
     return ev.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
@@ -503,8 +513,11 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores a compact binary encoding, and each path access is a cheap
     typed probe — the right default for schema-on-read event props at
     100 TB. The DuckDB oracle replays the same extraction with its JSON
-    functions."""
-    ev = t(spark, sf_dir, "events")
+    functions. Scan spread by event_id (spread_narrow_scan — no-op at
+    scale) so the parse_json cost runs at cluster parallelism instead of
+    in the single scan split's partial-aggregate phase; sums are BIGINT,
+    so partitioning cannot move the result."""
+    ev = spread_narrow_scan(t(spark, sf_dir, "events"), "event_id")
     v = ev.select("event_type", F.parse_json("props").alias("v"))
     return v.groupBy("event_type").agg(
         F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),

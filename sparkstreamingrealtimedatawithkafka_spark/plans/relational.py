@@ -3414,9 +3414,16 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.92 -> 2.34 s at sf0.1)."""
     from sparkstreamingrealtimedatawithkafka_spark.operators.graph import pagerank_int
 
+    from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
+        spread_narrow_scan,
+    )
+
     li = t(spark, sf_dir, "lineitem")
+    # collect_set is low-reduction: on a narrow scan its partial phase is
+    # the whole job on one core; spread by the grouping key (the exchange
+    # the aggregate needed anyway — see spread_narrow_scan, no-op at scale)
     baskets = (
-        li.select("l_orderkey", "l_partkey")
+        spread_narrow_scan(li.select("l_orderkey", "l_partkey"), "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
@@ -3712,9 +3719,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     found exactly once (w1.v < w2.v dedups wedge symmetry), then exploded
     to its three member nodes for the per-node count: one final shuffle
     on the node key."""
+    from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
+        spread_narrow_scan,
+    )
+
     li = t(spark, sf_dir, "lineitem")
+    # collect_set is low-reduction: on a narrow scan its partial phase is
+    # the whole job on one core; spread by the grouping key (the exchange
+    # the aggregate needed anyway — see spread_narrow_scan, no-op at scale)
     baskets = (
-        li.select("l_orderkey", "l_partkey")
+        spread_narrow_scan(li.select("l_orderkey", "l_partkey"), "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )

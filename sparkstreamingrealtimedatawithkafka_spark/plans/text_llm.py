@@ -38,6 +38,9 @@ from sparkstreamingrealtimedatawithkafka_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
 )
+from sparkstreamingrealtimedatawithkafka_spark.operators.skew import (
+    spread_narrow_scan,
+)
 from sparkstreamingrealtimedatawithkafka_spark.plans._util import t
 from sparkstreamingrealtimedatawithkafka_spark.plans.registry import register
 
@@ -91,8 +94,14 @@ def pipeline_parity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result through the reference's actual execution plane: an
     Arrow-vectorized pandas UDF with lazy per-worker extractor and
     fail-soft-to-[] semantics (spark_entity_counter.py:45-87). Empty entity
-    arrays drop at explode, as in the reference (:136)."""
-    docs = t(spark, sf_dir, "documents")
+    arrays drop at explode, as in the reference (:136).
+
+    Scan spread by doc_id before the UDF (spread_narrow_scan — no-op at
+    scale): the Python plane is per-partition workers, so a single-split
+    scan serializes the whole extraction through ONE worker; spreading
+    fans the Arrow batches across the cluster's workers. Result is a
+    pure integer count — partitioning cannot move it."""
+    docs = spread_narrow_scan(t(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.withColumn("entities", TX.extract_entities_udf(F.col("text")))
         .select(F.explode("entities").alias("entity"))
@@ -361,8 +370,14 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → quality score → token-count bounds → fingerprint keep-first
     dedup. Everything is a column expression, so Catalyst fuses the filters
     into the scan and the only shuffle is the dedup window on the
-    fingerprint — the shape this engine exists for at 100 TB."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    fingerprint — the shape this engine exists for at 100 TB. Scan
+    spread by doc_id (spread_narrow_scan — no-op at scale) so tokenize +
+    fingerprint run at cluster parallelism on narrow fixtures; the
+    keep-first window is rank-deterministic, so partitioning cannot move
+    the result."""
+    docs = spread_narrow_scan(
+        t(spark, sf_dir, "documents").filter(F.col("lang") == "en"), "doc_id"
+    )
     toks = TX.tokenize("text")
     n = F.size(toks)
     stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
@@ -497,8 +512,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (tokenize-once): the banding chain and the verify join-back both
     consume the table, and each would otherwise replay the scan + shingle
     compute ([[self-referencing-plan-recompute]]; A/B at sf0.1:
-    2.64 s -> 2.34 s, identical output)."""
-    docs = t(spark, sf_dir, "documents")
+    2.64 s -> 2.34 s, identical output). The scan is spread by doc_id
+    before shingling (spread_narrow_scan — no-op at scale) so the
+    shingle compute, the checkpoint, and the signature aggregation's
+    partial phase all run at cluster parallelism on narrow fixtures
+    instead of on the single scan split."""
+    docs = spread_narrow_scan(t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", TX.word_shingles("text", 2).alias("sh")
     ).localCheckpoint()
@@ -513,8 +532,10 @@ def dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition that keeps LSH linear when the corpus carries heavy
     exact duplication (measured 12× faster than raw LSH at 10× duplicated
     data). The 100 TB default. Oracle: all-pairs ground truth restricted to
-    the per-fingerprint representatives the first stage keeps."""
-    docs = t(spark, sf_dir, "documents")
+    the per-fingerprint representatives the first stage keeps. Scan
+    spread by doc_id before shingling/fingerprinting (spread_narrow_scan
+    — no-op at scale)."""
+    docs = spread_narrow_scan(t(spark, sf_dir, "documents"), "doc_id")
     prepared = docs.select(
         "doc_id",
         TX.word_shingles("text", 2).alias("sh"),
@@ -538,8 +559,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bucket candidate expansions at 5000 docs vs 149k at 9 bits — stays
     inside the generating codegen stage (~0.25s measured), so recall wins
     the trade; exact verification still decides membership, so the oracle
-    is the all-pairs ground truth, as in dedup_minhash_lsh."""
-    docs = t(spark, sf_dir, "documents")
+    is the all-pairs ground truth, as in dedup_minhash_lsh. Scan spread
+    by doc_id before shingling (spread_narrow_scan — no-op at scale)."""
+    docs = spread_narrow_scan(t(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", TX.word_shingles("text", 2).alias("sh"))
     return simhash_near_dup_pairs(
         sh, "doc_id", "sh", chunk_bits=8, hamming_max=15, jaccard_threshold=0.5
@@ -577,13 +599,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHORTER side's shingle sample — the banding dial, not a new plan
     shape. The O(n²) comparison lives only in the oracle. Shingles are
     materialized once for the banding + verify consumers (same A/B as
-    dedup_minhash_lsh: 2.30 s -> 2.06 s at sf0.1, identical output)."""
+    dedup_minhash_lsh: 2.30 s -> 2.06 s at sf0.1, identical output).
+    Scan spread by doc_id before shingling (spread_narrow_scan — no-op
+    at scale)."""
     from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
         minhash_band_table,
         verify_containment,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = spread_narrow_scan(t(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select(
         "doc_id", TX.word_shingles("text", 2).alias("sh")
     ).localCheckpoint()
@@ -1313,8 +1337,10 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB train side streams through one hash join on the gram string and
     one groupBy(doc_id); the corpus is never shuffled on raw text. With a
     non-broadcastable eval set the same plan degrades gracefully to a
-    shuffle join on the gram key."""
-    docs = t(spark, sf_dir, "documents")
+    shuffle join on the gram key. Scan spread by doc_id before the
+    3-gram explode (spread_narrow_scan — no-op at scale) so gram
+    construction runs at cluster parallelism on narrow fixtures."""
+    docs = spread_narrow_scan(t(spark, sf_dir, "documents"), "doc_id")
     tk = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(tk) >= 3,
@@ -1920,8 +1946,9 @@ def pipeline_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the composition end-to-end — the oracle replays exact grouping,
     all-pairs Jaccard ground truth (recall-1 corpus, see
     _all_pairs_bigram_oracle), and a recursive-CTE closure in one SQL
-    statement."""
-    docs = t(spark, sf_dir, "documents")
+    statement. Scan spread by doc_id before shingling/fingerprinting
+    (spread_narrow_scan — no-op at scale)."""
+    docs = spread_narrow_scan(t(spark, sf_dir, "documents"), "doc_id")
     prepared = docs.select(
         "doc_id",
         TX.word_shingles("text", 2).alias("sh"),
@@ -3587,8 +3614,13 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the banded join's bounded buckets; family size is data-bounded).
     dHash is gradient-based, so the usual production perturbations
     (brightness shift, re-encode) keep colliding — the property that
-    makes this the image dedup key of crawl pipelines."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    makes this the image dedup key of crawl pipelines. The id scan is
+    spread before synthesis (spread_narrow_scan — no-op at scale) so the
+    encode → resize → dhash Arrow chain runs at cluster parallelism
+    instead of on the fixture's single scan split."""
+    docs = spread_narrow_scan(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     base = docs.select(
         "doc_id",
         F.repeat(F.md5(F.expr("CAST(doc_id div 4 AS STRING)")), 4).alias("b0"),
@@ -3759,8 +3791,14 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE shuffle on a 16-byte key (the ``dedup_exact_docs`` cost
     class). Production swaps the synthetic waveforms for real uploads
     and the energy frames for spectral bands — the dataflow, invariance
-    argument, and exact-integer discipline are unchanged."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    argument, and exact-integer discipline are unchanged. The id scan is
+    spread before synthesis (spread_narrow_scan — 5000 longs through one
+    tiny exchange, no-op at scale) so the synthesize → RIFF-encode →
+    parse → fingerprint Arrow chain runs at cluster parallelism instead
+    of on the fixture's single scan split."""
+    docs = spread_narrow_scan(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     syn = docs.select(
         "doc_id",
         F.expr(
@@ -3972,8 +4010,11 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ppjoin_shingle_table(docs: DataFrame) -> DataFrame:
     """(doc_id, s): distinct bigram-shingle sets, empty sets dropped.
     Callers localCheckpoint — it feeds df build, prefix explode, AND the
-    verify join-back."""
-    return docs.select(
+    verify join-back. The scan is spread by doc_id before shingling
+    (spread_narrow_scan — no-op at scale and on non-scan inputs) so the
+    shingle compute and the checkpoint run at cluster parallelism on
+    narrow fixtures."""
+    return spread_narrow_scan(docs, "doc_id").select(
         "doc_id", F.array_distinct(TX.word_shingles("text", 2)).alias("s")
     ).filter(F.size("s") > 0)
 
@@ -4137,7 +4178,10 @@ def _snm_ranked(docs: DataFrame, key: Column | None = None) -> DataFrame:
     if key is None:
         key = F.array_join(F.slice(toks, 1, 4), " ")
     s = (
-        docs.select(
+        # spread the narrow scan by doc_id so key/shingle construction and
+        # the bucket window's sort run at cluster parallelism (no-op at
+        # scale; the bucket window repartitions on bkt regardless)
+        spread_narrow_scan(docs, "doc_id").select(
             "doc_id",
             key.alias("k"),
             F.array_distinct(TX.word_shingles("text", 2)).alias("sh"),
