@@ -4908,18 +4908,33 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u"
         ),
     )
+    # The replicate aggregate runs per INPUT ROW x B — the query's hot
+    # loop — so it stays in int64 (r14: it was DECIMAL(38,0), i.e. one
+    # BigDecimal allocation per row-lane; the swap cut the aggregate's
+    # executor CPU severalfold with bit-identical output). Exactness
+    # bound: s_b = Σ w·c per (priority, replicate) with w ≤ 7, so int64
+    # holds while Σ 7·cents per priority < 2^63 — at TPC-H scale ~1.5e11
+    # orders x ~1.5e7 cents x 7 ≈ 2e19/5 priorities ≈ 3e18 < 9.2e18, with
+    # the oracle's HUGEINT as the cross-check that would fail loudly
+    # first. The micro-cent replicate mean keeps EXACT integer semantics
+    # through the split floor-div identity
+    # (a*k) div n == (a div n)*k + ((a mod n)*k) div n  (a, k, n >= 0),
+    # whose intermediates fit int64 where a*k would not; DECIMAL survives
+    # only in the B x priority-sized moment table (160 rows), where m²
+    # genuinely exceeds int64.
     rep = (
         rw.withColumn("w", F.expr(_BOOT_W_CASE))
         .groupBy("o_orderpriority", "b")
         .agg(
             F.expr("CAST(SUM(w) AS BIGINT)").alias("n_b"),
-            F.expr(
-                "CAST(SUM(CAST(w AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"
-            ).alias("s_b"),
+            F.expr("CAST(SUM(w * c) AS BIGINT)").alias("s_b"),
         )
     )
     m = rep.filter(F.col("n_b") > 0).select(
-        "o_orderpriority", F.expr("(s_b * 1000000) div n_b").alias("m")
+        "o_orderpriority",
+        F.expr(
+            "(s_b div n_b) * 1000000 + ((s_b % n_b) * 1000000) div n_b"
+        ).alias("m"),
     )
     stats = m.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("bb"),
@@ -4928,12 +4943,14 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     point = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(cents("o_totalprice")).cast("decimal(38,0)").alias("s"),
+        F.sum(cents("o_totalprice")).alias("s"),
     )
     return point.join(stats, "o_orderpriority").select(
         "o_orderpriority",
         "n_orders",
-        F.expr("CAST((s * 1000000) div n_orders AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "(s div n_orders) * 1000000 + ((s % n_orders) * 1000000) div n_orders"
+        ).alias("mean_micro"),
         F.expr(
             "ROUND(sqrt(CAST(bb * sm2 - sm * sm AS DOUBLE)"
             " / CAST(bb * (bb - 1) AS DOUBLE)), 4)"

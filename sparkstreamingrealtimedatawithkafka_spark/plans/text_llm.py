@@ -370,14 +370,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → quality score → token-count bounds → fingerprint keep-first
     dedup. Everything is a column expression, so Catalyst fuses the filters
     into the scan and the only shuffle is the dedup window on the
-    fingerprint — the shape this engine exists for at 100 TB. Scan
-    spread by doc_id (spread_narrow_scan — no-op at scale) so tokenize +
-    fingerprint run at cluster parallelism on narrow fixtures; the
-    keep-first window is rank-deterministic, so partitioning cannot move
-    the result."""
-    docs = spread_narrow_scan(
-        t(spark, sf_dir, "documents").filter(F.col("lang") == "en"), "doc_id"
-    )
+    fingerprint — the shape this engine exists for at 100 TB. (r14: a
+    spread_narrow_scan here was tried and REVERTED — this entry's
+    single-shuffle plan is a pinned contract
+    (tests/test_plan_shapes.py::test_corpus_clean_single_shuffle) and
+    its pre-exchange work measures ~0.1 s, below the spread's
+    break-even.)"""
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = TX.tokenize("text")
     n = F.size(toks)
     stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
