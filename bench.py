@@ -519,28 +519,63 @@ def main() -> None:
     # round driver keeps only the final ~2000 chars of stdout and parses
     # the JSON it finds there; the full line outgrew that window at 73
     # keys (BENCH_r06/r07 both record parsed:null with the head of the
-    # line truncated away). The compact line carries every scalar + a
-    # delta summary and always fits (pinned by
-    # tests/test_catalog_integrity.py), so the per-round BENCH artifact is
-    # machine-readable again; per-key detail lives in the committed
-    # local record.
+    # line truncated away). r15 measurement fix (r14 verdict finding #1):
+    # the compact line now carries a per-key ``queries`` map again — as
+    # many keys as fit the tail window, heaviest first at centisecond
+    # precision — because PERF's per_query/geomean/scaling blocks read
+    # the parsed line and had been empty since the key count outgrew the
+    # window. All 73 full key names at any precision need ~2130 chars of
+    # map alone (sum of key names is ~1540), so a single complete line
+    # is arithmetically impossible; the greedy heaviest-first subset puts
+    # every key that carries performance signal inside the window and
+    # omits only the cheapest sub-second tail (queries_omitted counts
+    # them; the committed full record keeps all keys at 3dp).
+    # Size-bounded by tests/test_catalog_integrity.py.
     print(json.dumps(record))
-    print(json.dumps(compact_record(record)))
+    print(json.dumps(compact_record(record), separators=(",", ":")))
     spark.stop()
 
 
-def compact_record(record: dict) -> dict:
-    """The full bench record minus its per-key maps, plus a delta
-    summary — size-bounded regardless of key count. canary_ratios stays
-    (fixed 5 keys, the headline host-factor evidence); ``probe_series``
-    is stripped defensively for old-format records passed through."""
+# Hard budget for the serialized compact line: the driver's stdout tail
+# is 2000 chars (measured: BENCH_r14.json tail length exactly 2000) and
+# must contain the complete final line plus its newline; 1900 leaves
+# margin for multi-digit timings in a degraded host phase.
+COMPACT_LINE_BUDGET = 1900
+
+
+def compact_record(record: dict, budget: int = COMPACT_LINE_BUDGET) -> dict:
+    """The full bench record minus its bulky maps, plus a delta summary
+    and a size-bounded per-key ``queries`` subset (heaviest keys first,
+    centisecond precision) so the round driver's ~2000-char stdout tail
+    window parses per-key data again (r14 verdict finding #1).
+
+    Dropped relative to the full record (which the committed
+    tools/bench_rN_local.json keeps in full): ``delta_vs_prev`` (the
+    summary survives), the per-canary ratio map and canary key lists
+    (``canary_ratio`` / ``canary_ratio_bw`` scalars survive), and the
+    redundant probe samples (``probe_par_mean`` survives).
+    ``probe_series`` is stripped defensively for old-format records."""
     dv = sorted(record.get("delta_vs_prev", {}).values())
-    compact = {
-        k: v
-        for k, v in record.items()
-        if k not in ("queries", "delta_vs_prev", "probe_series")
-    }
-    compact["n_queries"] = len(record.get("queries", {}))
+    drop = (
+        "queries",
+        "delta_vs_prev",
+        "probe_series",
+        # compact-line-only trims (full record keeps them):
+        "probe_sec",
+        "probe_par_sec",
+        "probe_par_end",
+        "probe_par_ref",
+        "canary_keys",
+        "canary_ratios",
+        "bw_canary_keys",
+        # free-text commentary some committed records carry — never spend
+        # tail budget on it:
+        "note",
+        "per_key_detail",
+    )
+    compact = {k: v for k, v in record.items() if k not in drop}
+    times = record.get("queries", {})
+    compact["n_queries"] = len(times)
     compact["delta_summary"] = (
         {
             "n": len(dv),
@@ -552,7 +587,19 @@ def compact_record(record: dict) -> dict:
         if dv
         else None
     )
-    compact["per_key_detail"] = "committed tools/bench_r*_local.json"
+    # Greedy heaviest-first per-key subset: deterministic order
+    # (-seconds, name), stop at the first key that would overflow the
+    # budget — the kept set is then exactly the heaviest prefix, so the
+    # driver-visible map can only ever omit the cheapest tail.
+    compact["queries"] = {}
+    compact["queries_omitted"] = 0
+    for key in sorted(times, key=lambda k: (-times[k], k)):
+        compact["queries"][key] = round(times[key], 2)
+        # Measured exactly as printed (compact separators).
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][key]
+            break
+    compact["queries_omitted"] = len(times) - len(compact["queries"])
     return compact
 
 

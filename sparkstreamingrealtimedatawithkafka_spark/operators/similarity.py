@@ -102,6 +102,17 @@ def assign_buckets(
     ``widen=False`` skips widen_for_compute for callers assigning a frame
     whose compute is negligible (e.g. ivf_topk's ~32-row query probe side,
     r10 advice) — widening there is a pointless extra shuffle.
+
+    Precondition (r14 advice #2): similarities must be FINITE AND
+    NON-NULL — i.e. no null embedding elements and no zero-norm vectors.
+    The old ``desc(csim)`` window sorted NaN first and NULL last, while
+    the ascending struct sort puts a NaN negsim last and a NULL negsim
+    field first, so a degenerate sim could be assigned differently than
+    the pre-r14 shape. No fixture (and no caller in this repo) produces
+    one: every embedding is a dense non-null array with a positive norm,
+    and the oracle replays the assignment exactly. A caller feeding
+    possibly-degenerate embeddings at scale must pre-filter
+    (``norm(vec) > 0``, no null elements) or nanvl-guard before calling.
     """
     sel = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     v = _with_norm(widen_for_compute(sel) if widen else sel, "vec", "vnorm")
@@ -161,6 +172,18 @@ def ivf_topk(
       baseline (the ``sim_ivf_topk`` catalog entry pins it explicitly).
       Weakness: if the first N vectors are correlated (clustered real
       data), the buckets are lopsided and recall collapses.
+
+    CONTRACT (r14 advice #3): ``queries`` must be a query BATCH — small
+    enough that |queries| x n_probe rows broadcast safely (well under the
+    8 GB / 512M-row broadcast cap; in practice <= a few hundred thousand
+    rows). The candidate join broadcasts the probe side UNCONDITIONALLY
+    so the bucketed corpus never shuffles on the 16-value centroid key
+    (static planning chose a SortMergeJoin there — corpus-sized rows over
+    n_centroids hash buckets is exactly where a shuffle join skews at
+    scale). A caller with a corpus-sized ``queries`` frame must chunk it
+    into batches (or drop the broadcast hint); passing it whole would
+    build an unbounded broadcast where static planning previously
+    degraded gracefully to the skew-prone sort-merge join.
     """
     if centroid_strategy == "kmeans":
         from sparkstreamingrealtimedatawithkafka_spark.operators.clustering import (

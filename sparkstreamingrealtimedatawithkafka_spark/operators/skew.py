@@ -90,7 +90,20 @@ def est_scan_splits(df: DataFrame) -> int | None:
 
     The estimate can OVERSTATE effective parallelism (a file splits only
     at row-group boundaries), which errs toward NOT repartitioning — the
-    same blindness df.rdd's split count has."""
+    same blindness df.rdd's split count has.
+
+    r15 (r14 advice #1): the old ``len(files) >= defaultParallelism``
+    shortcut counted FILES, but Spark bin-packs small files into few
+    partitions (openCost charging), so a many-tiny-files input could
+    read as "wide" while actually planning to 1-2 partitions — declining
+    to widen exactly the compute-dense narrow frame the gate exists for.
+    Now the packing is simulated faithfully (openCost padding in
+    bytesPerCore, maxSplitBytes chunking, Next-Fit-Decreasing packing
+    with per-file openCost charging — SQLConf/FilePartition semantics);
+    the only remaining no-stat shortcut is the PROVABLE one: every file
+    charges openCost toward a partition of capacity <= maxPartitionBytes,
+    so len(files) * openCost >= maxPartitionBytes * target guarantees
+    >= target partitions regardless of sizes."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -99,8 +112,10 @@ def est_scan_splits(df: DataFrame) -> int | None:
         return None
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if len(files) >= target:
-        return len(files)
+    max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", "128m")
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", "4m")
+    if open_cost > 0 and len(files) * open_cost >= max_pb * target:
+        return len(files) * open_cost // max_pb  # provably >= target
     import os
 
     total = 0
@@ -115,11 +130,31 @@ def est_scan_splits(df: DataFrame) -> int | None:
             return None
         sizes.append(n)
         total += n
-    max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", "128m")
-    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", "4m")
     min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum", str(target)) or target)
-    max_split = min(max_pb, max(open_cost, total // max(min_pn, 1) + 1))
-    return sum(-(-n // max_split) for n in sizes)
+    # Spark charges openCost per file into bytesPerCore before capping.
+    bytes_per_core = (total + open_cost * len(files)) // max(min_pn, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    if max_split <= 0:
+        return len(files)
+    # Chunk each file at maxSplitBytes, then Next-Fit-Decreasing pack:
+    # a chunk joins the current partition unless it would overflow
+    # maxSplitBytes; each chunk charges size + openCost to the bin.
+    chunks: list[int] = []
+    for n in sizes:
+        full, rem = divmod(n, max_split)
+        chunks.extend([max_split] * int(full))
+        if rem or n == 0:
+            chunks.append(rem)
+    parts = 0
+    cur = 0
+    for ch in sorted(chunks, reverse=True):
+        if cur + ch > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += ch + open_cost
+    if cur > 0:
+        parts += 1
+    return parts
 
 
 def spread_narrow_scan(df: DataFrame, *keys: str) -> DataFrame:

@@ -40,65 +40,66 @@ from sparkstreamingrealtimedatawithkafka_spark.plans import (  # noqa: F401,E402
 # each round open (when the driver commits the previous round's
 # artifact) forces a recompute and re-certification recency has a floor
 # that only improves.
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
-# rotation_window(13): parity pair + the 48 stalest — the r7-vintage
-# tier from `agg_distinct_counts` (10, ties by name) and the r8 batch
-# (38: the dedup/LSH family, the events time-series block, the graph
-# family, and the streaming-stateful tail).
+# rotation_window(14): parity pair + the 48 stalest — the r8-vintage
+# text/UDAF tier (4), the r9 batch (43: the agg/stats tier, the events
+# analytics block, merge/privacy/setop surfaces, the connector sinks,
+# and the streaming alarm tail), and the r10 leftover (1).
 DRIVER_WINDOW = [
     "flagship_entity_count",
     "pipeline_parity_udf",
-    # last certified r7 (10):
-    "agg_distinct_counts",
-    "agg_stats_distribution",
-    "dedup_exact_docs",
-    "join_anti_customers_no_urgent",
-    "join_semi_orders_bigqty",
-    "pipeline_corpus_clean",
-    "q1_pricing_summary",
-    "text_langid",
-    "text_quality",
-    "text_token_stats",
-    # last certified r8 (38):
-    "dedup_cc_clusters_star",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_snm_multipass",
-    "dedup_sorted_neighborhood",
-    "emb_pca_power_iteration",
-    "events_asof_last_purchase",
-    "events_clamped_running_balance",
-    "events_cusum_changepoint",
-    "events_holt_linear_forecast",
-    "events_interval_overlap",
-    "events_seasonal_decompose",
-    "events_session_window",
-    "events_ts_subsequence_search",
-    "events_ts_znorm_search",
-    "events_tumbling_daily",
-    "graph_community_lpa",
-    "graph_kcore",
-    "graph_pagerank_copurchase",
-    "graph_triangle_count",
-    "ml_tree_ensemble_score",
-    "multimodal_audio_fingerprint",
-    "multimodal_decode_pgm",
-    "privacy_dp_noisy_counts",
-    "search_bm25_topk",
-    "setop_union_intersect_except",
-    "sim_incremental_topk",
-    "sim_topk_bruteforce",
-    "sim_topk_int8_quantized",
-    "split_train_valid_test",
-    "sql_recursive_cte",
-    "streaming_dedup_within_watermark",
-    "streaming_incremental_topk",
-    "streaming_multi_sink_fanout",
-    "streaming_stateful_user_stats",
-    "streaming_stream_stream_join",
-    "streaming_windowed_counts",
+    # last certified r8 (4):
+    "text_chunker",
+    "text_winnowing_fingerprints",
+    "udaf_grouped_agg_pandas",
+    "web_url_normalize",
+    # last certified r9 (43):
+    "agg_argmax_minby",
+    "agg_correlation_matrix",
+    "agg_countmin_sketch",
+    "agg_higher_moments",
+    "agg_linear_regression",
+    "decontaminate_ngram_overlap",
+    "dedup_ngram_jaccard",
+    "events_anomaly_zscore",
+    "events_asof_nearest",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_gapfill_resample",
+    "events_growth_accounting",
+    "events_json_extract",
+    "events_rolling_wau",
+    "events_sessionization_stats",
+    "events_transition_matrix",
+    "geo_grid_distance_join",
+    "graph_link_prediction_jaccard",
+    "join_bucketed_colocated",
+    "lateral_topk_per_brand",
+    "merge_scd2_history",
+    "merge_upsert_scd1",
+    "ml_confusion_metrics",
+    "ml_score_logistic",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "q16_supplier_cnt",
+    "q21_sole_blame_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "sink_partitioned_parquet",
+    "source_csv_json_roundtrip",
+    "streaming_cusum_alarms",
+    "streaming_dedup_keys",
+    "streaming_topk_trending",
+    "text_bpe_token_count",
+    "unpivot_melt",
+    "web_domain_quota",
+    "web_robots_filter",
+    "window_analytics",
+    "window_function_suite",
+    # last certified r10 (1):
+    "ab_test_welch_t",
 ]
 
 reorder(DRIVER_WINDOW, window=50)

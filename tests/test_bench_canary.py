@@ -160,7 +160,9 @@ def test_bw_canary_ratio_survives_compact_record():
     }
     back = compact_record(record)
     assert back["canary_ratio_bw"] == 1.8
-    assert back["bw_canary_keys"] == BW_CANARY_KEYS
+    # r15: the constant key LIST is full-record-only — the compact line
+    # spends its tail budget on the per-key queries map instead.
+    assert "bw_canary_keys" not in back
 
 
 def test_v3_reference_selection_and_cross_sf_guard():

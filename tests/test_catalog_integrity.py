@@ -56,7 +56,10 @@ def test_bench_compact_line_fits_driver_tail_window():
     and parses the JSON it finds there; bench.py therefore prints a
     compact summary line LAST. Pin that it stays parseable and inside the
     window even at 4x today's key count — otherwise BENCH_rN.json silently
-    regresses to parsed:null (the r6/r7 state)."""
+    regresses to parsed:null (the r6/r7 state). Since r15 the compact
+    line carries a size-bounded heaviest-first per-key ``queries`` subset
+    (r14 verdict finding #1: PERF per_query/geomean/scaling were empty
+    because the parsed line had no per-key map)."""
     import json
 
     from bench import compact_record
@@ -97,14 +100,20 @@ def test_bench_compact_line_fits_driver_tail_window():
         "prev_record": "bench_r7_local.json",
         "delta_vs_prev": {f"some_rather_long_query_name_{i:03d}": -0.123 for i in range(300)},
     }
-    line = json.dumps(compact_record(record))
-    assert len(line) < 1500, f"compact bench line too long: {len(line)}"
+    # serialized exactly as bench.py prints it (compact separators)
+    line = json.dumps(compact_record(record), separators=(",", ":"))
+    assert len(line) < 1950, f"compact bench line too long: {len(line)}"
     back = json.loads(line)
     assert back["metric"] == "headline_queries_total_runtime"
     assert back["n_queries"] == 300
     assert back["delta_summary"]["n"] == 300
-    assert "queries" not in back and "delta_vs_prev" not in back
+    assert "delta_vs_prev" not in back
     assert "probe_series" not in back
+    # r15 (r14 verdict finding #1): the per-key map must be present,
+    # budget-bounded, heaviest-first, and honest about what it omitted.
+    assert back["queries"], "compact line lost its per-key map"
+    assert len(back["queries"]) + back["queries_omitted"] == 300
+    assert all(v == 1.23 for v in back["queries"].values())  # 2dp rounding
     # r12 protocol fields must survive into the compact line — the
     # driver-recorded BENCH_rN.json is where the judge reads the raw
     # total, the one surviving normalization, and the same-run canary
@@ -112,7 +121,47 @@ def test_bench_compact_line_fits_driver_tail_window():
     assert back["probe_par_mean"] == 0.462
     assert back["normalized_total_v3"] == 110.001
     assert back["canary_ratio"] == 1.03
-    assert back["canary_ratios"]["q6_forecast_revenue"] == 1.11
+
+
+def test_bench_compact_line_carries_all_heavy_keys_at_today_count():
+    """At the real key count (73) with realistic name lengths and a
+    sub-4s time distribution, every key above the cheap sub-second tail
+    must make the compact line: the greedy heaviest-first fill may only
+    omit the cheapest entries. This is the operative guarantee for
+    PERF_r15's per_query/scaling blocks."""
+    import json
+
+    from bench import BENCH_QUERIES, compact_record
+
+    # Realistic shape: heavy graph/dedup family ~2-4s, mid 0.5-1.5s,
+    # cheap tail ~0.3s — mirrors tools/bench_r14_local.json.
+    times = {
+        k: round(0.25 + (i % 9) * 0.45, 3) for i, k in enumerate(BENCH_QUERIES)
+    }
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": 0.1,
+        "probe_par_mean": 0.462,
+        "normalized_total_v3": 81.7,
+        "mem_bw_gbps": 9.17,
+        "canary_ratio": 0.906,
+        "canary_ratio_bw": 0.793,
+        "prev_record": "bench_r14_local.json",
+        "delta_vs_prev": {k: -0.1 for k in times},
+    }
+    line = json.dumps(compact_record(record), separators=(",", ":"))
+    assert len(line) < 1950
+    back = json.loads(line)
+    omitted = set(times) - set(back["queries"])
+    assert back["queries_omitted"] == len(omitted)
+    if omitted:
+        kept_min = min(back["queries"].values())
+        assert all(times[k] <= kept_min for k in omitted), (
+            "compact line omitted a key heavier than one it kept"
+        )
 
 
 def test_every_entry_appears_in_a_committed_gate_artifact():

@@ -59,3 +59,44 @@ def test_spread_noop_when_scan_is_wide_enough(spark, docs, tmp_path):
     docs.select("doc_id").repartition(max(target, 2)).write.parquet(path)
     wide = spark.read.parquet(path)
     assert spread_narrow_scan(wide, "doc_id") is wide
+
+
+def test_est_scan_splits_sees_through_small_file_packing(spark, docs, tmp_path):
+    """r14 advice #1 regression: the old ``len(files) >= cores`` shortcut
+    counted files, but Spark bin-packs small files into few partitions
+    (openCost charging) — a many-tiny-files input could read as 'wide'
+    while actually planning to 1-2 partitions, so widen_for_compute
+    declined to widen exactly the narrow frame it exists for. With
+    openCost=0 and minPartitionNum=1, Spark packs EVERYTHING into one
+    partition regardless of file count; the estimate must agree with
+    Spark's own planning, not with the file count."""
+    target = spark.sparkContext.defaultParallelism
+    n_files = max(target, 2) + 1  # more files than cores, all tiny
+    path = str(tmp_path / "tiny")
+    docs.select("doc_id").repartition(n_files).write.parquet(path)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.files.openCostInBytes",
+            "spark.sql.files.minPartitionNum",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        spark.conf.set("spark.sql.files.minPartitionNum", "1")
+        tiny = spark.read.parquet(path)
+        n_listed = len(tiny.inputFiles())
+        assert n_listed >= n_files  # the premise: many files on disk
+        est = est_scan_splits(tiny)
+        actual = tiny.rdd.getNumPartitions()  # Spark's real packing
+        assert est == actual, f"estimate {est} != Spark planning {actual}"
+        assert est < target, "tiny files must read as packed/narrow"
+        # and the gate now widens this frame instead of declining
+        out = spread_narrow_scan(tiny, "doc_id")
+        assert out is not tiny
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

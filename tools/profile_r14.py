@@ -77,7 +77,7 @@ def main() -> None:
         analyze = time.time() - t0
 
         best = None
-        best_window = None
+        last_window = None
         for _ in range(runs):
             _clear_orphan_persistent_rdds(spark)
             spark._jvm.System.gc()
@@ -88,11 +88,15 @@ def main() -> None:
             elapsed = time.time() - t0
             if best is None or elapsed < best:
                 best = elapsed
-                best_window = jobs_before
-        # scrape stages belonging to the best run's window is fiddly;
-        # scrape ALL jobs from the last run instead (min-of-N jitter is in
-        # stage wall time, not structure)
-        jobs = [j for j in rest(app_url, "/jobs") if j["jobId"] not in best_window]
+            last_window = jobs_before
+        # Scraping the best run's window is fiddly; scrape the LAST run's
+        # jobs instead (min-of-N jitter is in stage wall time, not
+        # structure). r14 advice #4: diff against the FINAL run's
+        # jobs_before snapshot — the old code diffed against the BEST
+        # run's, so when the best run wasn't the last one the scrape
+        # swept in every subsequent run's jobs (inflated n_jobs_last_run,
+        # duplicated stages).
+        jobs = [j for j in rest(app_url, "/jobs") if j["jobId"] not in last_window]
         n_jobs = len(jobs)
         stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
         stages = []
