@@ -3885,6 +3885,23 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the input already has many splits and the repartition is a
     cheap rebalance of (id, text) rows).
 
+    r15 expression rewrite (r14 verdict ask #2, guide §2.3 "per-task
+    work"): the per-shingle fold was ``aggregate(slice(th, i, 4), ...)``
+    — a fresh 4-element array allocation plus an interpreted fold loop
+    per position — and the window min was ``array_min(slice(gh, j, 5))``
+    — another allocation per position. Both are now flat arithmetic over
+    ``get`` element lookups: gh[i] = (((th[i]·P + th[i+1]) % M)·P +
+    th[i+2]) % M ·P + th[i+3]) % M (bit-identical because the fold seed 0
+    makes its first step the identity on th[i] < M), and the window min
+    is ``least()`` over the 5 gets. No plan-shape change — the same ONE
+    codegen stage — but the per-token expression work drops measurably:
+    interleaved min-of-10 A/B at sf0.1 (tools/ab_winnow_r15.py), stage
+    executorCpuTime min 6.08 → 3.98 s (−35%), median 6.91 → 5.15 s,
+    executorRunTime median 9.97 → 8.33 s, rows identical (exceptAll both
+    ways empty). Wall time at sf0.1 is flat (~0.76 s) because 32-way
+    parallel CPU hides behind the per-job floor at this fixture scale —
+    the CPU drop is what transfers to a real corpus.
+
     ``explode_outer`` (not ``explode``) is load-bearing: for a plain
     explode, ``InferFiltersFromGenerate`` adds ``size(fps) > 0`` and
     predicate pushdown then INLINES the whole nested fingerprint
@@ -3924,19 +3941,27 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("th"),
     )
+    def shingle_hash(i):
+        # flat Rabin-Karp fold over 4 gets (0-based); seed 0 makes the
+        # first fold step the identity on th[i], which is already < M
+        e = lambda k: F.get("th", i - 1 + k)  # noqa: E731
+        h = e(0)
+        for k in (1, 2, 3):
+            h = (h * F.lit(1000003) + e(k)) % F.lit(2147483647)
+        return h
+
     g = th.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("th") - 3),
-            lambda i: fold(F.slice("th", i, F.lit(4))),
-        ).alias("gh"),
+        F.transform(F.sequence(F.lit(1), F.size("th") - 3), shingle_hash).alias(
+            "gh"
+        ),
     )
     w = g.select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size("gh") - 4),
-                lambda j: F.array_min(F.slice("gh", j, F.lit(5))),
+                lambda j: F.least(*[F.get("gh", j - 1 + k) for k in range(5)]),
             )
         ).alias("fps"),
     )
@@ -4413,15 +4438,27 @@ def similarity_auto_pairs(
     |                 |                                 | under BOTH keys   |
 
     Gate 1 is the closed-form candidate count of the prefix join —
-    sum over prefix tokens of C(df_prefix(tok), 2) — computed from one
-    vocabulary-sized aggregate over the SAME prefix table the PPJoin path
-    joins on, BEFORE any pair is emitted. Under the budget the estimate's
-    table is reused (localCheckpointed) so the gate costs one extra
-    vocabulary-keyed aggregate; over the budget the linear SNM path runs
-    and the abandoned prefix build is the (linear, corpus-sized) price of
-    knowing the exact path would have degenerated — measured 18.15x at
-    10x data in the frozen-vocabulary regime (tools/scale_check_r6e.json)
-    vs SNM's 3.55x on the same corpus.
+    sum over prefix tokens of C(df_prefix(tok), 2) — the SAME integer the
+    PPJoin path's prefix table would produce, computed BEFORE any pair is
+    emitted. r15 (r14 verdict ask #3): the SHINGLE table is checkpointed
+    (it feeds the prefix build's two reads — df histogram + per-doc
+    re-collect — and the ppjoin verify join-back), but the gate aggregate
+    runs over the LAZY prefix frame; the prefix checkpoint is built only
+    when the ppjoin route is actually taken. The over-budget path
+    therefore skips the prefix materialization job (the gate folds the
+    prefix build and the estimate into one job — that linear pass stays
+    the documented price of knowing the exact path would have
+    degenerated: measured 18.15x at 10x data in the frozen-vocabulary
+    regime, tools/scale_check_r6e.json, vs SNM's 3.55x on the same
+    corpus); the under-budget path pays one extra linear prefix build to
+    materialize what the gate read lazily. Going further and dropping
+    the shingle checkpoint too was interleaved-A/B'd and REJECTED: the
+    est job then recomputes the shingle chain twice (min 2.87 vs 2.41 s,
+    median 3.06 vs 2.66 s over 10 alternations, tools/ab_router_r15.py —
+    fewer jobs is not faster when each job duplicates work). The
+    estimate itself is bit-identical in every shape (exact integer
+    aggregate; checkpointing does not change values), so the routing
+    decision — which the oracle replays exactly — is unchanged.
 
     Gate 2 (consulted only over budget; r7 verdict ask #5) is HEAD-KEY
     MASS: the ppm of SNM-eligible docs whose first-4-token sort key is
@@ -4445,9 +4482,9 @@ def similarity_auto_pairs(
     cost calls ``dedup_ppjoin_prefix`` directly.
     """
     s = _ppjoin_shingle_table(docs).localCheckpoint()
-    pre = _ppjoin_prefix_table(s).localCheckpoint()
     est_row = (
-        pre.groupBy("tok")
+        _ppjoin_prefix_table(s)
+        .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("cand"))
         .first()
@@ -4455,6 +4492,7 @@ def similarity_auto_pairs(
     est = int(est_row["cand"] or 0)
     skew_ppm = -1
     if est <= budget:
+        pre = _ppjoin_prefix_table(s).localCheckpoint()
         pairs = _ppjoin_pairs(s, pre).select(
             F.col("doc_a").alias("doc_lo"),
             F.col("doc_b").alias("doc_hi"),

@@ -124,3 +124,54 @@ def test_shared_run_guarantees_common_fingerprint(
 def test_short_docs_produce_no_fingerprints():
     assert _fingerprints(["a"] * 7) == set()
     assert len(_fingerprints(["a"] * 8)) == 1
+
+
+def test_flat_fold_rewrite_matches_aggregate_fold(spark):
+    """r15 expression rewrite equivalence (verdict ask #2): the shingle
+    hash became flat arithmetic over ``get`` lookups and the window min
+    ``least()`` over gets — this pins them bit-equal to the original
+    ``aggregate(slice(...))`` / ``array_min(slice(...))`` forms on
+    adversarial token-hash arrays (boundary values 0, M-1, duplicates),
+    independent of the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    M, P = 2147483647, 1000003
+    rows = [
+        ([0, 1, 2, 3, 4, 5, 6, 7, 8],),
+        ([M - 1] * 12,),
+        ([0, M - 1, 123456789, 7, 7, 7, 999999937, 2, M - 2, 1, 0, 5],),
+        ([17] * 8,),
+    ]
+    df = spark.createDataFrame(rows, "th array<long>")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda h, x: (h * F.lit(P) + x) % F.lit(M)
+    )
+
+    def flat(i):
+        e = lambda k: F.get("th", i - 1 + k)  # noqa: E731
+        h = e(0)
+        for k in (1, 2, 3):
+            h = (h * F.lit(P) + e(k)) % F.lit(M)
+        return h
+
+    seq_g = F.sequence(F.lit(1), F.size("th") - 3)
+    both = df.select(
+        F.transform(seq_g, lambda i: fold(F.slice("th", i, F.lit(4)))).alias("a"),
+        F.transform(seq_g, flat).alias("b"),
+    )
+    g = both.withColumn(
+        "min_a",
+        F.transform(
+            F.sequence(F.lit(1), F.size("a") - 4),
+            lambda j: F.array_min(F.slice("a", j, F.lit(5))),
+        ),
+    ).withColumn(
+        "min_b",
+        F.transform(
+            F.sequence(F.lit(1), F.size("b") - 4),
+            lambda j: F.least(*[F.get("b", j - 1 + k) for k in range(5)]),
+        ),
+    )
+    for r in g.collect():
+        assert r["a"] == r["b"], "shingle fold rewrite diverged"
+        assert r["min_a"] == r["min_b"], "window-min rewrite diverged"

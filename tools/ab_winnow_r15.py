@@ -23,6 +23,7 @@ import os
 import statistics
 import sys
 import time
+import urllib.request
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -130,8 +131,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = build_session(
-        app_name="ab-winnow", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        app_name="ab-winnow",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra={"spark.ui.enabled": "true"},
     )
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    app_url = f"{ui}/api/v1/applications/{app_id}"
+
+    def stage_cpu() -> tuple[set, float, float]:
+        """(stage ids seen, total executorRunTime s, executorCpuTime s)."""
+        with urllib.request.urlopen(app_url + "/stages") as r:
+            stages = json.loads(r.read())
+        ids = {(st["stageId"], st["attemptId"]) for st in stages}
+        run = sum(st["executorRunTime"] for st in stages) / 1e3
+        cpu = sum(st.get("executorCpuTime", 0) for st in stages) / 1e9
+        return ids, run, cpu
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
@@ -148,15 +164,24 @@ def main() -> None:
     print("row equality: OK", flush=True)
 
     times: dict[str, list[float]] = {"A": [], "B": []}
+    cpus_s: dict[str, list[float]] = {"A": [], "B": []}
+    runs_s: dict[str, list[float]] = {"A": [], "B": []}
     for r in range(reps):
         for v in ("A", "B") if r % 2 == 0 else ("B", "A"):
             _clear_orphan_persistent_rdds(spark)
             spark._jvm.System.gc()
+            _, run0, cpu0 = stage_cpu()
             t0 = time.time()
             mk[v]().write.format("noop").mode("overwrite").save()
             times[v].append(time.time() - t0)
+            _, run1, cpu1 = stage_cpu()
+            runs_s[v].append(run1 - run0)
+            cpus_s[v].append(cpu1 - cpu0)
         print(
-            f"rep {r}: A={times['A'][-1]:.3f} B={times['B'][-1]:.3f}", flush=True
+            f"rep {r}: A={times['A'][-1]:.3f} B={times['B'][-1]:.3f} | "
+            f"cpu A={cpus_s['A'][-1]:.2f} B={cpus_s['B'][-1]:.2f} | "
+            f"run A={runs_s['A'][-1]:.2f} B={runs_s['B'][-1]:.2f}",
+            flush=True,
         )
     out = {
         "stage": stage,
@@ -165,6 +190,12 @@ def main() -> None:
         "B_min": round(min(times["B"]), 3),
         "A_med": round(statistics.median(times["A"]), 3),
         "B_med": round(statistics.median(times["B"]), 3),
+        "A_cpu_min": round(min(cpus_s["A"]), 2),
+        "B_cpu_min": round(min(cpus_s["B"]), 2),
+        "A_cpu_med": round(statistics.median(cpus_s["A"]), 2),
+        "B_cpu_med": round(statistics.median(cpus_s["B"]), 2),
+        "A_run_med": round(statistics.median(runs_s["A"]), 2),
+        "B_run_med": round(statistics.median(runs_s["B"]), 2),
     }
     print(json.dumps(out))
     spark.stop()
