@@ -37,33 +37,14 @@ and shared across executors.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from sparkstreamingrealtimedatawithkafka_spark.operators.dedup import (
     minhash_band_table,
     verify_jaccard,
 )
-
-
-def _index_exists(path: str) -> bool:
-    """True iff the index table has been written at least once.
-
-    An explicit existence probe (not ``try: read except: empty``): only a
-    genuinely-absent path means "first batch"; any other read failure —
-    corruption, IO, permissions — propagates, because silently treating it
-    as an empty index would emit an incomplete pair set. Local paths are
-    checked with ``os.path`` (non-empty dir); other schemes fall through to
-    True so the subsequent read raises the real error.
-    """
-    p = path[len("file:"):] if path.startswith("file:") else path
-    if "://" not in p:
-        return os.path.isdir(p) and any(
-            not e.startswith(".") for e in os.listdir(p)
-        )
-    return True
 
 
 def dedup_batch_processor(
@@ -85,48 +66,82 @@ def dedup_batch_processor(
     toks_dir = f"{work_dir}/tokens"
     pairs_dir = f"{work_dir}/pairs"
 
+    part_field = StructField("batch_id", IntegerType(), True)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(
             F.col(id_col).alias("id"), F.col(tokens_col).alias("tok")
         )
-        # One computation of the batch's bands feeds both the join and the
-        # index append; localCheckpoint cuts the double lineage.
-        bt = minhash_band_table(batch, "id", "tok", num_hashes, bands).localCheckpoint()
-        # Join the batch against STRICTLY EARLIER index partitions only.
-        # batch_id < current is equivalent to != current in forward
-        # processing (no later partitions exist yet), but it is what makes
-        # replay idempotent from ANY restart point: a cross-batch pair is
-        # owned by max(batch(a), batch(b)), so a replayed batch re-emits
-        # exactly its original partition. With != (the r1-r7 form), a
-        # batch replayed against a future-contaminated index — checkpoint
-        # lost, state table intact — would double-emit later batches'
-        # pairs under its own batch_id (caught by
-        # tests/test_incremental_replay.py). "First batch" is an explicit
-        # existence check, not a swallowed read error — a corrupt or
-        # unreadable index must fail loudly rather than silently run the
-        # dedup join with an empty base (incomplete pair set).
-        if _index_exists(bands_dir):
-            prior_bands = spark.read.parquet(bands_dir).filter(
-                F.col("batch_id") < F.lit(batch_id)
-            )
-            prior_toks = spark.read.parquet(toks_dir).filter(
-                F.col("batch_id") < F.lit(batch_id)
-            )
-            all_bands = prior_bands.select("id", "band", "bhash").unionByName(bt)
-            all_toks = prior_toks.select("id", "tok").unionByName(batch)
-        else:
-            all_bands, all_toks = bt, batch
+        # Write-first ordering (tokens -> bands -> pairs): each step reads
+        # its inputs back from the just-written index tables, so the
+        # tokenization chain upstream of ``tokens_col`` runs ONCE per batch
+        # (the r1-r14 shape evaluated it three times — band checkpoint,
+        # verification union, tokens append — and paid a localCheckpoint
+        # job to share the band table between join and append; measured
+        # 52 -> fewer jobs / -3s warm at sf0.01, tools/profile_stream_r15).
+        # Explicit read schemas skip parquet footer inference per batch.
+        # Idempotent writes: all three tables are partitioned by batch_id
+        # and written with dynamic partition overwrite, so replay REPLACES
+        # this batch's contribution rather than re-appending it.
+        tok_schema = StructType(list(batch.schema.fields) + [part_field])
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(toks_dir)
+        )
+        cur_toks = (
+            spark.read.schema(tok_schema)
+            .parquet(toks_dir)
+            .filter(F.col("batch_id") == F.lit(batch_id))
+            .select("id", "tok")
+        )
+        bt = minhash_band_table(cur_toks, "id", "tok", num_hashes, bands)
+        band_schema = StructType(list(bt.schema.fields) + [part_field])
+        (
+            bt.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bands_dir)
+        )
+        # Join the batch's bands against index partitions <= current only.
+        # (bands <= k) |><| (bands == k) is row-identical to the r1-r14
+        # (prior < k UNION batch) |><| batch join, and the <= bound is what
+        # makes replay idempotent from ANY restart point: a cross-batch
+        # pair is owned by max(batch(a), batch(b)), so a replayed batch
+        # re-emits exactly its original partition even against a
+        # future-contaminated index — checkpoint lost, state table intact
+        # (caught by tests/test_incremental_replay.py). A corrupt or
+        # unreadable index fails loudly here rather than silently running
+        # the dedup join with an empty base (incomplete pair set).
+        all_bands = (
+            spark.read.schema(band_schema)
+            .parquet(bands_dir)
+            .filter(F.col("batch_id") <= F.lit(batch_id))
+            .select("id", "band", "bhash")
+        )
+        cur_bands = (
+            spark.read.schema(band_schema)
+            .parquet(bands_dir)
+            .filter(F.col("batch_id") == F.lit(batch_id))
+            .select(F.col("id").alias("id_d"), "band", "bhash")
+        )
         cand = (
-            all_bands.join(
-                bt.select(F.col("id").alias("id_d"), "band", "bhash"),
-                ["band", "bhash"],
-            )
+            all_bands.join(cur_bands, ["band", "bhash"])
             .filter(F.col("id") != F.col("id_d"))
             .select(
                 F.least("id", "id_d").alias("id_a"),
                 F.greatest("id", "id_d").alias("id_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
+        )
+        all_toks = (
+            spark.read.schema(tok_schema)
+            .parquet(toks_dir)
+            .filter(F.col("batch_id") <= F.lit(batch_id))
+            .select("id", "tok")
         )
         pairs = verify_jaccard(cand, all_toks, "id", "tok", jaccard_threshold)
         (
@@ -135,23 +150,6 @@ def dedup_batch_processor(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(pairs_dir)
-        )
-        # Idempotent index writes: same dynamic-partition-overwrite
-        # posture as the pairs table, so replay replaces rather than
-        # re-appends this batch's index contribution.
-        (
-            bt.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(bands_dir)
-        )
-        (
-            batch.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(toks_dir)
         )
 
     return process
