@@ -260,9 +260,31 @@ def event_time_columns(ts_type) -> tuple:
     raise TypeError(f"unsupported events.ts type {ts_type!r}")
 
 
+# Resolved-schema memo. ``spark.read.parquet`` without an explicit schema
+# runs a footer-inference JOB per call — 93 of the 540 jobs in a full bench
+# pass were these (tools/profile_r15). Fixture files are immutable within a
+# process, so after the first load resolves (and contract-checks) a table's
+# schema, later loads pass it explicitly and skip the job. This memoizes
+# METADATA only — every query still reads row data from the parquet files;
+# no results or intermediates are cached. Keyed by (sf_dir, name); a schema
+# object is session-independent, so the memo survives session restarts in
+# tests without going stale (paths are never rewritten with a new schema
+# in-process — drift tests use fresh tmp dirs).
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    return spark.read.parquet(path)
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _read_fixture(spark, sf_dir, "events")
     check_schema_contract(raw.schema, "events")
+    _SCHEMA_CACHE[(sf_dir, "events")] = raw.schema
     ts_us, ts = event_time_columns(raw.schema["ts"].dataType)
     value = F.col("value")
     if not isinstance(raw.schema["value"].dataType, DoubleType):
@@ -282,6 +304,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    raw = _read_fixture(spark, sf_dir, name)
     check_schema_contract(raw.schema, name)
+    _SCHEMA_CACHE[(sf_dir, name)] = raw.schema
     return _normalize_columns(raw, name)

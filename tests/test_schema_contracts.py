@@ -256,3 +256,51 @@ def test_orders_and_documents_tripwire(spark):
 
 def test_expected_schemas_cover_all_tables():
     assert set(EXPECTED_SCHEMAS) == set(TABLES)
+
+
+# ---------------------------------------------------------------------------
+# resolved-schema memo (r15): the second load of a table passes the first
+# load's inferred schema explicitly (skipping the footer-inference job) and
+# must be bit-identical to an inference load — schema, plan shape, and rows.
+# ---------------------------------------------------------------------------
+
+
+def test_schema_memo_second_load_identical(spark):
+    from sparkstreamingrealtimedatawithkafka_spark.sources import registry
+
+    registry._SCHEMA_CACHE.pop((SF_DIR, "nation"), None)
+    first = load_table(spark, SF_DIR, "nation")
+    assert (SF_DIR, "nation") in registry._SCHEMA_CACHE
+    second = load_table(spark, SF_DIR, "nation")
+    assert second.schema == first.schema
+    plan = second._jdf.queryExecution().optimizedPlan().toString()
+    assert "Project" not in plan, plan  # memo must not inject normalization
+    assert sorted(map(tuple, second.collect())) == sorted(
+        map(tuple, first.collect())
+    )
+
+
+def test_schema_memo_events_loader(spark):
+    from sparkstreamingrealtimedatawithkafka_spark.sources import registry
+
+    registry._SCHEMA_CACHE.pop((SF_DIR, "events"), None)
+    first = load_table(spark, SF_DIR, "events")
+    assert (SF_DIR, "events") in registry._SCHEMA_CACHE
+    second = load_table(spark, SF_DIR, "events")
+    assert second.schema == first.schema
+    a = first.agg(F.sum("ts_us"), F.count(F.lit(1))).collect()
+    b = second.agg(F.sum("ts_us"), F.count(F.lit(1))).collect()
+    assert a == b
+
+
+def test_schema_memo_does_not_bypass_contract(spark, tmp_path):
+    """A drifted table must still trip the contract even when a HEALTHY
+    schema for the same table name (different dir) is already memoized."""
+    load_table(spark, SF_DIR, "region")  # memoize the healthy schema
+    t = pq.read_table(f"{SF_DIR}/region.parquet")
+    dropped = t.drop_columns(["r_name"])
+    d = str(tmp_path / "drift")
+    os.makedirs(d)
+    pq.write_table(dropped, f"{d}/region.parquet")
+    with pytest.raises(SchemaDriftError, match="missing column 'r_name'"):
+        load_table(spark, d, "region")
